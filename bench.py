@@ -1,0 +1,75 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing methodology: one warm-up pass of a trivial action to absorb JVM/
+session startup, then each query is executed once with a full materializing
+action (count of a cached-free plan) — what a user would pay.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from mongodb_mysql_cdc_spark import registry
+from mongodb_mysql_cdc_spark.session import get_session
+
+# Headline set: one representative per operator family (scan/agg, join
+# strategies, window, set-op, CDC apply, dedup, similarity). Falls back to
+# whatever subset is registered so bench never breaks mid-build.
+HEADLINE = [
+    "pricing_summary",
+    "join_inner_hash",
+    "join_broadcast",
+    "join_asof",
+    "topk_per_group",
+    "win_running",
+    "agg_rollup",
+    "cdc_apply_batch",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_search_topk",
+    "text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_session("bench")
+    qs = registry.queries()
+    names = [n for n in HEADLINE if n in qs]
+
+    # Warm-up: JVM + parquet footer caches, not the query results.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

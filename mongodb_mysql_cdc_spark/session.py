@@ -1,0 +1,65 @@
+"""SparkSession factory tuned for the test harness (local[N]) while keeping
+every knob cluster-correct: the same builder settings are what we would ship
+on a 1000-executor cluster, with only master/memory being local-specific.
+
+Scale rationale (100 TB):
+- AQE on: runtime coalescing, skew-join splitting, and runtime broadcast
+  conversion are the main levers when static stats are wrong at scale.
+- shuffle.partitions is sized to cores locally; at 100 TB it should be
+  sized so each post-shuffle partition is ~128-256 MB (AQE coalesces down).
+- UTC session timezone: required for deterministic timestamp semantics and
+  for parity with the DuckDB oracle.
+- Arrow on: every pandas_udf / applyInPandas edge transfers columnar.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_session(app_name: str = "mongodb_mysql_cdc_spark") -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults."""
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def tune_for_harness(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an externally-provided
+    session (the driver hands us one; we cannot rebuild it). Only touches
+    confs that are safe to set post-startup."""
+    for k, v in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.shuffle.partitions", str(default_parallelism())),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        # events.ts is parquet TIMESTAMP(NANOS) — read as long, see catalog.load
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime conf on this build — keep going
+    return spark

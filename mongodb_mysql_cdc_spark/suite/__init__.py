@@ -1,0 +1,26 @@
+"""The registered query suite — one module per SURVEY.md §2 family.
+
+Each module binds generic operators (from ``operators/``) to the harness
+tables and registers (query, oracle) pairs via ``registry.register``.
+"""
+
+from __future__ import annotations
+
+import importlib
+
+_MODULES = (
+    "relational",
+    "aggregates",
+    "joins",
+    "windows",
+    "setops",
+    "scalars",
+    "cdc",
+    "llm",
+    "streaming_batch",
+)
+
+
+def load_all() -> None:
+    for mod in _MODULES:
+        importlib.import_module(f"{__name__}.{mod}")

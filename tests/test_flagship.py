@@ -1,0 +1,44 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from mongodb_mysql_cdc_spark.plans import pushed_filters, read_schema_columns
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        "avg_qty",
+        "avg_price",
+        "avg_disc",
+        "count_order",
+    }
+    total = sum(r.count_order for r in rows)
+    assert total > 0
+
+
+def test_pricing_summary_plan_is_scale_ready(spark, sf_dir):
+    from mongodb_mysql_cdc_spark.suite.relational import pricing_summary
+
+    df = pricing_summary(spark, sf_dir)
+    # shipdate predicate must reach the parquet scan
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    # scan must prune to only the 7 columns the query touches
+    scans = read_schema_columns(df)
+    assert scans and all(len(cols) <= 7 for cols in scans)
+
+
+def test_registry_oracle_names_subset(spark):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) > 0
