@@ -26,6 +26,10 @@ def hround(col: Column, n: int = 2) -> Column:
 
 
 def sql_round(expr: str, n: int = 2) -> str:
-    """The DuckDB-side spelling of ``hround`` for oracle SQL strings."""
+    """The DuckDB-side spelling of ``hround`` for oracle SQL strings.
+
+    Also valid Spark SQL: the CAST keeps the result DOUBLE in both parsers
+    (a bare ``/ 100.0`` literal would be DECIMAL division in Spark SQL).
+    """
     scale = float(10**n)
-    return f"floor(({expr}) * {scale} + 0.5) / {scale}"
+    return f"CAST(floor(({expr}) * {scale} + 0.5) / {scale} AS DOUBLE)"

@@ -11,6 +11,7 @@ import importlib
 _MODULES = (
     "relational",
     "aggregates",
+    "sorting",
     "joins",
     "windows",
     "setops",

@@ -1,1 +1,255 @@
-"""Placeholder — filled in by its milestone."""
+"""§2.4 aggregations.
+
+Scale notes (100 TB): every groupBy here runs as two-phase HashAggregate
+(partial map-side → final), so shuffle volume is |groups|, not |rows|.
+``collect_list`` is the one op whose state grows with group size — bounded
+here by order size (≤7 lines); never use it on unbounded groups at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongodb_mysql_cdc_spark.catalog import load
+from mongodb_mysql_cdc_spark.functions.compat import hround, sql_round
+from mongodb_mysql_cdc_spark.registry import register
+
+
+@register(
+    "agg_hash",
+    oracle=f"""
+SELECT event_type,
+       {sql_round('sum(value)')} AS sum_value,
+       min(value)                AS min_value,
+       max(value)                AS max_value,
+       count(*)                  AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        hround(F.sum("value")).alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_global",
+    oracle=f"""
+SELECT count(*)                        AS n_rows,
+       {sql_round('sum(l_quantity)')}  AS total_qty,
+       {sql_round('avg(l_extendedprice)', 4)} AS avg_price,
+       min(l_shipdate)                 AS first_ship,
+       max(l_shipdate)                 AS last_ship
+FROM lineitem
+""",
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        hround(F.sum("l_quantity")).alias("total_qty"),
+        hround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+SELECT event_type,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT CAST(json_extract(props, '$.k') AS BIGINT)) AS n_k
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.get_json_object("props", "$.k").cast("long")).alias("n_k"),
+    )
+
+
+@register("agg_approx_distinct")  # HLL estimate — not hash-comparable: rows-only
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct — the 100 TB path where exact distinct would
+    shuffle every key. rsd=0.01 keeps the sketch ~constant memory."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=f"""
+SELECT r_name, n_name,
+       count(*) AS n,
+       {sql_round('sum(s_acctbal)')} AS total_bal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    joined = sup.join(
+        F.broadcast(nat), sup.s_nationkey == nat.n_nationkey
+    ).join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    joined.createOrReplaceTempView("_gs_supplier_geo")
+    return spark.sql(
+        f"""
+        SELECT r_name, n_name,
+               count(*) AS n,
+               {sql_round('sum(s_acctbal)')} AS total_bal
+        FROM _gs_supplier_geo
+        GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+        """
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+SELECT r_name, n_name,
+       count(*) AS n_customers,
+       {sql_round('sum(c_acctbal)')} AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals region → nation → grand. nation/region are
+    bounded dims (25/5 rows at ANY scale) — broadcast unconditionally."""
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+    ).join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        hround(F.sum("c_acctbal")).alias("total_bal"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n,
+       {sql_round('sum(l_quantity)')} AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        hround(F.sum("l_quantity")).alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_having",
+    oracle=f"""
+SELECT o_custkey,
+       count(*) AS n_orders,
+       {sql_round('sum(o_totalprice)')} AS spend
+FROM orders
+GROUP BY o_custkey
+HAVING count(*) >= 12
+""",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            hround(F.sum("o_totalprice")).alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+SELECT l_orderkey,
+       list(l_linenumber ORDER BY l_linenumber) AS line_numbers,
+       list(DISTINCT l_returnflag ORDER BY l_returnflag) AS flags
+FROM lineitem
+GROUP BY l_orderkey
+""",
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document re-assembly (inverse of flatten): gather group members into
+    arrays. array_sort makes the result deterministic — collect_list order
+    is partition-dependent."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_linenumber")).alias("line_numbers"),
+        F.array_sort(F.collect_set("l_returnflag")).alias("flags"),
+    )
+
+
+@register(
+    "agg_stats",
+    oracle=f"""
+SELECT event_type,
+       {sql_round('stddev_samp(value)', 4)} AS sd_value,
+       {sql_round('var_samp(value)', 4)}    AS var_value,
+       {sql_round('corr(value, CAST(user_id AS DOUBLE))', 4)} AS corr_vu,
+       {sql_round('quantile_cont(value, 0.5)', 4)} AS median_value
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        hround(F.stddev_samp("value"), 4).alias("sd_value"),
+        hround(F.var_samp("value"), 4).alias("var_value"),
+        hround(F.corr("value", F.col("user_id").cast("double")), 4).alias("corr_vu"),
+        hround(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
+    )
+
+
+@register(
+    "agg_minmax_by",
+    oracle="""
+SELECT user_id,
+       arg_max(event_id, ts)  AS last_event_id,
+       arg_max(event_type, ts) AS last_event_type,
+       arg_min(event_id, ts)  AS first_event_id,
+       max(ts)                AS last_ts
+FROM events
+GROUP BY user_id
+""",
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row achieving the extremum — the CDC last-writer-wins primitive
+    (latest image per key) as a plain aggregate."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.expr("max_by(event_id, ts)").alias("last_event_id"),
+        F.expr("max_by(event_type, ts)").alias("last_event_type"),
+        F.expr("min_by(event_id, ts)").alias("first_event_id"),
+        F.max("ts").alias("last_ts"),
+    )

@@ -1,1 +1,300 @@
-"""Placeholder — filled in by its milestone."""
+"""§2.3 joins — every strategy the engine supports.
+
+Strategy notes (100 TB):
+- broadcast: ONLY for dims bounded by the world (region=5, nation=25).
+- sort-merge: the default for fact⋈fact (lineitem⋈orders); AQE converts
+  to broadcast at runtime if one side turns out tiny, and splits skewed
+  partitions.
+- semi/anti: never materialize the right payload — Spark keeps only keys.
+- theta/range: keep an equi-prefix in the condition (here: nationkey /
+  band-bucket) so Catalyst hash-partitions on it and the inequality is a
+  post-join filter, not a BNL cross product.
+- as-of: see operators/joins.py — one shuffle, no pair explosion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongodb_mysql_cdc_spark.catalog import load
+from mongodb_mysql_cdc_spark.functions.compat import hround, sql_round
+from mongodb_mysql_cdc_spark.operators.joins import asof_join
+from mongodb_mysql_cdc_spark.registry import register
+
+
+@register(
+    "join_inner_hash",
+    oracle="""
+SELECT o_orderkey, c_custkey, c_name, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'O'
+""",
+)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_name", "o_totalprice"
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+SELECT c_custkey, n_name, r_name
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+""",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim enrichment with explicit broadcast — zero shuffle of the fact."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+
+
+@register(
+    "join_sort_merge",
+    oracle=f"""
+SELECT l_orderkey, o_orderdate, count(*) AS n_lines,
+       {sql_round('sum(l_extendedprice)')} AS order_value
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'F'
+GROUP BY l_orderkey, o_orderdate
+""",
+)
+def join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large⋈large: shuffle both sides on the key; MERGE hint pins the
+    sort-merge strategy (spill-safe at any scale, unlike hash)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            hround(F.sum("l_extendedprice")).alias("order_value"),
+        )
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+SELECT c_custkey, o_orderkey
+FROM customer LEFT JOIN orders
+  ON c_custkey = o_custkey AND o_totalprice > 450000
+""",
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 450000), "left"
+    ).select("c_custkey", "o_orderkey")
+
+
+@register(
+    "join_right",
+    oracle="""
+SELECT o_orderkey, c_custkey
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey AND o_orderstatus = 'P'
+""",
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(
+        c, (o.o_custkey == c.c_custkey) & (o.o_orderstatus == "P"), "right"
+    ).select("o_orderkey", "c_custkey")
+
+
+@register(
+    "join_full",
+    oracle="""
+WITH rich AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000),
+     big  AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_totalprice > 400000)
+SELECT c_custkey, c_acctbal, o_orderkey, o_totalprice
+FROM rich FULL JOIN big ON c_custkey = o_custkey
+""",
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rich = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey", "c_acctbal")
+    )
+    big = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    return rich.join(big, rich.c_custkey == big.o_custkey, "outer").select(
+        "c_custkey", "c_acctbal", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+SELECT p_partkey, p_name FROM part
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity >= 45
+)
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts never shipped in bulk (NOT EXISTS). The >= 45 predicate keeps
+    the result non-empty so the check is meaningful."""
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return p.join(li, p.p_partkey == li.l_partkey, "left_anti").select(
+        "p_partkey", "p_name"
+    )
+
+
+@register(
+    "join_theta",
+    oracle="""
+SELECT a.s_suppkey AS sup_a, b.s_suppkey AS sup_b, a.s_nationkey AS natkey
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_acctbal > b.s_acctbal
+""",
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi join with an equi-prefix: hash-partition on nationkey,
+    inequality evaluated post-match — NOT a broadcast-nested-loop."""
+    a = load(spark, sf_dir, "supplier").alias("a")
+    b = load(spark, sf_dir, "supplier").alias("b")
+    return a.join(
+        b,
+        (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+        & (F.col("a.s_acctbal") > F.col("b.s_acctbal")),
+    ).select(
+        F.col("a.s_suppkey").alias("sup_a"),
+        F.col("b.s_suppkey").alias("sup_b"),
+        F.col("a.s_nationkey").alias("natkey"),
+    )
+
+
+@register(
+    "join_range",
+    oracle="""
+WITH bands(band, lo, hi) AS (
+  VALUES ('p25', 0.0, 25.0), ('p50', 25.0, 50.0), ('p75', 50.0, 75.0), ('p100', 75.0, 101.0)
+)
+SELECT event_id, band
+FROM events JOIN bands ON value >= lo AND value < hi
+""",
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join against a tiny broadcast band table —
+    the scalable shape: broadcast the intervals, never shuffle the fact."""
+    ev = load(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("p25", 0.0, 25.0), ("p50", 25.0, 50.0), ("p75", 50.0, 75.0), ("p100", 75.0, 101.0)],
+        "band string, lo double, hi double",
+    )
+    return ev.join(
+        F.broadcast(bands),
+        (ev.value >= bands.lo) & (ev.value < bands.hi),
+    ).select("event_id", "band")
+
+
+@register(
+    "join_asof",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, arg_max(event_id, event_id) AS purchase_event_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+)
+SELECT c.user_id, c.event_id, p.purchase_event_id
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts >= p.pts
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest purchase at-or-before each click per user (CDC temporal
+    alignment). DuckDB's native ASOF JOIN is the oracle; Spark side is the
+    union+window composition (operators/joins.py)."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")  # unique per (key, ts) for determinism
+        .agg(F.expr("max_by(event_id, event_id)").alias("purchase_event_id"))
+    )
+    return asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["purchase_event_id"],
+    ).select("user_id", "event_id", "purchase_event_id")
+
+
+@register(
+    "join_self",
+    oracle="""
+SELECT user_id, event_id,
+       lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id,
+       date_diff('second',
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                 ts) AS gap_sec
+FROM events
+""",
+)
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-event pairing per user. Expressed with lag() instead of
+    a self-join: identical semantics, half the scan cost, one shuffle."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)).alias("gap_sec"),
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+SELECT r_name, n_name FROM region CROSS JOIN nation
+""",
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")

@@ -1,1 +1,283 @@
-"""Placeholder — filled in by its milestone."""
+"""§2.8 scalar function families — string / datetime / math / conditional /
+array (incl. higher-order) / struct-map / hash.
+
+These are all JVM-side codegen'd expressions (zero Python in the hot
+path); each family is one oracle-checked query exercising the whole row
+of SURVEY.md §2.8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongodb_mysql_cdc_spark.catalog import load
+from mongodb_mysql_cdc_spark.functions.compat import hround, sql_round
+from mongodb_mysql_cdc_spark.registry import register
+
+
+@register(
+    "fn_string",
+    oracle="""
+SELECT
+  p_partkey,
+  concat(p_brand, ':', p_type)                  AS brand_type,
+  substring(p_name, 1, 8)                       AS name_prefix,
+  upper(p_brand)                                AS brand_up,
+  lower(p_type)                                 AS type_lo,
+  trim(concat(' ', p_name, ' '))                AS name_trim,
+  length(p_name)                                AS name_len,
+  regexp_extract(p_brand, 'Brand#([0-9]+)', 1)  AS brand_num,
+  replace(p_type, ' ', '_')                     AS type_snake,
+  lpad(CAST(p_size AS VARCHAR), 4, '0')         AS size_padded,
+  strpos(p_name, 'a')                           AS first_a,
+  (p_name LIKE '%a%')                           AS has_a,
+  split_part(p_type, ' ', 1)                    AS type_head
+FROM part
+""",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.upper("p_brand").alias("brand_up"),
+        F.lower("p_type").alias("type_lo"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("name_trim"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.regexp_extract("p_brand", "Brand#([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.instr("p_name", "a").cast("long").alias("first_a"),
+        F.col("p_name").like("%a%").alias("has_a"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
+    )
+
+
+@register(
+    "fn_datetime",
+    oracle="""
+SELECT
+  o_orderkey,
+  year(o_orderdate)                                   AS yr,
+  month(o_orderdate)                                  AS mo,
+  day(o_orderdate)                                    AS dy,
+  CAST(date_trunc('month', o_orderdate) AS DATE)      AS month_start,
+  CAST(o_orderdate AS DATE) + 30                      AS plus_30d,
+  date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+  CAST(epoch(o_orderdate) AS BIGINT)                  AS unix_sec,
+  hour(o_orderdate)                                   AS hr,
+  dayofweek(o_orderdate) + 1                          AS dow,
+  CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR)     AS ym
+FROM orders
+""",
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("long").alias("dy"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("plus_30d"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_to_y2k"),
+        F.unix_timestamp("o_orderdate").alias("unix_sec"),
+        F.hour("o_orderdate").cast("long").alias("hr"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle=f"""
+SELECT
+  l_orderkey, l_linenumber,
+  abs(l_tax - 0.05)                          AS tax_dev,
+  ceil(l_quantity)                           AS qty_ceil,
+  floor(l_extendedprice)                     AS price_floor,
+  {sql_round('sqrt(l_quantity)', 6)}         AS qty_sqrt,
+  {sql_round('pow(1.0 + l_discount, 2)', 6)} AS disc_sq,
+  {sql_round('ln(l_extendedprice)', 6)}      AS price_ln,
+  l_orderkey % 7                             AS key_mod,
+  sign(l_discount - 0.05)                    AS disc_sign
+FROM lineitem
+""",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_tax") - 0.05).alias("tax_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        hround(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        hround(F.pow(F.lit(1.0) + F.col("l_discount"), 2), 6).alias("disc_sq"),
+        hround(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.pmod("l_orderkey", F.lit(7)).alias("key_mod"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+SELECT
+  s_suppkey,
+  CASE WHEN s_acctbal < 0 THEN 'debt'
+       WHEN s_acctbal < 5000 THEN 'ok'
+       ELSE 'rich' END                      AS bal_band,
+  IF(s_nationkey < 12, 'west', 'east')      AS hemi,
+  NULLIF(s_nationkey, 0)                    AS natkey_nz,
+  GREATEST(s_acctbal, 0.0)                  AS bal_pos,
+  LEAST(s_acctbal, 1000.0)                  AS bal_capped
+FROM supplier
+""",
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.when(F.col("s_acctbal") < 0, "debt")
+        .when(F.col("s_acctbal") < 5000, "ok")
+        .otherwise("rich")
+        .alias("bal_band"),
+        F.when(F.col("s_nationkey") < 12, "west").otherwise("east").alias("hemi"),
+        F.nullif("s_nationkey", F.lit(0)).alias("natkey_nz"),
+        F.greatest(F.col("s_acctbal"), F.lit(0.0)).alias("bal_pos"),
+        F.least(F.col("s_acctbal"), F.lit(1000.0)).alias("bal_capped"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle=f"""
+SELECT
+  vec_id,
+  len(embedding)                                   AS dim,
+  CAST(embedding[1] AS DOUBLE)                     AS first_val,
+  {sql_round('list_reduce(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)), (acc, x) -> acc + x)', 4)} AS head_sum,
+  {sql_round('CAST(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (acc, x) -> acc + x) AS DOUBLE)', 3)} AS l2_sq
+FROM embeddings
+""",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops + higher-order functions (transform / slice / aggregate) —
+    the embedding column's native algebra, all JVM-side."""
+    e = load(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    head = F.slice(dbl, 1, 8)
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.col("embedding").getItem(0).cast("double").alias("first_val"),
+        hround(
+            F.aggregate(head, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("head_sum"),
+        hround(
+            F.aggregate(dbl, F.lit(0.0), lambda acc, x: acc + x * x), 3
+        ).alias("l2_sq"),
+    )
+
+
+@register(
+    "fn_explode",
+    oracle="""
+SELECT vec_id, CAST(pos - 1 AS INTEGER) AS pos, CAST(val AS DOUBLE) AS val
+FROM (
+  SELECT vec_id, unnest(embedding) AS val,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+)
+WHERE (pos - 1) < 4
+""",
+)
+def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode — array → rows with position (UDTF-shape surface)."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .filter(F.col("pos") < 4)
+        .select("vec_id", "pos", F.col("val").cast("double").alias("val"))
+    )
+
+
+@register(
+    "fn_struct_map",
+    oracle="""
+SELECT
+  event_id,
+  struct_extract(struct_pack(u := user_id, t := event_type), 'u') AS packed_user,
+  (MAP {'type': event_type, 'props': props}['type'])[1] AS from_map,
+  (MAP {'k1': value}['k1'])[1] AS from_map_num
+FROM events
+""",
+)
+def fn_struct_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """struct pack/unpack + map create/access (CDC envelope handling) —
+    output flattened to scalars so the hash stays engine-neutral."""
+    ev = load(spark, sf_dir, "events")
+    packed = F.struct(F.col("user_id").alias("u"), F.col("event_type").alias("t"))
+    m = F.create_map(F.lit("type"), F.col("event_type"), F.lit("props"), F.col("props"))
+    m2 = F.create_map(F.lit("k1"), F.col("value"))
+    return ev.select(
+        "event_id",
+        packed.getField("u").alias("packed_user"),
+        F.element_at(m, F.lit("type")).alias("from_map"),
+        F.element_at(m2, F.lit("k1")).alias("from_map_num"),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+SELECT
+  event_id,
+  CAST(json_extract(props, '$.k') AS BIGINT)        AS k_typed,
+  json_extract_string(props, '$.k')                 AS k_text,
+  CAST(json_valid(props) AS BOOLEAN)                AS is_valid,
+  CAST(json_extract(props, '$.missing') AS BIGINT)  AS absent
+FROM events
+""",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON bridge: from_json with declared schema (the dynamic→fixed
+    schema crossing), plus path extraction and validity probing."""
+    ev = load(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k BIGINT, missing BIGINT")
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k_typed"),
+        F.get_json_object("props", "$.k").alias("k_text"),
+        parsed.isNotNull().alias("is_valid"),
+        parsed.getField("missing").alias("absent"),
+    )
+
+
+@register(
+    "fn_hash",
+    oracle="""
+SELECT
+  doc_id,
+  md5(text)                  AS text_md5,
+  sha256(text)               AS text_sha256,
+  md5(concat(lang, '|', source, '|', CAST(n_chars AS VARCHAR))) AS row_fingerprint
+FROM documents
+""",
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row fingerprints for diff/dedup idempotency — md5/sha256 produce
+    identical hex in any engine given an identical canonical string."""
+    d = load(spark, sf_dir, "documents")
+    canonical = F.concat_ws("|", "lang", "source", F.col("n_chars").cast("string"))
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+        F.md5(canonical).alias("row_fingerprint"),
+    )
