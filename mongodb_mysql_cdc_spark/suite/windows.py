@@ -1,1 +1,194 @@
-"""Placeholder — filled in by its milestone."""
+"""§2.5 window functions.
+
+Scale notes: a window = one hash shuffle on the partition key + a
+per-partition sort. Keys here (user_id, nation, event_type) are
+high-cardinality or bounded — no single partition can exceed one
+executor's memory at 100 TB except event_type (5 values): real
+deployments would sub-bucket such a window or push it through an
+aggregate instead. Every ORDER BY carries a unique tiebreak key, since
+rank/ntile/percent_rank are order-sensitive.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mongodb_mysql_cdc_spark.catalog import load
+from mongodb_mysql_cdc_spark.functions.compat import hround, sql_round
+from mongodb_mysql_cdc_spark.registry import register
+
+
+@register(
+    "win_row_number",
+    oracle="""
+SELECT user_id, event_type, event_id, ts
+FROM (
+  SELECT user_id, event_type, event_id, ts,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+)
+def win_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC dedup primitive: newest event per (user, type)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+@register(
+    "win_rank_dense",
+    oracle=f"""
+WITH spend AS (
+  SELECT c_custkey, c_nationkey, {sql_round('sum(o_totalprice)')} AS spend
+  FROM customer JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey, c_nationkey
+)
+SELECT c_custkey, c_nationkey, spend,
+       rank()       OVER (PARTITION BY c_nationkey ORDER BY spend DESC) AS rnk,
+       dense_rank() OVER (PARTITION BY c_nationkey ORDER BY spend DESC) AS drnk,
+       ntile(4)     OVER (PARTITION BY c_nationkey ORDER BY spend DESC, c_custkey) AS quartile
+FROM spend
+""",
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(hround(F.sum("o_totalprice")).alias("spend"))
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("spend").desc())
+    w_tied = Window.partitionBy("c_nationkey").orderBy(F.col("spend").desc(), "c_custkey")
+    return spend.select(
+        "c_custkey",
+        "c_nationkey",
+        "spend",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w_tied).alias("quartile"),
+    )
+
+
+@register(
+    "win_lag_lead",
+    oracle=f"""
+SELECT user_id, event_id, value,
+       lag(value)  OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       {sql_round('value - lag(value) OVER w', 4)} AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        hround(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+    )
+
+
+_RUNNING_SUM = sql_round(
+    "sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+_MOVING_AVG = sql_round(
+    "avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+    " ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)",
+    4,
+)
+
+
+@register(
+    "win_running",
+    oracle=f"""
+SELECT user_id, event_id,
+       {_RUNNING_SUM} AS running_sum,
+       {_MOVING_AVG} AS moving_avg,
+       count(*) OVER (PARTITION BY user_id ORDER BY event_id
+                    RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS n_nearby
+FROM events
+""",
+)
+def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running totals (ROWS frame), moving average, and a RANGE frame
+    (value-based window) over the event stream."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_range = Window.partitionBy("user_id").orderBy("event_id").rangeBetween(-100, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        hround(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        ).alias("running_sum"),
+        hround(F.avg("value").over(w.rowsBetween(-3, 0)), 4).alias("moving_avg"),
+        F.count(F.lit(1)).over(w_range).alias("n_nearby"),
+    )
+
+
+@register(
+    "win_first_last",
+    oracle="""
+SELECT user_id, event_id,
+       first_value(event_type) OVER w AS first_type,
+       last_value(event_type)  OVER w AS last_type,
+       nth_value(event_type, 2) OVER w AS second_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last/nth value with an explicit full frame — the default
+    frame for last_value (…AND CURRENT ROW) is the classic SQL trap."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.nth_value("event_type", 2).over(w).alias("second_type"),
+    )
+
+
+@register(
+    "win_pct",
+    oracle=f"""
+SELECT event_type, event_id,
+       {sql_round('percent_rank() OVER w', 6)} AS pct_rank,
+       {sql_round('cume_dist() OVER w', 6)}    AS cum_dist
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+""",
+)
+def win_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_type",
+        "event_id",
+        hround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        hround(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )
