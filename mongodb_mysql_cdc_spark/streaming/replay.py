@@ -1,0 +1,86 @@
+"""File-replayed streams — the harness stand-in for a Kafka topic or a
+MongoDB change-stream cursor.
+
+``replay_events`` writes the static events table as N time-ordered parquet
+chunks into a temp dir, then opens a readStream over it with
+maxFilesPerTrigger=1: each micro-batch consumes one chunk, in oplog order,
+exactly like tailing a change stream. Offsets + the checkpoint dir are
+Spark's WAL — the resume-token equivalent (do not reimplement).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mongodb_mysql_cdc_spark.catalog import load
+
+# Schema of the chunk files as the STREAM sees them (ts already truncated
+# to micros by catalog.load, so declared as TimestampType).
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stage_event_chunks(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 8, dir_prefix: str = "replay"
+) -> str:
+    """Materialize events as n time-ordered chunk files; returns the dir."""
+    out = tempfile.mkdtemp(prefix=f"sparkcdc_{dir_prefix}_")
+    ev = load(spark, sf_dir, "events")
+    # ntile over global ts order buckets rows into contiguous time ranges:
+    # chunk i holds strictly earlier data than chunk i+1 (oplog order).
+    from pyspark.sql import Window
+
+    w = Window.orderBy("ts", "event_id")
+    chunked = ev.withColumn("_chunk", F.ntile(n_chunks).over(w))
+    for i in range(1, n_chunks + 1):
+        (
+            chunked.filter(F.col("_chunk") == i)
+            .drop("_chunk")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{out}/chunk={i:04d}")
+        )
+    return out
+
+
+def read_event_stream(spark: SparkSession, staged_dir: str) -> DataFrame:
+    """Open the staged dir as a file stream, one chunk per micro-batch."""
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(staged_dir)
+    )
+
+
+def run_to_completion(query) -> None:
+    """Drain all staged input synchronously, then stop — the batch-like
+    test harness for a streaming query."""
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+
+def memory_sink_table(df: DataFrame, name: str, output_mode: str) -> "tuple":
+    """writeStream → in-memory table; returns (query, table_name)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"sparkcdc_ckpt_{name}_"))
+        .start()
+    )
+    return q, name

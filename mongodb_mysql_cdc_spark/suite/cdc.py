@@ -1,1 +1,253 @@
-"""Placeholder — filled in by its milestone."""
+"""§2.1 CDC sources/sinks + §2.9 the CDC heart — envelope parse, snapshot,
+upsert, and the flagship cdc_apply in BOTH batch and live-streaming form.
+
+The streaming entries run a real Structured Streaming query (file-replayed
+chunks, one per micro-batch) synchronously to completion inside the query
+function and return the final state as a batch DataFrame — so the driver's
+DuckDB oracle checks REAL streaming output, not a batch stand-in.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongodb_mysql_cdc_spark.catalog import load
+from mongodb_mysql_cdc_spark.registry import register
+from mongodb_mysql_cdc_spark.sources.cdc import (
+    envelopes_as_json,
+    envelopes_from_events,
+    events_as_envelopes,
+    parse_envelope_json,
+)
+from mongodb_mysql_cdc_spark.streaming.apply import CdcParquetSink, cdc_apply_batch
+from mongodb_mysql_cdc_spark.streaming.replay import (
+    read_event_stream,
+    run_to_completion,
+    stage_event_chunks,
+)
+
+# The events→envelope op mapping, as SQL (must mirror sources/cdc.py).
+_OP_SQL = (
+    "CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END"
+)
+
+CDC_APPLY_ORACLE = f"""
+WITH env AS (
+  SELECT user_id AS key, ts, event_id AS seq, {_OP_SQL} AS op,
+         event_type, value, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY key ORDER BY ts DESC, seq DESC) AS rn
+    FROM env
+  ) WHERE rn = 1
+)
+SELECT key, ts AS last_ts, event_type AS last_event_type,
+       value AS last_value, k AS last_k
+FROM latest
+WHERE op <> 'd'
+"""
+
+
+@register(
+    "cdc_envelope_parse",
+    oracle=f"""
+SELECT event_id AS seq,
+       {_OP_SQL} AS op,
+       user_id AS key,
+       ts,
+       event_type AS after_event_type,
+       value AS after_value,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS after_k,
+       'appdb' AS src_db,
+       'events' AS src_table
+FROM events
+""",
+)
+def cdc_envelope_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full serialization round trip: typed envelope → JSON wire form →
+    from_json(declared schema) → flattened relational row. The oracle
+    computes the mapping directly, so the check proves the round trip is
+    the identity."""
+    env = events_as_envelopes(spark, sf_dir)
+    parsed = parse_envelope_json(envelopes_as_json(env))
+    return parsed.select(
+        F.col("seq"),
+        F.col("op"),
+        F.col("key"),
+        F.col("ts"),
+        F.col("after.event_type").alias("after_event_type"),
+        F.col("after.value").alias("after_value"),
+        F.col("after.k").alias("after_k"),
+        F.col("source.db").alias("src_db"),
+        F.col("source.table").alias("src_table"),
+    )
+
+
+@register(
+    "filter_op_type",
+    oracle=f"""
+SELECT op, count(*) AS n, count(DISTINCT key) AS n_keys
+FROM (SELECT {_OP_SQL} AS op, user_id AS key FROM events)
+WHERE op IN ('c', 'd')
+GROUP BY op
+""",
+)
+def filter_op_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply loop's operationType branch: keep only creates/deletes."""
+    env = events_as_envelopes(spark, sf_dir)
+    return (
+        env.filter(F.col("op").isin("c", "d"))
+        .groupBy("op")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("key").alias("n_keys"))
+    )
+
+
+@register("snapshot_load", oracle="SELECT * FROM customer")
+def snapshot_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC phase 1: full source scan bulk-loaded into a sink table, then
+    read back — proves the write→read path preserves every row/type."""
+    out = os.path.join(tempfile.mkdtemp(prefix="sparkcdc_snap_"), "customer")
+    load(spark, sf_dir, "customer").write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+@register(
+    "sink_upsert",
+    oracle="""
+WITH delta AS (
+  SELECT o_custkey AS c_custkey,
+         max(o_totalprice) AS best_order
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_custkey,
+       c.c_name,
+       CASE WHEN d.c_custkey IS NOT NULL THEN d.best_order ELSE c.c_acctbal END AS c_acctbal,
+       (d.c_custkey IS NOT NULL) AS was_updated
+FROM customer c LEFT JOIN delta d ON c.c_custkey = d.c_custkey
+""",
+)
+def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed upsert (INSERT … ON DUPLICATE KEY UPDATE): reconcile a delta
+    against base state by PK — matched rows take the delta image, others
+    keep the base image."""
+    base = load(spark, sf_dir, "customer")
+    delta = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.max("o_totalprice").alias("best_order"))
+    )
+    joined = base.join(delta, "c_custkey", "left")
+    return joined.select(
+        "c_custkey",
+        "c_name",
+        F.when(delta.best_order.isNotNull(), delta.best_order)
+        .otherwise(base.c_acctbal)
+        .alias("c_acctbal"),
+        delta.best_order.isNotNull().alias("was_updated"),
+    )
+
+
+@register(
+    "dedup_state",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+)
+def dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resume-token replay semantics: a batch re-delivered events (every
+    3rd event duplicated here) collapses back to the original stream via
+    dropDuplicates on the event id."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    replayed = ev.unionByName(ev.filter(F.col("event_id") % 3 == 0))
+    return replayed.dropDuplicates(["event_id"])
+
+
+@register("cdc_apply_batch", oracle=CDC_APPLY_ORACLE)
+def cdc_apply_batch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship op, batch form: fold the full envelope bag into the
+    current-state table (LWW upsert + tombstone drop) — one shuffle."""
+    return cdc_apply_batch(events_as_envelopes(spark, sf_dir))
+
+
+@register("cdc_apply_stream", oracle=CDC_APPLY_ORACLE)
+def cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship op, LIVE streaming form: replay events as 6 time-ordered
+    micro-batches through foreachBatch + the idempotent parquet sink, then
+    return the final state. Same oracle as the batch form — micro-batch
+    folding must be invisible (reconcile is associative)."""
+    staged = stage_event_chunks(spark, sf_dir, n_chunks=6, dir_prefix="apply")
+    sink = CdcParquetSink(spark, tempfile.mkdtemp(prefix="sparkcdc_state_"))
+    stream = envelopes_from_events(read_event_stream(spark, staged))
+    q = (
+        stream.writeStream.foreachBatch(sink.apply_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sparkcdc_ckpt_"))
+        .start()
+    )
+    run_to_completion(q)
+    return sink.current()
+
+
+@register(
+    "stream_dedup",
+    oracle="SELECT event_id, user_id, event_type, ts FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live streaming dropDuplicates with a watermark: the replay stages one
+    duplicated chunk (redelivery), the stream emits each event exactly once."""
+    staged = stage_event_chunks(spark, sf_dir, n_chunks=4, dir_prefix="dedup")
+    # Redeliver chunk 2 verbatim — the resume-token replay failure mode.
+    dup_src = os.path.join(staged, "chunk=0002")
+    spark.read.parquet(dup_src).write.mode("overwrite").parquet(
+        os.path.join(staged, "chunk=0005")
+    )
+    stream = read_event_stream(spark, staged)
+    deduped = (
+        stream.withWatermark("ts", "10 days")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sparkcdc_ckpt_"))
+        .start()
+    )
+    run_to_completion(q)
+    return spark.table(name)
+
+
+@register(
+    "stream_tumbling",
+    oracle="""
+SELECT date_trunc('hour', ts) AS win_start,
+       event_type,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live streaming tumbling-window counts (complete mode) — the oracle
+    is the batch date_trunc equivalent (stream/batch parity)."""
+    from mongodb_mysql_cdc_spark.streaming.windows import tumbling_counts, with_watermark
+
+    staged = stage_event_chunks(spark, sf_dir, n_chunks=4, dir_prefix="tumble")
+    stream = with_watermark(read_event_stream(spark, staged), "1 hour")
+    agg = tumbling_counts(stream).select("win_start", "event_type", "n")
+    name = f"tumble_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sparkcdc_ckpt_"))
+        .start()
+    )
+    run_to_completion(q)
+    return spark.table(name)

@@ -1,1 +1,132 @@
-"""Placeholder — filled in by its milestone."""
+"""§2.9 batch-equivalent forms of the streaming window operators.
+
+Structured Streaming's correctness story is that a streaming query equals
+the batch query over the data-so-far (SIGMOD 2018); these entries check the
+batch side against SQL, and tests/test_streaming.py checks the live stream
+against these same functions — closing the parity triangle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongodb_mysql_cdc_spark.catalog import load
+from mongodb_mysql_cdc_spark.registry import register
+from mongodb_mysql_cdc_spark.streaming.windows import (
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+@register(
+    "win_tumbling",
+    oracle="""
+SELECT date_trunc('hour', ts) AS win_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+       event_type,
+       count(*) AS n
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(load(spark, sf_dir, "events"), "1 hour")
+
+
+@register(
+    "win_sliding",
+    oracle="""
+WITH assigned AS (
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS win_start, event_type FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) AS win_start, event_type FROM events
+)
+SELECT win_start,
+       win_start + INTERVAL 2 HOUR AS win_end,
+       event_type,
+       count(*) AS n
+FROM assigned
+GROUP BY 1, 2, 3
+""",
+)
+def win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2h windows sliding by 1h: every event lands in exactly two windows;
+    the oracle materializes the window assignment as a UNION ALL."""
+    return sliding_counts(load(spark, sf_dir, "events"), "2 hours", "1 hour")
+
+
+@register(
+    "win_session",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM gaps
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+""",
+)
+def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30 min) per user. The oracle is the classic
+    lag + cumulative-gap-flag sessionization — a strong independent check
+    of Spark's session_window merge semantics (new session iff the gap is
+    >= 30 min, exact to the microsecond via epoch_us)."""
+    return session_counts(load(spark, sf_dir, "events"), "30 minutes")
+
+
+@register(
+    "late_data",
+    oracle="""
+SELECT event_id, user_id, ts
+FROM events
+WHERE ts < (SELECT max(ts) FROM events) - INTERVAL 24 HOUR
+""",
+)
+def late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark predicate as batch algebra: rows older than
+    max(event time) − delay are what a 24h watermark would drop/route to
+    the side output. The scalar max is broadcast, never collected."""
+    ev = load(spark, sf_dir, "events")
+    horizon = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 24 HOURS")).alias("_horizon")
+    )
+    return (
+        ev.crossJoin(F.broadcast(horizon))
+        .filter(F.col("ts") < F.col("_horizon"))
+        .select("event_id", "user_id", "ts")
+    )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, e.value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+""",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-side enrichment against a static dim — in streaming this is
+    the stream-static join (no watermark needed, dim re-read per batch);
+    identical algebra shown in batch form for the oracle."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return ev.join(c, ev.user_id == c.c_custkey).select(
+        "event_id", "user_id", F.col("c_mktsegment").alias("segment"), "value"
+    )

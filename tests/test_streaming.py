@@ -1,0 +1,116 @@
+"""Stream/batch parity + sink idempotency — the Structured Streaming
+correctness argument (streaming result == batch result over data-so-far),
+plus CDC-specific replay semantics."""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+from mongodb_mysql_cdc_spark.catalog import load
+from mongodb_mysql_cdc_spark.sources.cdc import envelopes_from_events
+from mongodb_mysql_cdc_spark.streaming.apply import CdcParquetSink, cdc_apply_batch
+from mongodb_mysql_cdc_spark.streaming.replay import (
+    read_event_stream,
+    run_to_completion,
+    stage_event_chunks,
+)
+from mongodb_mysql_cdc_spark.streaming.windows import (
+    session_counts,
+    sliding_counts,
+    with_watermark,
+)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_session_window_stream_matches_batch(spark, sf_dir):
+    batch = session_counts(load(spark, sf_dir, "events"))
+    staged = stage_event_chunks(spark, sf_dir, n_chunks=3, dir_prefix="sess_t")
+    stream = with_watermark(read_event_stream(spark, staged), "10 days")
+    agg = session_counts(stream)
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    run_to_completion(q)
+    cols = ["session_start", "session_end", "user_id", "n_events"]
+    assert _rows(spark.table(name), cols) == _rows(batch, cols)
+
+
+def test_sliding_window_stream_matches_batch(spark, sf_dir):
+    batch = sliding_counts(load(spark, sf_dir, "events"))
+    staged = stage_event_chunks(spark, sf_dir, n_chunks=3, dir_prefix="slide_t")
+    stream = with_watermark(read_event_stream(spark, staged), "1 hour")
+    agg = sliding_counts(stream)
+    name = f"slide_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    run_to_completion(q)
+    cols = ["win_start", "win_end", "event_type", "n"]
+    assert _rows(spark.table(name), cols) == _rows(batch, cols)
+
+
+def test_cdc_sink_idempotent_replay(spark, sf_dir):
+    """Re-applying an already-committed batch id must be a no-op — the
+    exactly-once guarantee under micro-batch replay after crash."""
+    env = envelopes_from_events(load(spark, sf_dir, "events"))
+    sink = CdcParquetSink(spark, tempfile.mkdtemp(prefix="state_idem_"))
+    first_half = env.filter(F.col("seq") % 2 == 0)
+    second_half = env.filter(F.col("seq") % 2 == 1)
+
+    sink.apply_batch(first_half, 0)
+    sink.apply_batch(second_half, 1)
+    expected = _rows(sink.current(), ["key", "last_ts", "last_value"])
+
+    # crash-replay: batch 1 is delivered again
+    sink.apply_batch(second_half, 1)
+    assert _rows(sink.current(), ["key", "last_ts", "last_value"]) == expected
+
+
+def test_cdc_apply_order_insensitive(spark, sf_dir):
+    """reconcile is associative/commutative over micro-batch groupings:
+    folding in two different splits yields identical state."""
+    env = envelopes_from_events(load(spark, sf_dir, "events"))
+    whole = cdc_apply_batch(env)
+
+    sink = CdcParquetSink(spark, tempfile.mkdtemp(prefix="state_split_"))
+    sink.apply_batch(env.filter(F.col("seq") % 3 == 0), 0)
+    sink.apply_batch(env.filter(F.col("seq") % 3 == 1), 1)
+    sink.apply_batch(env.filter(F.col("seq") % 3 == 2), 2)
+
+    cols = ["key", "last_ts", "last_event_type", "last_value", "last_k"]
+    assert _rows(sink.current(), cols) == _rows(whole, cols)
+
+
+def test_late_event_cannot_resurrect_deleted_key(spark):
+    """Tombstone retention: an out-of-order update older than a delete must
+    NOT re-insert the key (the reason state keeps op='d' rows)."""
+    from pyspark.sql import Row
+    import datetime as dt
+
+    t = lambda s: dt.datetime.fromisoformat(s)
+    mk = lambda op, ts, seq, v: Row(
+        op=op, ts=t(ts), seq=seq, key=1,
+        after=Row(user_id=1, event_type="x", value=v, k=0),
+    )
+    sink = CdcParquetSink(spark, tempfile.mkdtemp(prefix="state_tomb_"))
+    env1 = spark.createDataFrame([mk("u", "2024-01-01T10:00:00", 1, 1.0),
+                                  mk("d", "2024-01-01T12:00:00", 3, 0.0)])
+    env2 = spark.createDataFrame([mk("u", "2024-01-01T11:00:00", 2, 2.0)])  # late
+    sink.apply_batch(env1, 0)
+    sink.apply_batch(env2, 1)
+    assert sink.current().count() == 0  # delete still wins
