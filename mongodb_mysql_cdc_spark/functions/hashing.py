@@ -1,0 +1,62 @@
+"""Deterministic, engine-portable hashing primitives.
+
+Everything LLM-dedup needs (MinHash seeds, SimHash bits, rolling
+fingerprints) reduces to one portable primitive: a 60-bit integer hash
+both Spark and DuckDB compute identically from md5:
+
+    Spark : CAST(conv(substr(md5(x), 1, 15), 16, 10) AS BIGINT)
+    DuckDB: CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)
+
+(xxhash64 would be faster but DuckDB 1.0 lacks it; md5 keeps every
+signature oracle-checkable. Seeds are mixed in by prefixing the input —
+md5 has no seed parameter.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+FINGERPRINT_MOD = 1_000_003  # prime; keeps the rolling fold in int64
+
+
+def hash60(col: Column) -> Column:
+    """60-bit non-negative integer hash of a string column."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def sql_hash60(expr: str) -> str:
+    """DuckDB spelling of ``hash60`` (bit-identical)."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def seeded_hash60(col: Column, seed: int) -> Column:
+    """Independent hash family member i: hash60(i ':' x)."""
+    return hash60(F.concat(F.lit(f"{seed}:"), col))
+
+
+def sql_seeded_hash60(expr: str, seed: int) -> str:
+    return sql_hash60(f"concat('{seed}:', {expr})")
+
+
+def rolling_fingerprint(tokens: Column) -> Column:
+    """Order-sensitive document fingerprint: left fold
+    acc = (acc*31 + hash60(tok) % M) % M over the token sequence.
+    Two documents with the same bag but different order get different
+    fingerprints (unlike MinHash)."""
+    hashed = F.transform(tokens, lambda t: hash60(t) % FINGERPRINT_MOD)
+    return F.aggregate(
+        hashed,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD,
+    )
+
+
+def sql_rolling_fingerprint(tokens_expr: str) -> str:
+    """DuckDB spelling. list_reduce has no init and starts from the first
+    element — identical to our fold from 0 because (0*31 + h1) == h1."""
+    h = sql_hash60("t")
+    return (
+        f"list_reduce(list_transform({tokens_expr}, t -> {h} % {FINGERPRINT_MOD}),"
+        f" (acc, x) -> (acc * 31 + x) % {FINGERPRINT_MOD})"
+    )

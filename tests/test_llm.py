@@ -1,0 +1,140 @@
+"""M5 LLM-pipeline tests: LSH recall vs exact verifiers, multimodal
+plumbing goldens, and scale-shape plan assertions (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from mongodb_mysql_cdc_spark.catalog import load
+from mongodb_mysql_cdc_spark.operators.multimodal import (
+    decode_media,
+    sample_frames,
+    with_payload,
+)
+from mongodb_mysql_cdc_spark.suite import llm
+
+
+def test_hash60_matches_duckdb_spelling(spark):
+    """The cross-engine hashing contract: Spark's conv/md5 spelling equals
+    DuckDB's hex-literal cast (value pinned from DuckDB 1.0)."""
+    from mongodb_mysql_cdc_spark.functions.hashing import hash60
+
+    row = spark.range(1).select(hash60(F.lit("hello")).alias("h")).head()
+    assert row.h == 419982666956583591
+    # and equals a direct python md5-prefix interpretation
+    assert row.h == int(hashlib.md5(b"hello").hexdigest()[:15], 16)
+
+
+def test_minhash_candidates_catch_high_jaccard_pairs(spark, sf_dir):
+    """LSH recall: every pair with exact 3-gram Jaccard ≥ 0.9 must appear
+    among the MinHash band candidates (4 bands × 2 rows ⇒ miss prob
+    (1-J²)⁴ < 2e-3 at J=0.9; this corpus's planted pairs are J≈0.99)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in llm.dedup_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.9).collect()
+    }
+    candidates = {
+        (r.doc_a, r.doc_b) for r in llm.dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    assert exact, "corpus should contain planted near-dup pairs"
+    assert exact <= candidates
+
+
+def test_lsh_ann_results_are_true_neighbors(spark, sf_dir):
+    """Bucketed ANN returns a subset of the true scored pairs, with exact
+    cosine values and correct per-bucket ranking."""
+    brute = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in llm._scored_pairs(load(spark, sf_dir, "embeddings")).collect()
+    }
+    ann = llm.sim_search_lsh(spark, sf_dir).collect()
+    assert ann
+    for r in ann:
+        assert (r.query_id, r.neighbor_id) in brute
+        assert brute[(r.query_id, r.neighbor_id)] == pytest.approx(r.cos_sim, abs=0)
+    # ranks within each query are 1..n without gaps
+    by_q = {}
+    for r in ann:
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_simhash_near_dups_have_small_hamming_distance(spark, sf_dir):
+    """Planted near-dup pairs (found by exact Jaccard) must sit within a
+    small SimHash Hamming radius; random pairs should average much larger."""
+    sim = {r.doc_id: r.simhash for r in llm.dedup_simhash(spark, sf_dir).collect()}
+    near = llm.dedup_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.9).collect()
+    assert near
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    near_d = [ham(sim[r.doc_a], sim[r.doc_b]) for r in near]
+    assert max(near_d) <= 4
+    ids = sorted(sim)
+    rand_d = [ham(sim[ids[i]], sim[ids[i + 7]]) for i in range(0, len(ids) - 7, 11)]
+    assert sum(rand_d) / len(rand_d) > max(near_d)
+
+
+def test_multimodal_decode_golden(spark, sf_dir):
+    """The fake decoder's byte statistics must equal python-side ground
+    truth computed from the raw document text."""
+    docs = {r.doc_id: r.text for r in load(spark, sf_dir, "documents").limit(50).collect()}
+    feats = {
+        r.doc_id: r
+        for r in decode_media(with_payload(load(spark, sf_dir, "documents")), fake=True)
+        .filter(F.col("doc_id").isin(*docs))
+        .collect()
+    }
+    assert set(feats) == set(docs)
+    for doc_id, text in docs.items():
+        raw = text.encode("utf-8")
+        f = feats[doc_id]
+        assert f.n_bytes == len(raw)
+        assert f.byte_sum == sum(raw)
+        assert f.byte_mean == pytest.approx(sum(raw) / len(raw))
+        assert f.first_byte == raw[0]
+        assert f.last_byte == raw[-1]
+        assert f.media_type == "text/plain"
+
+
+def test_multimodal_decode_without_codecs_raises(spark, sf_dir):
+    with pytest.raises(NotImplementedError):
+        decode_media(with_payload(load(spark, sf_dir, "documents")))
+
+
+def test_sample_frames_shape(spark, sf_dir):
+    media = with_payload(load(spark, sf_dir, "documents"))
+    frames = sample_frames(media, frame_bytes=16, stride=100, max_frames=3)
+    rows = frames.filter(F.col("doc_id") == 0).collect()
+    text = load(spark, sf_dir, "documents").filter(F.col("doc_id") == 0).head().text
+    raw = text.encode("utf-8")
+    expect = min(3, (len(raw) + 99) // 100)
+    assert len(rows) == expect
+    for r in rows:
+        assert bytes(r.frame) == raw[r.frame_no * 100 : r.frame_no * 100 + 16]
+
+
+def test_sim_search_plans_broadcast_the_query_side(spark, sf_dir):
+    """Scale shape: the ANN joins must broadcast the (tiny) query side —
+    a shuffled join here would be the 100 TB bottleneck."""
+    plan = llm.sim_search_topk(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    plan = llm.sim_search_lsh(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+
+
+def test_tfidf_weights_match_manual_computation(spark, sf_dir):
+    import math
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.select("doc_id").distinct().count()
+    sample = llm.tfidf(spark, sf_dir).filter(F.col("doc_id") == 1).collect()
+    assert sample
+    for r in sample[:10]:
+        expect = r.tf * (math.log((n_docs + 1.0) / (r.df + 1.0)) + 1.0)
+        assert r.tfidf == pytest.approx(expect, rel=1e-5)
