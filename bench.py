@@ -36,6 +36,8 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "sim_search_topk",
+    "sim_search_lsh",
+    "tfidf",
     "text_stats",
 ]
 

@@ -14,10 +14,38 @@ md5 has no seed parameter.)
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 FINGERPRINT_MOD = 1_000_003  # prime; keeps the rolling fold in int64
+MINHASH_P = 2_147_483_647  # 2^31-1, prime: affine-family modulus (int64-safe)
+
+
+def py_hash60(s: str) -> int:
+    """Python spelling of ``hash60`` (bit-identical) — for baking
+    deterministic constants (e.g. LSH hyperplane signs) into plans at
+    build time instead of hashing at runtime."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def md5_halves(col: Column) -> tuple[Column, Column]:
+    """The two independent 60-bit halves of one md5, each reduced mod
+    MINHASH_P. One digest per value feeds a whole Carter-Wegman affine
+    hash family h_k = (a + k·b) mod P — 8 minhash functions for the price
+    of one md5 (vs one digest per family member)."""
+    digest = F.md5(col)
+    a = F.conv(F.substring(digest, 1, 15), 16, 10).cast("long") % MINHASH_P
+    b = F.conv(F.substring(digest, 17, 15), 16, 10).cast("long") % MINHASH_P
+    return a, b
+
+
+def sql_md5_halves(expr: str) -> tuple[str, str]:
+    """DuckDB spelling of ``md5_halves`` (bit-identical)."""
+    a = f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT) % {MINHASH_P}"
+    b = f"CAST(concat('0x', substr(md5({expr}), 17, 15)) AS BIGINT) % {MINHASH_P}"
+    return a, b
 
 
 def hash60(col: Column) -> Column:

@@ -17,6 +17,7 @@ _MODULES = (
     "setops",
     "scalars",
     "cdc",
+    "io",
     "llm",
     "streaming_batch",
 )

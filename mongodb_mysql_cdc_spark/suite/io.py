@@ -1,0 +1,103 @@
+"""§2.1 aux ingest formats + sink modes: read_json / read_csv round trips,
+append-mode sink, and the update output mode (§2.9 output_modes).
+
+The JSON/CSV entries prove format-bridge fidelity the same way
+``cdc_envelope_parse`` proves the wire round trip: parquet → text format →
+declared-schema read-back must be the identity, so the oracle is a plain
+SELECT of the source view. Schemas are DECLARED on read (SURVEY.md §1.3 —
+inference is a second full pass at 100 TB and unsafe on streams).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongodb_mysql_cdc_spark.catalog import SCHEMAS, load
+from mongodb_mysql_cdc_spark.registry import register
+
+
+@register("read_json", oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation")
+def read_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON ingest (§2.1 read_json): write nation as JSON lines, read back
+    with the declared schema. At 100 TB, JSON is the landing format of the
+    MongoDB export path; the declared StructType keeps the read single-pass
+    and the columns typed without inference."""
+    out = os.path.join(tempfile.mkdtemp(prefix="sparkcdc_json_"), "nation")
+    load(spark, sf_dir, "nation").write.mode("overwrite").json(out)
+    return spark.read.schema(SCHEMAS["nation"]).json(out)
+
+
+@register("read_csv", oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier")
+def read_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV ingest (§2.1 read_csv): supplier → CSV with header → declared-
+    schema read-back. Doubles survive because Spark writes shortest
+    round-trip decimal strings; the oracle (original parquet values) proves
+    it bit-exactly."""
+    out = os.path.join(tempfile.mkdtemp(prefix="sparkcdc_csv_"), "supplier")
+    load(spark, sf_dir, "supplier").write.mode("overwrite").option("header", True).csv(out)
+    return (
+        spark.read.schema(SCHEMAS["supplier"]).option("header", True).csv(out)
+    )
+
+
+@register(
+    "sink_append",
+    oracle="SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders",
+)
+def sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode sink (§2.1 sink_append): two disjoint delta writes into
+    the same parquet sink must union losslessly — the batch shape of a
+    streaming append sink's output files. (Contrast sink_upsert, which
+    reconciles by key.)"""
+    out = os.path.join(tempfile.mkdtemp(prefix="sparkcdc_append_"), "orders")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    o.filter(F.col("o_orderkey") % 2 == 0).write.mode("append").parquet(out)
+    o.filter(F.col("o_orderkey") % 2 == 1).write.mode("append").parquet(out)
+    return spark.read.schema(o.schema).parquet(out)
+
+
+@register(
+    "output_mode_update",
+    oracle="""
+SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n
+FROM events
+GROUP BY 1, 2
+""",
+)
+def output_mode_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update output mode (§2.9 output_modes): a live tumbling-count stream
+    emits only changed (window, type) rows each micro-batch. Counts are
+    monotone under replay-in-order, so max(n) per key over all emitted
+    updates equals the final complete-mode state — which is the batch
+    date_trunc oracle. Proves update-mode emission is lossless."""
+    from mongodb_mysql_cdc_spark.streaming.replay import (
+        read_event_stream,
+        run_to_completion,
+        stage_event_chunks,
+    )
+    from mongodb_mysql_cdc_spark.streaming.windows import tumbling_counts, with_watermark
+
+    staged = stage_event_chunks(spark, sf_dir, n_chunks=4, dir_prefix="upd")
+    stream = with_watermark(read_event_stream(spark, staged), "1 hour")
+    agg = tumbling_counts(stream).select("win_start", "event_type", "n")
+    name = f"upd_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sparkcdc_ckpt_"))
+        .start()
+    )
+    run_to_completion(q)
+    return (
+        spark.table(name)
+        .groupBy("win_start", "event_type")
+        .agg(F.max("n").alias("n"))
+    )

