@@ -758,6 +758,36 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "udf_surface",
+    oracle="""
+SELECT doc_id,
+       length(text) AS n_chars_udf,
+       upper(string_split(text, ' ')[1]) AS first_token_upper
+FROM documents
+""",
+)
+def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python UDF escape hatch (§2.10 udf_surface), both tiers:
+    a vectorized Arrow pandas_udf (Series→Series, the ONLY acceptable form
+    in a hot path) and a row-at-a-time F.udf (shown for surface
+    completeness; ~10-100× slower — never put one on the 100 TB path).
+    Deterministic string ops make even arbitrary Python oracle-checkable."""
+    from pyspark.sql.functions import pandas_udf, udf
+
+    # lambda form: PySpark resolves type hints in module scope, so hinting
+    # pd.Series from a function-local import fails — returnType suffices
+    char_len = pandas_udf(lambda s: s.str.len(), "long")
+    first_token_upper = udf(lambda text: text.split(" ")[0].upper(), "string")
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        char_len("text").alias("n_chars_udf"),
+        first_token_upper("text").alias("first_token_upper"),
+    )
+
+
 @register("multimodal_decode")  # rows-only: arbitrary-Python mapInPandas path
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched fake decode over mapInPandas (§2.10): the real decode

@@ -114,6 +114,67 @@ def late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_join",
+    oracle="""
+SELECT p.event_id AS p_id, p.user_id AS user_id, p.ts AS p_ts,
+       s.event_id AS s_id, s.ts AS s_ts
+FROM events p JOIN events s
+  ON p.event_type = 'purchase' AND s.event_type = 'signup'
+ AND s.user_id = p.user_id
+ AND s.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE stream-stream inner join (§2.9 stream_join): purchases joined
+    to same-user signups within the preceding hour, both sides replayed as
+    real file streams with watermarks. The time-range condition is what
+    bounds join state: Spark evicts right-side rows once the watermark
+    passes ts + 1h, so state is O(events per watermark window), not
+    O(stream) — the only shape that survives an unbounded stream. The
+    oracle is the batch self-join (stream/batch parity)."""
+    import tempfile
+    import uuid
+
+    from mongodb_mysql_cdc_spark.streaming.replay import (
+        read_event_stream,
+        run_to_completion,
+        stage_event_chunks,
+    )
+
+    staged = stage_event_chunks(spark, sf_dir, n_chunks=4, dir_prefix="ssj")
+    left = (
+        read_event_stream(spark, staged)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    right = (
+        read_event_stream(spark, staged)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("s_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "2 hours")
+    )
+    joined = left.join(
+        right,
+        F.expr("user_id = s_user AND s_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"),
+    ).select("p_id", "user_id", "p_ts", "s_id", "s_ts")
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sparkcdc_ckpt_"))
+        .start()
+    )
+    run_to_completion(q)
+    return spark.table(name)
+
+
+@register(
     "stream_static_join",
     oracle="""
 SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, e.value
