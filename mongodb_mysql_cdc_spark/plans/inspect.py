@@ -51,5 +51,10 @@ def has_sort_merge_join(df: DataFrame) -> bool:
 
 
 def wholestage_codegen_spans(df: DataFrame) -> int:
-    """Number of WholeStageCodegen spans — wider/fewer is better."""
-    return len(re.findall(r"WholeStageCodegen", explain_str(df)))
+    """Number of WholeStageCodegen spans — wider/fewer is better. Under
+    AQE codegen is only decided on the FINAL plan of an actual execution,
+    so this collects the DataFrame, then counts distinct codegen ids: the
+    ``*(n)`` star markers in the finalized plan string."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return len(set(re.findall(r"\*\((\d+)\)", plan)))

@@ -1,0 +1,87 @@
+"""Plan-shape tests: assert the scale-critical physical properties of the
+headline queries instead of eyeballing .explain() (SURVEY.md §4, §6 —
+"the plan you'd want, not the first one that passed")."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mongodb_mysql_cdc_spark.plans.inspect import (
+    explain_str,
+    has_broadcast_join,
+    has_sort_merge_join,
+    pushed_filters,
+    read_schema_columns,
+    wholestage_codegen_spans,
+)
+from mongodb_mysql_cdc_spark.registry import queries
+
+SF = "/root/testdata/sf0.01"
+
+
+def _q(name, spark):
+    return queries()[name](spark, SF)
+
+
+def test_broadcast_dim_join_goes_broadcast(spark):
+    """region/nation are world-bounded dims — the join must never shuffle
+    the fact side."""
+    assert has_broadcast_join(_q("join_broadcast", spark))
+
+
+def test_large_large_join_goes_sort_merge(spark):
+    """lineitem ⋈ orders at scale must be a shuffle join (SMJ/SHJ), never
+    a nested loop."""
+    plan = explain_str(_q("join_sort_merge", spark))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_semi_anti_joins_use_semi_anti_physical(spark):
+    assert "Semi" in explain_str(_q("join_semi", spark))
+    assert "Anti" in explain_str(_q("join_anti", spark))
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """Predicates must reach the parquet reader (row-group skipping)."""
+    assert any("o_totalprice" in f or "o_orderstatus" in f
+               for f in pushed_filters(_q("filter_pred", spark)))
+
+
+def test_column_pruning_on_wide_tables(spark):
+    """A 3-column projection over lineitem (11 cols) must not read 11."""
+    df = _q("cast_types", spark)
+    scans = read_schema_columns(df)
+    assert scans and all(len(cols) <= 6 for cols in scans)
+
+
+def test_topk_fuses_to_take_ordered(spark):
+    """ORDER BY + LIMIT must fuse (no full sort of the corpus)."""
+    assert "TakeOrderedAndProject" in explain_str(_q("topk", spark))
+
+
+def test_aggregates_are_two_phase(spark):
+    """Hash aggregates must partial-aggregate map-side before the shuffle
+    (shuffle volume = groups, not rows)."""
+    plan = explain_str(_q("agg_hash", spark))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_tfidf_broadcasts_small_sides(spark):
+    """The df table (vocab-sized) and corpus count (1 row) must broadcast —
+    a shuffled join on token here would move the whole exploded corpus."""
+    plan = explain_str(_q("tfidf", spark))
+    assert "BroadcastExchange" in plan
+
+
+def test_no_cartesian_in_relational_suite(spark):
+    """No checked relational query may plan a CartesianProduct; the only
+    sanctioned cross joins broadcast a provably-tiny side."""
+    for name in ("join_inner_hash", "join_left", "join_semi", "join_anti",
+                 "agg_hash", "win_row_number", "pricing_summary"):
+        assert "CartesianProduct" not in explain_str(_q(name, spark)), name
+
+
+def test_codegen_covers_flagship(spark):
+    """The flagship aggregate must run inside whole-stage codegen."""
+    assert wholestage_codegen_spans(_q("pricing_summary", spark)) >= 1
