@@ -29,6 +29,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from mongodb_mysql_cdc_spark.sources.cdc import OP_DELETE
 
@@ -68,6 +69,96 @@ def current_state(state: DataFrame) -> DataFrame:
 def cdc_apply_batch(envelopes: DataFrame) -> DataFrame:
     """Batch form of the whole apply: reconcile + tombstone filter."""
     return current_state(reconcile(envelopes))
+
+
+# --- applyInPandasWithState form (SURVEY.md §2.9: "at scale
+# applyInPandasWithState for in-flight state") -------------------------------
+#
+# The foreachBatch sink above re-reads and rewrites the state TABLE per
+# micro-batch — correct, but the state round-trips through the filesystem.
+# This form keeps the per-key LWW image in the Spark StateStore instead:
+# executor-local, versioned, checkpointed incrementally — the shape that
+# holds at 100 TB where the hot state must never be a full-table rewrite.
+
+STATEFUL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("op", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("k", T.LongType()),
+    ]
+)
+
+STATEFUL_OUTPUT_SCHEMA = T.StructType(
+    [T.StructField("key", T.LongType())] + list(STATEFUL_STATE_SCHEMA.fields)
+)
+
+
+def cdc_apply_stateful_stream(env: DataFrame) -> DataFrame:
+    """Streaming LWW apply via applyInPandasWithState over a flattened
+    envelope stream (key, op, ts, seq, event_type, value, k)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    # NB: the kernel is a NESTED function on purpose — cloudpickle ships
+    # nested functions by value, while a module-level function is pickled
+    # by reference and the executor's Python worker would have to import
+    # this package (which is only importable when the driver happens to run
+    # from the repo root). Same rule as every other kernel in operators/.
+    def lww_update_kernel(key, pdf_iter, state):
+        """Per-key LWW fold over Arrow batches + GroupState. Emits the
+        post-merge image whenever the key appears in a batch (update
+        mode)."""
+        import pandas as pd
+
+        if state.exists:
+            op, ts, seq, event_type, value, k = state.get
+            ts = pd.Timestamp(ts)
+        else:
+            op = ts = seq = event_type = value = k = None
+
+        for pdf in pdf_iter:
+            best = pdf.sort_values(["ts", "seq"]).iloc[-1]
+            if seq is None or (best["ts"], best["seq"]) > (ts, seq):
+                op = str(best["op"])
+                ts = best["ts"]
+                seq = int(best["seq"])
+                event_type = str(best["event_type"])
+                value = float(best["value"])
+                k = None if pd.isna(best["k"]) else int(best["k"])
+
+        state.update((op, ts.to_pydatetime(), seq, event_type, value, k))
+        yield pd.DataFrame(
+            [
+                {
+                    "key": key[0],
+                    "op": op,
+                    "ts": ts,
+                    "seq": seq,
+                    "event_type": event_type,
+                    "value": value,
+                    "k": k,
+                }
+            ]
+        )
+
+    flat = env.select(
+        "key",
+        "op",
+        "ts",
+        "seq",
+        F.col("after.event_type").alias("event_type"),
+        F.col("after.value").alias("value"),
+        F.col("after.k").alias("k"),
+    )
+    return flat.groupBy("key").applyInPandasWithState(
+        lww_update_kernel,
+        STATEFUL_OUTPUT_SCHEMA,
+        STATEFUL_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
 
 
 @dataclass

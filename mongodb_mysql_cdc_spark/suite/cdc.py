@@ -192,6 +192,67 @@ def cdc_apply_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.current()
 
 
+@register("cdc_apply_stateful", oracle=CDC_APPLY_ORACLE)
+def cdc_apply_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship op, applyInPandasWithState form (§2.9's at-scale state
+    path): per-key LWW images live in the Spark StateStore — executor-local,
+    versioned, incrementally checkpointed — instead of round-tripping a
+    parquet state table per micro-batch (contrast cdc_apply_stream). The
+    update-mode emissions are folded to the final image per key; same
+    oracle as both other forms — three implementations, one semantics."""
+    from mongodb_mysql_cdc_spark.streaming.apply import cdc_apply_stateful_stream
+
+    staged = stage_event_chunks(spark, sf_dir, n_chunks=4, dir_prefix="stateful")
+    updates = cdc_apply_stateful_stream(
+        envelopes_from_events(read_event_stream(spark, staged))
+    )
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    q = (
+        updates.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sparkcdc_ckpt_"))
+        .start()
+    )
+    run_to_completion(q)
+    emissions = spark.table(name)
+    # final image per key = the latest (ts, seq) emission; duplicates from
+    # no-op batches carry identical content, so max_by is deterministic
+    final = emissions.groupBy("key").agg(
+        F.expr("max_by(struct(op, ts, event_type, value, k), struct(ts, seq))").alias("s")
+    )
+    return final.filter(F.col("s.op") != "d").select(
+        "key",
+        F.col("s.ts").alias("last_ts"),
+        F.col("s.event_type").alias("last_event_type"),
+        F.col("s.value").alias("last_value"),
+        F.col("s.k").alias("last_k"),
+    )
+
+
+@register(
+    "stream_source",
+    oracle="SELECT event_id, ts, user_id, event_type, value, props FROM events",
+)
+def stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.1 stream_source: open the replayed change feed as a genuine
+    readStream (schema declared, one chunk per micro-batch) and drain it
+    through an append sink — the stream must deliver exactly the batch
+    table's rows (file-source replay fidelity)."""
+    staged = stage_event_chunks(spark, sf_dir, n_chunks=4, dir_prefix="src")
+    stream = read_event_stream(spark, staged)
+    name = f"src_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sparkcdc_ckpt_"))
+        .start()
+    )
+    run_to_completion(q)
+    return spark.table(name)
+
+
 @register(
     "stream_dedup",
     oracle="SELECT event_id, user_id, event_type, ts FROM events",
