@@ -1,0 +1,51 @@
+"""Salted equi-join — the manual skew-defeat for joins AQE can't fix.
+
+AQE's skew-join split (enabled in session.py) handles skewed SHUFFLE
+partitions, but only for sort-merge joins and only after statistics
+materialize. When one hot key dominates (the classic null-key / celebrity
+/ default-tenant skew at 100 TB), salting is the deterministic fix:
+
+- fact side: derive a salt in [0, n) from a hash of the row's join key —
+  any deterministic spread works because correctness never depends on
+  WHICH salt a row gets;
+- dim side: replicate each row once per salt value (n× a SMALL side);
+- join on (key, salt): the hot key's rows now spread across n partitions.
+
+Identity: every fact row matches exactly the one dim replica carrying its
+salt, so the salted join equals the plain join row-for-row — which is what
+the oracle checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SALT_COL = "_salt"
+
+
+def salted_equi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    *,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """fact ⋈ dim on fact_key = dim_key, salted n_salts ways.
+
+    The dim side is replicated n_salts× — keep it the small side. Returns
+    the join WITHOUT the salt column; column set = fact ∪ dim columns."""
+    salted_fact = fact.withColumn(
+        SALT_COL, F.pmod(F.xxhash64(F.col(fact_key)), F.lit(n_salts)).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    on = (F.col(f"f.{fact_key}") == F.col(f"d.{dim_key}")) & (
+        F.col(f"f.{SALT_COL}") == F.col(f"d.{SALT_COL}")
+    )
+    joined = salted_fact.alias("f").join(salted_dim.alias("d"), on, how)
+    keep = [F.col(f"f.{c}") for c in fact.columns] + [F.col(f"d.{c}") for c in dim.columns]
+    return joined.select(*keep)

@@ -64,6 +64,71 @@ def sink_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_partition_overwrite",
+    oracle="""
+SELECT event_id,
+       event_type,
+       CASE WHEN date_trunc('day', ts) = (SELECT min(date_trunc('day', ts)) FROM events)
+            THEN value * 2 ELSE value END AS value,
+       CAST(date_trunc('day', ts) AS DATE) AS day
+FROM events
+""",
+)
+def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-overwrite sink (SURVEY.md §4 CUSTOM row): the parquet
+    stand-in for Delta's replaceWhere. Write events partitioned by day,
+    then restate ONE day (value doubled) with dynamic partitionOverwriteMode
+    — only that day's directory is rewritten, every other partition's files
+    are untouched. This is the mechanism that makes cdc_apply affordable at
+    100 TB: a micro-batch rewrites the key-buckets/days it touches, never
+    the table. The read-back must equal full-table-with-one-day-restated."""
+    out = os.path.join(tempfile.mkdtemp(prefix="sparkcdc_po_"), "events_by_day")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+    )
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+
+    first_day = ev.agg(F.min("day").alias("_d"))
+    restated = (
+        ev.crossJoin(F.broadcast(first_day))
+        .filter(F.col("day") == F.col("_d"))
+        .drop("_d")
+        .withColumn("value", F.col("value") * 2)
+    )
+    (
+        restated.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).select("event_id", "event_type", "value", "day")
+
+
+@register(
+    "join_salted",
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+)
+def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew-defeat join (operators/skew.py): orders (fact) salted 8
+    ways against a replicated customer dim; must equal the plain join
+    row-for-row. At 100 TB this is the fix for hot keys AQE can't split
+    (single-key skew inside one partition)."""
+    from mongodb_mysql_cdc_spark.operators.skew import salted_equi_join
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    return salted_equi_join(o, c, "o_custkey", "c_custkey", n_salts=8).select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
     "output_mode_update",
     oracle="""
 SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n

@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis) for the CDC fold — the exactly-once
+argument is ASSOCIATIVITY: folding micro-batches in any grouping must give
+the same state as one batch apply (streaming/apply.py docstring). Here
+hypothesis searches for a counterexample instead of us picking chunkings."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mongodb_mysql_cdc_spark.streaming.apply import (
+    cdc_apply_batch,
+    merge_states,
+    reconcile,
+)
+
+ENV_FIELDS = T.StructType(
+    [
+        T.StructField("key", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField(
+            "after",
+            T.StructType(
+                [
+                    T.StructField("event_type", T.StringType()),
+                    T.StructField("value", T.DoubleType()),
+                    T.StructField("k", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+BASE_TS = datetime.datetime(2024, 1, 1)
+
+
+@st.composite
+def envelope_bags(draw):
+    """A bag of 1-60 envelopes over a small key space with colliding
+    timestamps (seq breaks ties), plus a chunking into 1-4 micro-batches."""
+    n = draw(st.integers(1, 60))
+    rows = []
+    for seq in range(n):
+        key = draw(st.integers(0, 7))
+        op = draw(st.sampled_from(["c", "u", "d"]))
+        # deliberately tiny ts domain → frequent ts collisions per key
+        ts = BASE_TS + datetime.timedelta(seconds=draw(st.integers(0, 9)))
+        value = draw(st.integers(-5, 5)) * 1.0
+        rows.append((key, op, ts, seq, (op + str(key), value, seq % 3)))
+    n_chunks = draw(st.integers(1, 4))
+    cuts = sorted(draw(st.lists(st.integers(0, n), min_size=n_chunks - 1,
+                                max_size=n_chunks - 1)))
+    chunks, lo = [], 0
+    for c in cuts + [n]:
+        chunks.append(rows[lo:c])
+        lo = c
+    return rows, [c for c in chunks if c]
+
+
+def _collect_state(df):
+    return sorted(
+        (r.key, r.op, r.ts, r.seq, (r.after.event_type, r.after.value, r.after.k))
+        for r in df.select("key", "op", "ts", "seq", "after").collect()
+    )
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+@given(bag=envelope_bags())
+def test_micro_batch_fold_equals_batch_apply(spark, bag):
+    """reconcile(all) == fold(merge_states, reconcile(chunk_i)) for ANY
+    chunking — the property that makes micro-batch replay invisible."""
+    rows, chunks = bag
+    whole = reconcile(spark.createDataFrame(rows, ENV_FIELDS))
+
+    state = None
+    for chunk in chunks:
+        delta = reconcile(spark.createDataFrame(chunk, ENV_FIELDS))
+        state = delta if state is None else merge_states(state, delta)
+
+    assert _collect_state(whole) == _collect_state(state)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+@given(bag=envelope_bags())
+def test_apply_is_idempotent_under_replay(spark, bag):
+    """Re-delivering any chunk (resume-token replay) must not change the
+    final state: merge_states(final, reconcile(chunk)) == final."""
+    rows, chunks = bag
+    df = spark.createDataFrame(rows, ENV_FIELDS)
+    final = reconcile(df)
+    replayed = merge_states(final, reconcile(spark.createDataFrame(chunks[0], ENV_FIELDS)))
+    assert _collect_state(final) == _collect_state(replayed)
+
+
+def test_tombstones_survive_reconcile_but_not_current_state(spark):
+    """A delete must win over an older update AND stay in internal state
+    (late older events cannot resurrect it), while the queryable view
+    drops it."""
+    rows = [
+        (1, "c", BASE_TS, 1, ("sig", 1.0, 0)),
+        (1, "d", BASE_TS + datetime.timedelta(seconds=5), 2, ("err", 0.0, 1)),
+        (1, "u", BASE_TS + datetime.timedelta(seconds=3), 3, ("upd", 2.0, 2)),
+    ]
+    df = spark.createDataFrame(rows, ENV_FIELDS)
+    state = reconcile(df)
+    internal = _collect_state(state)
+    assert len(internal) == 1 and internal[0][1] == "d"  # tombstone retained
+    assert cdc_apply_batch(df).count() == 0  # queryable view: key is gone
