@@ -147,7 +147,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path_for(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # Only the original harness file is TIMESTAMP(NANOS) (surfaces as
+        # long under the legacy conf); an events table our own engine wrote
+        # is already micros — convert conditionally on the loaded type.
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
     return spark.read.parquet(path_for(sf_dir, name))
 
 
