@@ -41,6 +41,7 @@ from mongodb_mysql_cdc_spark.functions import hashing as H
 from mongodb_mysql_cdc_spark.functions import text as X
 from mongodb_mysql_cdc_spark.functions import vectors as V
 from mongodb_mysql_cdc_spark.functions.compat import hround, sql_round
+from mongodb_mysql_cdc_spark.operators.dedup import connected_components
 from mongodb_mysql_cdc_spark.operators.multimodal import decode_media, with_payload
 from mongodb_mysql_cdc_spark.operators.partitioning import spread
 from mongodb_mysql_cdc_spark.operators.similarity import blocked_allpairs_cosine
@@ -100,7 +101,8 @@ _SH_CTE = (
 )
 
 
-def _minhash_lsh_oracle() -> str:
+def _minhash_ctes() -> str:
+    """The shared oracle CTE chain ending in ``cand`` = candidate pairs."""
     ha, hb = H.sql_md5_halves("t")
     mins = ", ".join(
         f"list_min(list_transform(hp, p -> (p.a + {k} * p.b) % {H.MINHASH_P})) AS h{k}"
@@ -111,35 +113,29 @@ def _minhash_lsh_oracle() -> str:
         f"concat(CAST(h{2*b} AS VARCHAR), ':', CAST(h{2*b+1} AS VARCHAR)) AS band_key FROM mh"
         for b in range(_N_BANDS)
     )
-    return f"""
-WITH {TOKS_CTE},
+    return f"""{TOKS_CTE},
 {_SH_CTE},
 hp AS (SELECT doc_id, list_transform(s, t -> {{'a': {ha}, 'b': {hb}}}) AS hp FROM sh),
 mh AS (SELECT doc_id, {mins} FROM hp),
-bands AS ({bands})
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
-FROM bands a JOIN bands b
-  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-GROUP BY a.doc_id, b.doc_id
-"""
+bands AS ({bands}),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)"""
 
 
-@register("dedup_minhash_lsh", oracle=_minhash_lsh_oracle())
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs (§2.10 dedup_fuzzy).
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-pair builder shared by dedup_minhash_lsh and
+    dedup_clusters: 3-word shingles → 8-member affine minhash family →
+    4 bands of 2 → self-equi-join on (band_id, band_key).
 
-    3-word shingles → 8-member affine minhash family → 4 bands of 2 →
-    self-equi-join on (band_id, band_key). The join key is the whole point
-    at 100 TB: candidate generation is a shuffle on a high-cardinality
-    signature, NOT an O(n²) comparison; only banded collisions are ever
-    paired. The family is Carter-Wegman h_k = (a + k·b) mod P with (a, b)
-    the two 60-bit halves of ONE md5 per shingle — 8 hash functions, one
-    digest; constants are literals so signatures reproduce everywhere."""
-    # Explode shingles ONCE and hash in a projection, then 8 cheap affine
-    # mins as aggregates. The tempting alternative — 8 array_min(transform)
-    # columns — re-derives the entire shingle pipeline per hash after
-    # Catalyst collapses projections (measured 8×). Map-side partial agg
-    # means the doc_id shuffle carries only 8 longs per doc.
+    Explodes shingles ONCE and hashes in a projection, then takes the 8
+    cheap affine mins as aggregates. The tempting alternative — 8
+    array_min(transform) columns — re-derives the entire shingle pipeline
+    per hash after Catalyst collapses projections (measured 8×). Map-side
+    partial agg means the doc_id shuffle carries only 8 longs per doc."""
     sh = _shingle_sets(load(spark, sf_dir, "documents"))
     ha, hb = H.md5_halves(F.col("g"))
     ex = sh.select("doc_id", F.explode("sh").alias("g")).select(
@@ -181,6 +177,53 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"WITH {_minhash_ctes()}\nSELECT doc_a, doc_b, n_shared_bands FROM cand",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs (§2.10 dedup_fuzzy).
+
+    The band join key is the whole point at 100 TB: candidate generation
+    is a shuffle on a high-cardinality signature, NOT an O(n²) comparison;
+    only banded collisions are ever paired. The family is Carter-Wegman
+    h_k = (a + k·b) mod P with (a, b) the two 60-bit halves of ONE md5 per
+    shingle — 8 hash functions, one digest; all constants are literals so
+    signatures reproduce across engines and runs."""
+    return _minhash_pairs(spark, sf_dir)
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_minhash_ctes()},
+sym AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+        UNION ALL SELECT doc_b, doc_a FROM cand),
+reach(root, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.root, s.dst FROM reach r JOIN sym s ON s.src = r.node
+)
+SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node
+""",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (§2.10 dedup_fuzzy, final step): connected
+    components over the MinHash candidate graph via iterative min-label
+    propagation (operators/dedup.py) — an inherently iterative distributed
+    algorithm, oracle-checked against DuckDB's recursive-CTE reachability.
+    Each doc maps to its cluster's min doc_id; keep one row per cluster_id
+    and the corpus is deduplicated."""
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    comp = connected_components(
+        docs, pairs, node_col="doc_id", edge_cols=("doc_a", "doc_b")
+    )
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("cluster").alias("cluster_id")
     )
 
 

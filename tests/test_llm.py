@@ -80,6 +80,19 @@ def test_simhash_near_dups_have_small_hamming_distance(spark, sf_dir):
     assert sum(rand_d) / len(rand_d) > max(near_d)
 
 
+def test_connected_components_chain_graph(spark):
+    """A 6-node chain (diameter 5) forces multiple propagation rounds;
+    plus an isolated node and a separate pair."""
+    from mongodb_mysql_cdc_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(9)], "node long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (7, 8)], "a long, b long"
+    )
+    got = {r.node: r.cluster for r in connected_components(nodes, edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 6: 6, 7: 7, 8: 7}
+
+
 def test_multimodal_decode_golden(spark, sf_dir):
     """The fake decoder's byte statistics must equal python-side ground
     truth computed from the raw document text."""
