@@ -129,6 +129,75 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_bucketed",
+    oracle="""
+SELECT l.l_orderkey, l.l_extendedprice, o.o_totalprice, o.o_orderstatus
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+""",
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join (the third leg of the scale toolkit next
+    to broadcast and salting): both fact tables are written bucketed 8
+    ways on the join key, so the join reads bucket i against bucket i with
+    ZERO exchange on either side — at 100 TB this converts the biggest
+    shuffle in the pipeline into a free co-located scan, paid once at
+    write time. tests/test_plans.py asserts the exchange-free plan."""
+    tag = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="sparkcdc_bucketed_")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    (
+        li.write.mode("overwrite")
+        .option("path", os.path.join(base, "lineitem"))
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(f"li_bkt_{tag}")
+    )
+    (
+        o.write.mode("overwrite")
+        .option("path", os.path.join(base, "orders"))
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(f"o_bkt_{tag}")
+    )
+    lb, ob = spark.table(f"li_bkt_{tag}"), spark.table(f"o_bkt_{tag}")
+    # merge hint: at harness scale the planner would broadcast (and skip
+    # bucketed reads entirely); forcing SMJ shows the mechanism under test
+    # — bucket-aligned scans joining with zero exchange. At 100 TB neither
+    # side broadcasts and this IS the natural plan.
+    return lb.hint("merge").join(ob, lb.l_orderkey == ob.o_orderkey).select(
+        "l_orderkey", "l_extendedprice", "o_totalprice", "o_orderstatus"
+    )
+
+
+@register(
+    "maintenance_compact",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+)
+def maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance op every streaming
+    sink needs: micro-batches leave thousands of small files (here: a
+    64-way fragmented copy), compaction rewrites them into target-sized
+    files (repartition to ceil(bytes/target)) without changing a row. At
+    100 TB this is what keeps scan task counts and footer overhead sane."""
+    base = tempfile.mkdtemp(prefix="sparkcdc_compact_")
+    frag, compacted = os.path.join(base, "frag"), os.path.join(base, "compact")
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)  # the damage
+    fragmented = spark.read.parquet(frag)
+    # target file count = total bytes / target file size (~128-256 MB on a
+    # real cluster; the 16:1 ratio here exercises the same arithmetic)
+    import glob
+
+    files = glob.glob(os.path.join(frag, "*.parquet"))
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    target_bytes = max(1, total_bytes // max(1, len(files) // 16))
+    target_files = max(1, round(total_bytes / target_bytes))
+    fragmented.repartition(target_files).write.mode("overwrite").parquet(compacted)
+    return spark.read.parquet(compacted)
+
+
+@register(
     "output_mode_update",
     oracle="""
 SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n

@@ -82,6 +82,15 @@ def test_no_cartesian_in_relational_suite(spark):
         assert "CartesianProduct" not in explain_str(_q(name, spark)), name
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """The whole point of bucketBy: both sides pre-partitioned on the join
+    key at write time → the join plans with ZERO shuffle exchange."""
+    df = _q("join_bucketed", spark)
+    plan = explain_str(df, "simple")
+    assert "Exchange" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
 def test_codegen_covers_flagship(spark):
     """The flagship aggregate must run inside whole-stage codegen."""
     assert wholestage_codegen_spans(_q("pricing_summary", spark)) >= 1
