@@ -40,6 +40,11 @@ def stage_event_chunks(
     ev = load(spark, sf_dir, "events")
     # ntile over global ts order buckets rows into contiguous time ranges:
     # chunk i holds strictly earlier data than chunk i+1 (oplog order).
+    # The UNPARTITIONED window (single-task sort) is deliberate and
+    # harness-only: this helper fakes the totally-ordered oplog a real
+    # deployment gets from Kafka/the change stream for free — it is replay
+    # STAGING, never a production operator, and is the sole source of the
+    # WindowExec no-partition warnings in the test logs.
     from pyspark.sql import Window
 
     w = Window.orderBy("ts", "event_id")
