@@ -505,6 +505,87 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_NCELLS = 8
+# Deterministic coarse centroids: the first _IVF_NCELLS corpus vectors
+# (vec_id 10..17). Real IVF trains k-means; any fixed, data-derived set
+# gives the same engine shape (assign → cell-restricted search), and a
+# deterministic choice keeps the oracle exact.
+_IVF_CENTROID_LO = _N_QUERIES
+_IVF_CENTROID_HI = _N_QUERIES + _IVF_NCELLS  # exclusive
+
+_SQL_CENT = f"""
+cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         WHERE vec_id >= {_IVF_CENTROID_LO} AND vec_id < {_IVF_CENTROID_HI}),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {V.sql_cosine('e.embedding', 'c.cvec')} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+)"""
+
+
+@register(
+    "sim_search_ivf",
+    oracle=f"""
+WITH {_SQL_CENT},
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, qa.cid AS cell,
+         {V.sql_cosine('q.embedding', 'c.embedding')} AS cos_sim
+  FROM embeddings q
+  JOIN assign qa ON qa.vec_id = q.vec_id
+  JOIN assign ca ON ca.cid = qa.cid
+  JOIN embeddings c ON c.vec_id = ca.vec_id
+  WHERE q.vec_id < {_N_QUERIES} AND c.vec_id >= {_N_QUERIES}
+)
+SELECT query_id, neighbor_id, cell, cos_sim, rank FROM (
+  SELECT query_id, neighbor_id, cell, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= {_TOP_K}
+""",
+)
+def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (§2.10 scale path, second family next to LSH):
+    assign every vector to its nearest coarse centroid (tiny broadcast
+    cross-product), then search only the query's cell (probe=1). At 100 TB
+    the assignment pass is one broadcast map over the corpus and the cell
+    id becomes the partition key — searches touch 1/n_cells of the data.
+    Centroids here are a deterministic data-derived set so the DuckDB
+    oracle reproduces cells exactly; production would k-means them."""
+    emb = spread(load(spark, sf_dir, "embeddings"), "vec_id")
+    cent = emb.filter(
+        (F.col("vec_id") >= _IVF_CENTROID_LO) & (F.col("vec_id") < _IVF_CENTROID_HI)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "cid", V.cosine("embedding", "cvec").alias("ccos")
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "embedding")
+    )
+    q = assign.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"),
+        F.col("embedding").alias("qv"),
+    )
+    c = assign.filter(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("cid").alias("ccell"),
+        F.col("embedding").alias("cv"),
+    )
+    pairs = c.join(F.broadcast(q), F.col("cell") == F.col("ccell")).select(
+        "query_id", "neighbor_id", "cell", V.cosine("qv", "cv").alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cell", "cos_sim", "rank")
+    )
+
+
 @register(
     "knn_classify",
     oracle=f"""

@@ -175,6 +175,120 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_join_left",
+    oracle="""
+SELECT p.event_id AS p_id, p.user_id AS user_id, p.ts AS p_ts,
+       s.event_id AS s_id, s.ts AS s_ts
+FROM events p LEFT JOIN events s
+  ON s.event_type = 'signup'
+ AND s.user_id = p.user_id
+ AND s.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+WHERE p.event_type = 'purchase'
+""",
+)
+def stream_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join (§2.9): purchases with their
+    preceding-hour signup, or nulls once the watermark proves no match can
+    arrive.
+
+    Outer results only emit when the watermark passes a left row's join
+    window, so the replay appends far-future HEARTBEAT rows — the
+    production idiom (Debezium heartbeats) — to flush the tail. Two
+    hard-won subtleties, found empirically (see the oracle mismatch
+    history in round-1 logs):
+
+    - The null-supplying side's join conjunct (s_type='signup') is pushed
+      BELOW the right EventTimeWatermark operator, so that watermark only
+      ever observes signups — the heartbeat must therefore BE a signup
+      (with a ghost user_id that matches nothing) or the right watermark
+      starves. Equality-derived constraints propagate the same way, which
+      is also why the ghost id is encoded in the row rather than as a
+      `user_id >= 0` conjunct.
+    - Watermark application lags batches and the final no-data batch is
+      not reliable here, so THREE ascending heartbeats are staged: by the
+      last heartbeat's batch the watermark has provably passed every real
+      event and the outer tail emits inside data batches.
+
+    Oracle: the plain batch LEFT JOIN."""
+    import datetime
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    from mongodb_mysql_cdc_spark.streaming.replay import (
+        read_event_stream,
+        stage_event_chunks,
+    )
+    from mongodb_mysql_cdc_spark.catalog import load as _load
+
+    staged = stage_event_chunks(spark, sf_dir, n_chunks=4, dir_prefix="ssjl")
+    max_ts = _load(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    ghost = 1_000_000_000  # user id that exists on neither side's real data
+    for i in range(3):
+        hb_ts = max_ts + datetime.timedelta(hours=10 * (i + 1))
+        hb = spark.createDataFrame(
+            [(-1 - i, hb_ts, ghost, "signup", 0.0, "{}")],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        hb.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(staged, f"chunk=999{i}")
+        )
+
+    left = (
+        read_event_stream(spark, staged)
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("event_type").alias("p_type"),
+            "user_id",
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    right = (
+        read_event_stream(spark, staged)
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("s_id"),
+            F.col("event_type").alias("s_type"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+        )
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            "user_id = s_user AND p_type = 'purchase' AND s_type = 'signup' "
+            "AND s_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"
+        ),
+        "leftOuter",
+    )
+    name = f"ssjl_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sparkcdc_ckpt_"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        time.sleep(1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # batch-side: keep real purchases only (left rows of other types are
+    # legitimate unmatched-outer emissions of this encoding; the ghost
+    # heartbeat's own outer row has p_id < 0)
+    return (
+        spark.table(name)
+        .filter((F.col("p_type") == "purchase") & (F.col("p_id") >= 0))
+        .select("p_id", "user_id", "p_ts", "s_id", "s_ts")
+    )
+
+
+@register(
     "stream_static_join",
     oracle="""
 SELECT e.event_id, e.user_id, c.c_mktsegment AS segment, e.value
