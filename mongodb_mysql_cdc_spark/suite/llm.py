@@ -912,6 +912,19 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_frames")  # rows-only: arbitrary-Python mapInPandas path
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frame sampling over the binary payload (§2.10
+    multimodal_cols, the video path): fixed-size byte windows every
+    ``stride`` bytes stand in for ffmpeg keyframe extraction. The row
+    blow-up happens at the edge, post-filter — the 100 TB-safe place.
+    Rows-only; exact frame bytes pinned by tests/test_llm.py."""
+    from mongodb_mysql_cdc_spark.operators.multimodal import sample_frames
+
+    media = with_payload(load(spark, sf_dir, "documents"))
+    return sample_frames(media, frame_bytes=32, stride=128, max_frames=4)
+
+
 @register("multimodal_decode")  # rows-only: arbitrary-Python mapInPandas path
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched fake decode over mapInPandas (§2.10): the real decode
