@@ -129,6 +129,37 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_merge_schema",
+    oracle="""
+SELECT event_id, user_id,
+       CASE WHEN event_id % 2 = 1 THEN event_type ELSE NULL END AS event_type,
+       CASE WHEN event_id % 2 = 1 THEN value END AS value
+FROM events
+""",
+)
+def scan_merge_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the sink (§1.3's dynamic→fixed bridge): a
+    MongoDB source grows fields over time, so sink files written at
+    different epochs carry different schemas. Epoch-1 files hold
+    (event_id, user_id); epoch-2 files add (event_type, value). A
+    mergeSchema read must union the footers: old rows surface NULL for the
+    new columns — exactly the absent-BSON-field semantics of §2.2
+    null_handling, now at the storage layer."""
+    base = tempfile.mkdtemp(prefix="sparkcdc_evo_")
+    out = os.path.join(base, "events_evolved")
+    ev = load(spark, sf_dir, "events")
+    ev.filter(F.col("event_id") % 2 == 0).select("event_id", "user_id").write.mode(
+        "append"
+    ).parquet(out)
+    ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "event_type", "value"
+    ).write.mode("append").parquet(out)
+    return spark.read.option("mergeSchema", True).parquet(out).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@register(
     "join_bucketed",
     oracle="""
 SELECT l.l_orderkey, l.l_extendedprice, o.o_totalprice, o.o_orderstatus
