@@ -1,0 +1,41 @@
+"""Batch-equivalence pytest layer for the rows-only queries (SURVEY.md §5:
+ops whose oracle is too weak get their own correctness assertion here)."""
+
+from __future__ import annotations
+
+from mongodb_mysql_cdc_spark.registry import queries
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_approx_distinct_within_advertised_error(spark):
+    """approx_count_distinct at rsd=0.01 must land within a conservative
+    5× of the advertised relative error of the exact count it ships
+    alongside (HLL guarantees are probabilistic; 5σ keeps this stable)."""
+    rows = queries()["agg_approx_distinct"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.exact_users > 0
+        rel_err = abs(r.approx_users - r.exact_users) / r.exact_users
+        assert rel_err <= 0.05, (r.event_type, r.approx_users, r.exact_users)
+
+
+def test_multimodal_decode_rowcount_matches_corpus(spark):
+    """The Arrow decode path must emit exactly one feature row per
+    document — no batch boundary duplication or loss."""
+    n_docs = queries()["scan_parquet"](spark, SF).sparkSession.read.parquet(
+        f"{SF}/documents.parquet"
+    ).count()
+    n_feat = queries()["multimodal_decode"](spark, SF).count()
+    assert n_feat == n_docs
+
+
+def test_multimodal_frames_bounded_per_doc(spark):
+    """Frame sampling emits 1..max_frames rows per doc, never more."""
+    from pyspark.sql import functions as F
+
+    frames = queries()["multimodal_frames"](spark, SF)
+    per_doc = frames.groupBy("doc_id").count()
+    mx = per_doc.agg(F.max("count")).first()[0]
+    mn = per_doc.agg(F.min("count")).first()[0]
+    assert 1 <= mn and mx <= 4
