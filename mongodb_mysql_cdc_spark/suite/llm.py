@@ -227,6 +227,45 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_survivors",
+    oracle=f"""
+WITH RECURSIVE {_minhash_ctes()},
+sym AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+        UNION ALL SELECT doc_b, doc_a FROM cand),
+reach(root, node) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.root, s.dst FROM reach r JOIN sym s ON s.src = r.node
+),
+clusters AS (SELECT node AS doc_id, min(root) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id, d.lang, d.source, d.n_chars,
+       (SELECT count(*) FROM clusters c2 WHERE c2.cluster_id = c.cluster_id) AS cluster_size
+FROM documents d JOIN clusters c ON d.doc_id = c.doc_id
+WHERE c.doc_id = c.cluster_id
+""",
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus (§2.10, the pipeline's actual product):
+    keep exactly one survivor per near-dup cluster (the min doc_id) with
+    its cluster size — what a pre-training data pipeline feeds downstream.
+    Composition of candidate generation → connected components → keyed
+    semi-join back to the corpus; at 100 TB the survivors join is a
+    broadcast of the (tiny) cluster table against the corpus scan."""
+    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load(spark, sf_dir, "documents")
+    comp = connected_components(
+        docs.select("doc_id"), pairs, node_col="doc_id", edge_cols=("doc_a", "doc_b")
+    ).select(F.col("node").alias("doc_id"), F.col("cluster").alias("cluster_id"))
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    survivors = comp.filter(F.col("doc_id") == F.col("cluster_id")).join(
+        F.broadcast(sizes), "cluster_id"
+    )
+    return docs.join(F.broadcast(survivors), "doc_id").select(
+        "doc_id", "lang", "source", "n_chars", "cluster_size"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
