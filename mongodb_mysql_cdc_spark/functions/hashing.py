@@ -8,8 +8,8 @@ both Spark and DuckDB compute identically from md5:
     DuckDB: CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)
 
 (xxhash64 would be faster but DuckDB 1.0 lacks it; md5 keeps every
-signature oracle-checkable. Seeds are mixed in by prefixing the input —
-md5 has no seed parameter.)
+signature oracle-checkable. Hash families come from ``md5_halves``:
+a Carter-Wegman affine construction over one digest.)
 """
 
 from __future__ import annotations
@@ -56,15 +56,6 @@ def hash60(col: Column) -> Column:
 def sql_hash60(expr: str) -> str:
     """DuckDB spelling of ``hash60`` (bit-identical)."""
     return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
-
-
-def seeded_hash60(col: Column, seed: int) -> Column:
-    """Independent hash family member i: hash60(i ':' x)."""
-    return hash60(F.concat(F.lit(f"{seed}:"), col))
-
-
-def sql_seeded_hash60(expr: str, seed: int) -> str:
-    return sql_hash60(f"concat('{seed}:', {expr})")
 
 
 def rolling_fingerprint(tokens: Column) -> Column:

@@ -44,6 +44,7 @@ def connected_components(
         .localCheckpoint()
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         neighbor = sym.join(labels, sym.dst == labels.node).select(
             F.col("src").alias("node"), "label"
@@ -56,6 +57,14 @@ def connected_components(
         )
         label_sum = labels.agg(F.sum("label")).first()[0]
         if label_sum == prev_sum:
+            converged = True
             break
         prev_sum = label_sum
+    if not converged:
+        # Silent partial clusters would dedupe wrongly downstream — fail
+        # loudly; a graph this deep wants the large-star/small-star variant.
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} rounds "
+            "(component diameter exceeds max_iter)"
+        )
     return labels.select("node", F.col("label").alias("cluster"))

@@ -69,8 +69,12 @@ def blocked_allpairs_cosine(
         out_a, out_b, out_c = [], [], []
         for i in range(A.shape[0]):
             dots = np.cumsum(A[i] * B, axis=1)[:, -1]
-            cos = dots / (na[i] * nb)
-            mask = cos >= threshold
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = dots / (na[i] * nb)
+            # zero-norm vectors give NaN cosine: excluded explicitly (the
+            # matching oracle carries norm>0 guards — engines disagree on
+            # NaN ordering, so the semantics must exclude degenerates)
+            mask = np.isfinite(cos) & (cos >= threshold)
             if diag:
                 mask &= ida[i] < idb
             if mask.any():

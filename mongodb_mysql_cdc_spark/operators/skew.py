@@ -36,7 +36,17 @@ def salted_equi_join(
     """fact ⋈ dim on fact_key = dim_key, salted n_salts ways.
 
     The dim side is replicated n_salts× — keep it the small side. Returns
-    the join WITHOUT the salt column; column set = fact ∪ dim columns."""
+    the join WITHOUT the salt column; column set = fact ∪ dim columns.
+
+    Only inner/left joins are supported: in a right/full outer join an
+    unmatched dim row would surface once PER REPLICA (n_salts duplicates),
+    breaking the plain-join identity — reject rather than silently
+    corrupt."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_equi_join supports inner/left joins only, got {how!r}: "
+            "unmatched dim rows would duplicate once per salt replica"
+        )
     salted_fact = fact.withColumn(
         SALT_COL, F.pmod(F.xxhash64(F.col(fact_key)), F.lit(n_salts)).cast("int")
     )

@@ -53,8 +53,10 @@ def has_sort_merge_join(df: DataFrame) -> bool:
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen spans — wider/fewer is better. Under
     AQE codegen is only decided on the FINAL plan of an actual execution,
-    so this collects the DataFrame, then counts distinct codegen ids: the
-    ``*(n)`` star markers in the finalized plan string."""
+    and only the DataFrame's OWN query execution carries that plan (a
+    count() spawns a separate one), so this COLLECTS the DataFrame.
+    Test-scale helper: call it on small results only — it materializes
+    every row on the driver."""
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     return len(set(re.findall(r"\*\((\d+)\)", plan)))

@@ -121,11 +121,16 @@ def cdc_apply_stateful_stream(env: DataFrame) -> DataFrame:
         for pdf in pdf_iter:
             best = pdf.sort_values(["ts", "seq"]).iloc[-1]
             if seq is None or (best["ts"], best["seq"]) > (ts, seq):
-                op = str(best["op"])
+                # every nullable field gets the pd.isna guard — a bare
+                # str(None)/float(None) would store the literal "None"/NaN
+                # instead of NULL and diverge from the SQL oracle
+                op = None if pd.isna(best["op"]) else str(best["op"])
                 ts = best["ts"]
                 seq = int(best["seq"])
-                event_type = str(best["event_type"])
-                value = float(best["value"])
+                event_type = (
+                    None if pd.isna(best["event_type"]) else str(best["event_type"])
+                )
+                value = None if pd.isna(best["value"]) else float(best["value"])
                 k = None if pd.isna(best["k"]) else int(best["k"])
 
         state.update((op, ts.to_pydatetime(), seq, event_type, value, k))

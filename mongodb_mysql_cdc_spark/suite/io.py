@@ -173,7 +173,9 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ZERO exchange on either side — at 100 TB this converts the biggest
     shuffle in the pipeline into a free co-located scan, paid once at
     write time. tests/test_plans.py asserts the exchange-free plan."""
-    tag = uuid.uuid4().hex[:8]
+    # Fixed table names: mode("overwrite") replaces them per run, so
+    # repeated bench/suite runs keep exactly two catalog entries instead of
+    # accumulating uuid-named tables in the session metastore.
     base = tempfile.mkdtemp(prefix="sparkcdc_bucketed_")
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
@@ -182,16 +184,16 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("path", os.path.join(base, "lineitem"))
         .bucketBy(8, "l_orderkey")
         .sortBy("l_orderkey")
-        .saveAsTable(f"li_bkt_{tag}")
+        .saveAsTable("sparkcdc_li_bkt")
     )
     (
         o.write.mode("overwrite")
         .option("path", os.path.join(base, "orders"))
         .bucketBy(8, "o_orderkey")
         .sortBy("o_orderkey")
-        .saveAsTable(f"o_bkt_{tag}")
+        .saveAsTable("sparkcdc_o_bkt")
     )
-    lb, ob = spark.table(f"li_bkt_{tag}"), spark.table(f"o_bkt_{tag}")
+    lb, ob = spark.table("sparkcdc_li_bkt"), spark.table("sparkcdc_o_bkt")
     # merge hint: at harness scale the planner would broadcast (and skip
     # bucketed reads entirely); forcing SMJ shows the mechanism under test
     # — bucket-aligned scans joining with zero exchange. At 100 TB neither

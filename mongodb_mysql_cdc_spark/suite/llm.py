@@ -126,6 +126,13 @@ cand AS (
 )"""
 
 
+# One cached signature table per (session, sf_dir) — three queries
+# (dedup_minhash_lsh / dedup_clusters / dedup_survivors) share it, so the
+# shingle+hash pipeline runs once per dataset rather than once per query
+# and the cache does not accumulate per-invocation copies.
+_BANDS_MEMO: dict = {}
+
+
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-pair builder shared by dedup_minhash_lsh and
     dedup_clusters: 3-word shingles → 8-member affine minhash family →
@@ -136,37 +143,42 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_min(transform) columns — re-derives the entire shingle pipeline
     per hash after Catalyst collapses projections (measured 8×). Map-side
     partial agg means the doc_id shuffle carries only 8 longs per doc."""
-    sh = _shingle_sets(load(spark, sf_dir, "documents"))
-    ha, hb = H.md5_halves(F.col("g"))
-    ex = sh.select("doc_id", F.explode("sh").alias("g")).select(
-        "doc_id", ha.alias("ha"), hb.alias("hb")
-    )
-    mh = ex.groupBy("doc_id").agg(
-        *[
-            F.min((F.col("ha") + k * F.col("hb")) % H.MINHASH_P).alias(f"h{k}")
-            for k in range(_N_HASHES)
-        ]
-    )
-    bands = mh.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.concat_ws(":", f"h{2*b}", f"h{2*b+1}").alias("band_key"),
-                    )
-                    for b in range(_N_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_id", "band.band_key")
-    # Materialize the signature table before the self-join: without it each
-    # join side re-runs the whole shingle+hash pipeline (no exchange reuse
-    # across self-join aliases). The table is |docs| × ~3 small cols — at
-    # 100 TB corpus scale it is megabytes-per-million-docs, the canonical
-    # thing TO cache, while the corpus itself is never cached.
-    bands = bands.cache()
+    memo_key = (id(spark), sf_dir)
+    bands = _BANDS_MEMO.get(memo_key)
+    if bands is None:
+        sh = _shingle_sets(load(spark, sf_dir, "documents"))
+        ha, hb = H.md5_halves(F.col("g"))
+        ex = sh.select("doc_id", F.explode("sh").alias("g")).select(
+            "doc_id", ha.alias("ha"), hb.alias("hb")
+        )
+        mh = ex.groupBy("doc_id").agg(
+            *[
+                F.min((F.col("ha") + k * F.col("hb")) % H.MINHASH_P).alias(f"h{k}")
+                for k in range(_N_HASHES)
+            ]
+        )
+        bands = mh.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.concat_ws(":", f"h{2*b}", f"h{2*b+1}").alias("band_key"),
+                        )
+                        for b in range(_N_BANDS)
+                    ]
+                )
+            ).alias("band"),
+        ).select("doc_id", "band.band_id", "band.band_key")
+        # Materialize the signature table before the self-join: without it
+        # each join side re-runs the whole shingle+hash pipeline (no
+        # exchange reuse across self-join aliases). The table is |docs| ×
+        # ~3 small cols — at 100 TB corpus scale it is megabytes-per-
+        # million-docs, the canonical thing TO cache, while the corpus
+        # itself is never cached.
+        bands = bands.cache()
+        _BANDS_MEMO[memo_key] = bands
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -379,7 +391,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        {V.sql_cosine('a.embedding', 'b.embedding')} AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {V.sql_cosine('a.embedding', 'b.embedding')} >= 0.4
+WHERE {V.sql_norm('a.embedding')} > 0 AND {V.sql_norm('b.embedding')} > 0
+  AND {V.sql_cosine('a.embedding', 'b.embedding')} >= 0.4
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
