@@ -89,3 +89,25 @@ def memory_sink_table(df: DataFrame, name: str, output_mode: str) -> "tuple":
         .start()
     )
     return q, name
+
+
+def drain_to_memory_table(
+    spark: SparkSession, df: DataFrame, prefix: str, output_mode: str, *, settle: bool = False
+) -> DataFrame:
+    """Run a streaming DataFrame to completion through a memory sink and
+    return the materialized table — the shared harness for every suite
+    query that replays a finite stream. ``settle=True`` drains once more
+    after a pause, for sinks whose final emissions ride a trailing batch
+    (outer-join eviction)."""
+    import time
+    import uuid
+
+    q, name = memory_sink_table(df, f"{prefix}_{uuid.uuid4().hex[:8]}", output_mode)
+    try:
+        q.processAllAvailable()
+        if settle:
+            time.sleep(1)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import os
 import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,6 +25,7 @@ from mongodb_mysql_cdc_spark.sources.cdc import (
 )
 from mongodb_mysql_cdc_spark.streaming.apply import CdcParquetSink, cdc_apply_batch
 from mongodb_mysql_cdc_spark.streaming.replay import (
+    drain_to_memory_table,
     read_event_stream,
     run_to_completion,
     stage_event_chunks,
@@ -206,16 +206,7 @@ def cdc_apply_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = cdc_apply_stateful_stream(
         envelopes_from_events(read_event_stream(spark, staged))
     )
-    name = f"stateful_{uuid.uuid4().hex[:8]}"
-    q = (
-        updates.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sparkcdc_ckpt_"))
-        .start()
-    )
-    run_to_completion(q)
-    emissions = spark.table(name)
+    emissions = drain_to_memory_table(spark, updates, "stateful", "update")
     # final image per key = the latest (ts, seq) emission; duplicates from
     # no-op batches carry identical content, so max_by is deterministic
     final = emissions.groupBy("key").agg(
@@ -240,17 +231,7 @@ def stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     through an append sink — the stream must deliver exactly the batch
     table's rows (file-source replay fidelity)."""
     staged = stage_event_chunks(spark, sf_dir, n_chunks=4, dir_prefix="src")
-    stream = read_event_stream(spark, staged)
-    name = f"src_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sparkcdc_ckpt_"))
-        .start()
-    )
-    run_to_completion(q)
-    return spark.table(name)
+    return drain_to_memory_table(spark, read_event_stream(spark, staged), "src", "append")
 
 
 @register(
@@ -272,16 +253,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["event_id"])
         .select("event_id", "user_id", "event_type", "ts")
     )
-    name = f"dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sparkcdc_ckpt_"))
-        .start()
-    )
-    run_to_completion(q)
-    return spark.table(name)
+    return drain_to_memory_table(spark, deduped, "dedup", "append")
 
 
 @register(
@@ -302,13 +274,4 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = stage_event_chunks(spark, sf_dir, n_chunks=4, dir_prefix="tumble")
     stream = with_watermark(read_event_stream(spark, staged), "1 hour")
     agg = tumbling_counts(stream).select("win_start", "event_type", "n")
-    name = f"tumble_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sparkcdc_ckpt_"))
-        .start()
-    )
-    run_to_completion(q)
-    return spark.table(name)
+    return drain_to_memory_table(spark, agg, "tumble", "complete")

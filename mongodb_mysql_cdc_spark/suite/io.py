@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import os
 import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -245,8 +244,8 @@ def output_mode_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates equals the final complete-mode state — which is the batch
     date_trunc oracle. Proves update-mode emission is lossless."""
     from mongodb_mysql_cdc_spark.streaming.replay import (
+        drain_to_memory_table,
         read_event_stream,
-        run_to_completion,
         stage_event_chunks,
     )
     from mongodb_mysql_cdc_spark.streaming.windows import tumbling_counts, with_watermark
@@ -254,17 +253,5 @@ def output_mode_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = stage_event_chunks(spark, sf_dir, n_chunks=4, dir_prefix="upd")
     stream = with_watermark(read_event_stream(spark, staged), "1 hour")
     agg = tumbling_counts(stream).select("win_start", "event_type", "n")
-    name = f"upd_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sparkcdc_ckpt_"))
-        .start()
-    )
-    run_to_completion(q)
-    return (
-        spark.table(name)
-        .groupBy("win_start", "event_type")
-        .agg(F.max("n").alias("n"))
-    )
+    emissions = drain_to_memory_table(spark, agg, "upd", "update")
+    return emissions.groupBy("win_start", "event_type").agg(F.max("n").alias("n"))

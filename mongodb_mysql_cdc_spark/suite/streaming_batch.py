@@ -132,12 +132,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes ts + 1h, so state is O(events per watermark window), not
     O(stream) — the only shape that survives an unbounded stream. The
     oracle is the batch self-join (stream/batch parity)."""
-    import tempfile
-    import uuid
-
     from mongodb_mysql_cdc_spark.streaming.replay import (
+        drain_to_memory_table,
         read_event_stream,
-        run_to_completion,
         stage_event_chunks,
     )
 
@@ -162,16 +159,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         right,
         F.expr("user_id = s_user AND s_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"),
     ).select("p_id", "user_id", "p_ts", "s_id", "s_ts")
-    name = f"ssj_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sparkcdc_ckpt_"))
-        .start()
-    )
-    run_to_completion(q)
-    return spark.table(name)
+    return drain_to_memory_table(spark, joined, "ssj", "append")
 
 
 @register(
@@ -212,11 +200,9 @@ def stream_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the plain batch LEFT JOIN."""
     import datetime
     import os
-    import tempfile
-    import time
-    import uuid
 
     from mongodb_mysql_cdc_spark.streaming.replay import (
+        drain_to_memory_table,
         read_event_stream,
         stage_event_chunks,
     )
@@ -264,28 +250,13 @@ def stream_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "leftOuter",
     )
-    name = f"ssjl_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sparkcdc_ckpt_"))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-        time.sleep(1)
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    emissions = drain_to_memory_table(spark, joined, "ssjl", "append", settle=True)
     # batch-side: keep real purchases only (left rows of other types are
     # legitimate unmatched-outer emissions of this encoding; the ghost
     # heartbeat's own outer row has p_id < 0)
-    return (
-        spark.table(name)
-        .filter((F.col("p_type") == "purchase") & (F.col("p_id") >= 0))
-        .select("p_id", "user_id", "p_ts", "s_id", "s_ts")
-    )
+    return emissions.filter(
+        (F.col("p_type") == "purchase") & (F.col("p_id") >= 0)
+    ).select("p_id", "user_id", "p_ts", "s_id", "s_ts")
 
 
 @register(
