@@ -873,6 +873,79 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_redact",
+    oracle="""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           concat(substr(text, 1, 40), ' contact user', CAST(doc_id AS VARCHAR),
+                  '@mail.example tel 555-', CAST(doc_id AS VARCHAR)),
+           '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+         '[0-9][0-9-]+', '<NUM>', 'g') AS redacted
+FROM documents
+""",
+)
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-pattern redaction (§2.10 text analysis): mask email addresses
+    and number runs before a corpus ships to training — pure JVM-side
+    regexp_replace, no UDF. The harness text is clean word soup, so a
+    deterministic synthetic contact suffix is appended first to prove the
+    masking actually fires; patterns stay in the regex subset Java and RE2
+    agree on (character classes only, no lookaround)."""
+    docs = load(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example tel 555-"),
+        F.col("doc_id").cast("string"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(dirty, "[a-z0-9.]+@[a-z0-9.]+", "<EMAIL>"),
+        "[0-9][0-9-]+",
+        "<NUM>",
+    )
+    return docs.select("doc_id", redacted.alias("redacted"))
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+WITH {TOKS_CTE},
+sh AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(t)-2, 0)),
+                                     i -> array_to_string(t[i:i+2], ' ')) AS s
+       FROM toks WHERE greatest(len(t)-2, 0) > 0),
+ex AS (SELECT doc_id, len(s) AS n_shingles, unnest(s) AS g FROM sh),
+counts AS (SELECT doc_id, g, max(n_shingles) AS n_shingles, count(*) AS c
+           FROM ex GROUP BY doc_id, g)
+SELECT doc_id, max(n_shingles) AS n_shingles, max(c) AS max_repeat,
+       max(c) / greatest(max(n_shingles), 1) AS repetition_ratio
+FROM counts GROUP BY doc_id
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality metric (§2.10, the Gopher duplicate-n-gram rule):
+    the most frequent 3-gram's share of all 3-grams. Boilerplate and
+    looping generations score high and get filtered before training.
+    Explode + two aggregations; shuffle keyed on (doc, shingle) — scales
+    like text_stats."""
+    docs = load(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    sh = spread(docs, "doc_id").select(
+        "doc_id", X.word_shingles(toks, 3).alias("s")
+    ).filter(F.size("s") > 0)
+    ex = sh.select("doc_id", F.size("s").alias("n_shingles"), F.explode("s").alias("g"))
+    counts = ex.groupBy("doc_id", "g").agg(
+        F.max("n_shingles").alias("n_shingles"), F.count(F.lit(1)).alias("c")
+    )
+    return counts.groupBy("doc_id").agg(
+        F.max("n_shingles").alias("n_shingles"),
+        F.max("c").alias("max_repeat"),
+        (F.max("c") / F.greatest(F.max("n_shingles"), F.lit(1))).alias("repetition_ratio"),
+    )
+
+
+@register(
     "tfidf",
     oracle=f"""
 WITH {TOKS_CTE},
