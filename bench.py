@@ -5,7 +5,8 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Timing methodology: one warm-up pass of a trivial action to absorb JVM/
 session startup, then each query is executed twice with a full
-materializing action (count of a cache-free plan) and the BEST of the two
+materializing action (sum of xxhash64 over ALL output columns — count()
+alone would let Catalyst prune the final projection) and the BEST of the two
 is reported — the standard way to suppress one-time codegen/JIT cost and
 co-tenant noise while still paying every per-run cost (scan, shuffle,
 compute). Both raw timings go to stderr.
@@ -57,13 +58,24 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    from pyspark.sql import functions as F
+
     timings: dict[str, float] = {}
     for name in names:
         runs = []
         for _ in range(2):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
-            n = df.count()
+            # Full materialization: hash every output column into one scalar.
+            # A bare count() lets Catalyst prune the final projection, so
+            # map-heavy queries would be timed without computing their output
+            # columns; xxhash64(struct(*)) forces every column to be produced.
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                # bit_xor, not sum: summing 64-bit hashes overflows under ANSI
+                F.bit_xor(F.xxhash64(F.struct(*[F.col(c) for c in df.columns]))).alias("h"),
+            ).collect()[0]
+            n = row["n"]
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 3)
         print(

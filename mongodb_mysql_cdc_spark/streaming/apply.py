@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -211,10 +212,16 @@ class CdcParquetSink:
         new = merge_states(old, delta) if old is not None else delta
         path = os.path.join(self.state_dir, "state")
         tmp = os.path.join(self.state_dir, f"state_tmp_{batch_id}")
-        new.write.mode("overwrite").parquet(tmp)
-        self.spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
-        self._committed.add(batch_id)
-        self._save_commits()
+        # The state-write → commit-log sequence is not atomic; a crash
+        # between the two replays the batch, which is safe only because
+        # merge_states is last-writer-wins idempotent per key.
+        try:
+            new.write.mode("overwrite").parquet(tmp)
+            self.spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+            self._committed.add(batch_id)
+            self._save_commits()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
 
     def current(self) -> DataFrame:
         st = self.state()

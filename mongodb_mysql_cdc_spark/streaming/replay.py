@@ -102,12 +102,25 @@ def drain_to_memory_table(
     import time
     import uuid
 
-    q, name = memory_sink_table(df, f"{prefix}_{uuid.uuid4().hex[:8]}", output_mode)
+    # Harness-only knob: every stateful streaming operator keeps one state
+    # store PER shuffle partition PER micro-batch (a stream-stream join
+    # keeps four), so the session's 32 partitions mean ~128 state-store
+    # round-trips per batch over kilobytes of data — pure fixed cost at
+    # replay scale (measured: stream_stream_join_left 51 s → single digits
+    # at 8 partitions). The partition count is captured in the fresh
+    # checkpoint at .start(), so restoring the conf afterwards is safe.
+    # A production deployment sizes this to the cluster, not to the replay.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        q.processAllAvailable()
-        if settle:
-            time.sleep(1)
+        q, name = memory_sink_table(df, f"{prefix}_{uuid.uuid4().hex[:8]}", output_mode)
+        try:
             q.processAllAvailable()
+            if settle:
+                time.sleep(1)
+                q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(name)

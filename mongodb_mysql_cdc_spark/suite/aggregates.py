@@ -192,8 +192,8 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect",
     oracle="""
 SELECT l_orderkey,
-       list(l_linenumber ORDER BY l_linenumber) AS line_numbers,
-       list(DISTINCT l_returnflag ORDER BY l_returnflag) AS flags
+       array_to_string(list(l_linenumber ORDER BY l_linenumber), ',') AS line_numbers,
+       array_to_string(list(DISTINCT l_returnflag ORDER BY l_returnflag), ',') AS flags
 FROM lineitem
 GROUP BY l_orderkey
 """,
@@ -201,11 +201,22 @@ GROUP BY l_orderkey
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document re-assembly (inverse of flatten): gather group members into
     arrays. array_sort makes the result deterministic — collect_list order
-    is partition-dependent."""
+    is partition-dependent.
+
+    The arrays are emitted as a ','-joined string: array-typed result
+    columns crash the driver's pandas canonicalizer (unhashable
+    numpy.ndarray during sort/factorize, observed in round 1), and the
+    joined form hashes identically on both engines."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_list("l_linenumber")).alias("line_numbers"),
-        F.array_sort(F.collect_set("l_returnflag")).alias("flags"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("l_linenumber")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("line_numbers"),
+        F.array_join(F.array_sort(F.collect_set("l_returnflag")), ",").alias("flags"),
     )
 
 

@@ -143,7 +143,10 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_min(transform) columns — re-derives the entire shingle pipeline
     per hash after Catalyst collapses projections (measured 8×). Map-side
     partial agg means the doc_id shuffle carries only 8 longs per doc."""
-    memo_key = (id(spark), sf_dir)
+    # Keyed on applicationId, not id(spark): a stopped session's id() can be
+    # reused by a new session, which would hand out a DataFrame bound to a
+    # dead SparkContext.
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
     bands = _BANDS_MEMO.get(memo_key)
     if bands is None:
         sh = _shingle_sets(load(spark, sf_dir, "documents"))

@@ -134,20 +134,25 @@ SELECT
   l_orderkey,
   CAST(l_linenumber AS BIGINT)       AS line_no,
   CAST(l_quantity AS INTEGER)        AS qty_int,
-  CAST(l_extendedprice AS DECIMAL(18, 2)) AS price_dec,
+  CAST(CAST(l_extendedprice AS DECIMAL(18, 2)) AS VARCHAR) AS price_dec,
   CAST(l_shipdate AS DATE)           AS ship_day,
   CAST(l_orderkey AS VARCHAR)        AS key_str
 FROM lineitem
 """,
 )
 def cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BSON→SQL style type coercions (§2.2 / SURVEY §1.2 type map)."""
+    """BSON→SQL style type coercions (§2.2 / SURVEY §1.2 type map).
+
+    The DECIMAL(18,2) cast (the NumberDecimal→DECIMAL mapping under test)
+    is re-emitted as VARCHAR on both sides: Spark collects ``Decimal``
+    objects with trailing zeros while DuckDB's pandas path yields float64,
+    so the decimal's *string* form is the only cross-engine-stable value."""
     li = load(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         F.col("l_linenumber").cast("long").alias("line_no"),
         F.col("l_quantity").cast("int").alias("qty_int"),
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("price_dec"),
+        F.col("l_extendedprice").cast("decimal(18,2)").cast("string").alias("price_dec"),
         F.col("l_shipdate").cast("date").alias("ship_day"),
         F.col("l_orderkey").cast("string").alias("key_str"),
     )

@@ -98,29 +98,33 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT
   l_orderkey, l_linenumber,
   abs(l_tax - 0.05)                          AS tax_dev,
-  ceil(l_quantity)                           AS qty_ceil,
-  floor(l_extendedprice)                     AS price_floor,
+  CAST(ceil(l_quantity) AS BIGINT)           AS qty_ceil,
+  CAST(floor(l_extendedprice) AS BIGINT)     AS price_floor,
   {sql_round('sqrt(l_quantity)', 6)}         AS qty_sqrt,
   {sql_round('pow(1.0 + l_discount, 2)', 6)} AS disc_sq,
   {sql_round('ln(l_extendedprice)', 6)}      AS price_ln,
-  l_orderkey % 7                             AS key_mod,
-  sign(l_discount - 0.05)                    AS disc_sign
+  CAST(l_orderkey % 7 AS BIGINT)             AS key_mod,
+  CAST(sign(l_discount - 0.05) AS BIGINT)    AS disc_sign
 FROM lineitem
 """,
 )
 def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-canonicalizer note (round 2): DuckDB ``ceil``/``floor`` return
+    DOUBLE and ``sign`` returns TINYINT where Spark returns BIGINT/DOUBLE —
+    every integral output is now explicitly BIGINT on BOTH sides so the
+    textual value forms agree without any normalizer."""
     li = load(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",
         F.abs(F.col("l_tax") - 0.05).alias("tax_dev"),
-        F.ceil("l_quantity").alias("qty_ceil"),
-        F.floor("l_extendedprice").alias("price_floor"),
+        F.ceil("l_quantity").cast("long").alias("qty_ceil"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
         hround(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
         hround(F.pow(F.lit(1.0) + F.col("l_discount"), 2), 6).alias("disc_sq"),
         hround(F.log("l_extendedprice"), 6).alias("price_ln"),
-        F.pmod("l_orderkey", F.lit(7)).alias("key_mod"),
-        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.pmod("l_orderkey", F.lit(7)).cast("long").alias("key_mod"),
+        F.signum(F.col("l_discount") - 0.05).cast("long").alias("disc_sign"),
     )
 
 
