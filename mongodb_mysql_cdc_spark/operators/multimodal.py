@@ -6,14 +6,26 @@ relational operator (join, filter, dedup-by-hash, partition) without the
 engine ever interpreting the bytes. Decode / feature-extraction happens at
 the edge via Arrow-batched ``mapInPandas``.
 
-This container ships no image/audio codecs (no PIL / ffmpeg / torchaudio),
-so the decode kernel is STUBBED exactly as the task mandates: calling
-``decode_media`` without ``fake=True`` raises ``NotImplementedError``;
-with ``fake=True`` a deterministic byte-statistics "decoder" stands in.
-Everything around the kernel — output schema, Arrow batch iteration,
-column pruning of the payload until the decode stage, partition
-preservation (mapInPandas is narrow: no shuffle) — is real, tested, and is
-the part that matters at 100 TB.
+This container ships no compressed-media codecs (no PIL / ffmpeg /
+torchaudio), but two uncompressed container formats ARE fully decodable
+with pure ``struct``/numpy, so the decode kernel is REAL for them:
+
+- **WAV** (RIFF): chunk-walk to ``fmt ``/``data``, read sample rate /
+  channels / bit depth, compute duration and mean |PCM| amplitude;
+- **BMP** (BITMAPFILEHEADER + BITMAPINFOHEADER): width / height / bpp and
+  mean pixel value, honoring 4-byte row padding.
+
+``synth_media`` manufactures genuine WAV/BMP payloads deterministically
+from ``doc_id`` (the harness stand-in for an object-store media column),
+which lets the decode query carry a full DuckDB oracle: the oracle
+recomputes the expected features *analytically* from the generator
+formulas, so any byte-layout or parsing bug becomes a value mismatch, not
+just a row-count blip. Compressed codecs (JPEG/MP3/H.264...) remain
+honestly out of scope: ``decode_media`` raises ``NotImplementedError``
+for payloads it cannot parse. Everything around the kernels — output
+schema, Arrow batch iteration, column pruning of the payload until the
+decode stage, partition preservation (mapInPandas is narrow: no shuffle)
+— is the part that matters at 100 TB.
 
 100 TB design notes:
 - Payload columns live in their own parquet column chunks; any query not
@@ -52,17 +64,24 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
-FEATURE_SCHEMA = T.StructType(
+# Unified decode output: WAV rows leave the image fields NULL and vice
+# versa (one schema so the decode stage stays a single narrow pass).
+DECODE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("media_type", T.StringType()),
         T.StructField("n_bytes", T.LongType()),
-        T.StructField("byte_sum", T.LongType()),
-        T.StructField("byte_mean", T.DoubleType()),
-        T.StructField("first_byte", T.IntegerType()),
-        T.StructField("last_byte", T.IntegerType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("signal_mean", T.DoubleType()),
     ]
 )
+
+WAV_SAMPLE_RATE = 8000
+BMP_HEIGHT = 4
 
 FRAME_SCHEMA = T.StructType(
     [
@@ -85,42 +104,152 @@ def with_payload(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(media: DataFrame, *, fake: bool = False) -> DataFrame:
-    """Decode payloads to per-item features via Arrow-batched mapInPandas.
-
-    STUB: real codecs are absent from this container. ``fake=True`` swaps
-    in a deterministic byte-statistics kernel (length / sum / mean / first /
-    last byte) so the full Spark-side path — pruned input projection, Arrow
-    transfer, FEATURE_SCHEMA output — executes and is testable.
-    """
-    if not fake:
-        raise NotImplementedError(
-            "no image/audio codecs in this container; pass fake=True for the "
-            "deterministic byte-statistics stand-in decoder"
-        )
+def synth_media(docs: DataFrame) -> DataFrame:
+    """documents → media table with REAL container-format payloads:
+    even doc_ids get a PCM16 mono WAV, odd doc_ids a 24-bit BMP, each
+    deterministic in ``doc_id`` (the analytic oracle recomputes the same
+    values without touching bytes). Arrow-batched mapInPandas; the kernel
+    is a nested function so cloudpickle ships it BY VALUE (a module-level
+    kernel pickles by reference and breaks when the driver's cwd is not
+    the repo root)."""
 
     def kernel(batches: Iterator["pd.DataFrame"]) -> Iterable["pd.DataFrame"]:
+        import struct
+
         import pandas as pd
 
+        def wav(doc_id: int) -> bytes:
+            n = 64 + doc_id % 64
+            sr = 8000  # WAV_SAMPLE_RATE (inlined: kernel must be self-contained)
+            samples = [((doc_id * 31 + i * 17) % 2048) - 1024 for i in range(n)]
+            data = struct.pack(f"<{n}h", *samples)
+            return (
+                b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+
+        def bmp(doc_id: int) -> bytes:
+            w, h = 4 + doc_id % 8, 4  # BMP_HEIGHT
+            rowsize = (3 * w + 3) // 4 * 4
+            img = bytearray()
+            for y in range(h):
+                row = bytearray()
+                for x in range(w):
+                    v = (doc_id * 7 + x * 3 + y * 13) % 256
+                    row += bytes([v, v, v])
+                img += row + b"\x00" * (rowsize - len(row))
+            return bytes(
+                b"BM" + struct.pack("<IHHI", 54 + len(img), 0, 0, 54)
+                + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(img), 2835, 2835, 0, 0)
+                + img
+            )
+
         for pdf in batches:
-            payloads = pdf["payload"]
-            n_bytes = payloads.map(len)
-            byte_sum = payloads.map(lambda b: sum(b) if len(b) else 0)
+            ids = pdf["doc_id"]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": n_bytes.astype("int64"),
-                    "byte_sum": byte_sum.astype("int64"),
-                    "byte_mean": byte_sum / n_bytes.clip(lower=1),
-                    "first_byte": payloads.map(lambda b: b[0] if len(b) else -1).astype("int32"),
-                    "last_byte": payloads.map(lambda b: b[-1] if len(b) else -1).astype("int32"),
+                    "doc_id": ids,
+                    "media_type": ids.map(lambda d: "audio/wav" if d % 2 == 0 else "image/bmp"),
+                    "payload": ids.map(lambda d: wav(int(d)) if d % 2 == 0 else bmp(int(d))),
+                    "meta": [
+                        {"lang": la, "source": so, "n_chars": nc}
+                        for la, so, nc in zip(pdf["lang"], pdf["source"], pdf["n_chars"])
+                    ],
                 }
             )
 
+    return docs.select("doc_id", "lang", "source", "n_chars").mapInPandas(
+        kernel, MEDIA_SCHEMA
+    )
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """REAL decode of WAV/BMP payloads via Arrow-batched mapInPandas:
+    chunk-walks the RIFF container / parses the BMP headers with
+    ``struct`` and computes signal statistics with numpy. Payloads whose
+    magic bytes match no shipped parser raise ``NotImplementedError`` —
+    compressed codecs are honestly absent from this container."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterable["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def parse_wav(b: bytes):
+            if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE container")
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(b):
+                cid, sz = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+                body = b[pos + 8 : pos + 8 + sz]
+                if cid == b"fmt ":
+                    fmt = body
+                elif cid == b"data":
+                    data = body
+                pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+            if fmt is None or data is None:
+                raise ValueError("missing fmt/data chunk")
+            audio_fmt, channels, sr, _rate, _block, bits = struct.unpack("<HHIIHH", fmt[:16])
+            if audio_fmt != 1 or bits != 16:
+                raise NotImplementedError("only PCM16 WAV is decodable here")
+            samples = np.frombuffer(data, dtype="<i2")
+            n = len(samples) // channels
+            mean_abs = float(np.abs(samples.astype(np.float64)).mean())
+            return sr, n, n * 1000.0 / sr, mean_abs
+
+        def parse_bmp(b: bytes):
+            if b[:2] != b"BM":
+                raise ValueError("not a BMP")
+            (_size, _r1, _r2, off) = struct.unpack_from("<IHHI", b, 2)
+            (_hsz, w, h, _planes, bpp) = struct.unpack_from("<IiiHH", b, 14)
+            if bpp != 24:
+                raise NotImplementedError("only 24-bit BMP is decodable here")
+            rowsize = (3 * w + 3) // 4 * 4
+            img = np.frombuffer(b, dtype=np.uint8, offset=off, count=rowsize * abs(h))
+            pixels = img.reshape(abs(h), rowsize)[:, : 3 * w]  # drop row padding
+            return w, abs(h), float(pixels.astype(np.float64).mean())
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "media_type", "n_bytes", "width", "height",
+                "sample_rate", "n_samples", "duration_ms", "signal_mean",
+            )}
+            for doc_id, mtype, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                b = bytes(payload)
+                rows["doc_id"].append(int(doc_id))
+                rows["media_type"].append(mtype)
+                rows["n_bytes"].append(len(b))
+                if b[:4] == b"RIFF":
+                    sr, n, dur, mean_abs = parse_wav(b)
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["sample_rate"].append(sr)
+                    rows["n_samples"].append(n)
+                    rows["duration_ms"].append(dur)
+                    rows["signal_mean"].append(mean_abs)
+                elif b[:2] == b"BM":
+                    w, h, mean_px = parse_bmp(b)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["sample_rate"].append(None)
+                    rows["n_samples"].append(None)
+                    rows["duration_ms"].append(None)
+                    rows["signal_mean"].append(mean_px)
+                else:
+                    raise NotImplementedError(
+                        f"no codec for media_type={mtype!r} (magic {b[:4]!r}); "
+                        "only WAV and BMP are decodable in this container"
+                    )
+            out = pd.DataFrame(rows)
+            for c in ("n_bytes", "width", "height", "sample_rate", "n_samples"):
+                out[c] = pd.array(out[c], dtype="Int64")
+            yield out
+
     # Prune to exactly the columns the kernel reads BEFORE crossing the
     # Arrow boundary — payload bytes dominate transfer cost.
-    return media.select("doc_id", "media_type", "payload").mapInPandas(kernel, FEATURE_SCHEMA)
+    return media.select("doc_id", "media_type", "payload").mapInPandas(kernel, DECODE_SCHEMA)
 
 
 def sample_frames(media: DataFrame, *, frame_bytes: int = 64, stride: int = 256,

@@ -18,7 +18,10 @@ _MODULES = (
     "scalars",
     "cdc",
     "io",
-    "llm",
+    "llm_dedup",
+    "llm_simsearch",
+    "llm_text",
+    "llm_media",
     "streaming_batch",
 )
 

@@ -1,0 +1,149 @@
+"""§2.10 multimodal columns + the Python-UDF surface. Split from
+suite/llm.py in round 2.
+
+Binary payloads (real WAV/BMP containers synthesized per document) ride
+as BinaryType columns; decode is a REAL header parser over Arrow-batched
+mapInPandas (operators/multimodal.py).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mongodb_mysql_cdc_spark.catalog import load
+from mongodb_mysql_cdc_spark.functions import hashing as H
+from mongodb_mysql_cdc_spark.functions import text as X
+from mongodb_mysql_cdc_spark.functions import vectors as V
+from mongodb_mysql_cdc_spark.functions.compat import hround, sql_round
+from mongodb_mysql_cdc_spark.registry import register
+
+# Shared DuckDB CTE: lowercased whitespace tokens (matches functions/text.py).
+TOKS_CTE = (
+    "toks AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS t "
+    "FROM documents)"
+)
+from mongodb_mysql_cdc_spark.operators.multimodal import (
+    decode_media,
+    synth_media,
+    with_payload,
+)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+SELECT doc_id, 'text/plain' AS media_type, octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5, lang AS meta_lang, source AS meta_source
+FROM documents
+""",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary payload plumbing (§2.10 multimodal_cols): media rows
+    carry a BinaryType payload + typed metadata struct through ordinary
+    relational ops — byte length, content hash, metadata projection all
+    JVM-side. The payload here is the UTF-8 encoded text standing in for
+    image/audio bytes; the column shapes are what matter."""
+    media = with_payload(load(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id",
+        "media_type",
+        F.length("payload").alias("n_bytes"),
+        F.md5("payload").alias("content_md5"),
+        F.col("meta.lang").alias("meta_lang"),
+        F.col("meta.source").alias("meta_source"),
+    )
+
+
+@register(
+    "udf_surface",
+    oracle="""
+SELECT doc_id,
+       length(text) AS n_chars_udf,
+       upper(string_split(text, ' ')[1]) AS first_token_upper
+FROM documents
+""",
+)
+def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python UDF escape hatch (§2.10 udf_surface), both tiers:
+    a vectorized Arrow pandas_udf (Series→Series, the ONLY acceptable form
+    in a hot path) and a row-at-a-time F.udf (shown for surface
+    completeness; ~10-100× slower — never put one on the 100 TB path).
+    Deterministic string ops make even arbitrary Python oracle-checkable."""
+    from pyspark.sql.functions import pandas_udf, udf
+
+    # lambda form: PySpark resolves type hints in module scope, so hinting
+    # pd.Series from a function-local import fails — returnType suffices
+    char_len = pandas_udf(lambda s: s.str.len(), "long")
+    first_token_upper = udf(lambda text: text.split(" ")[0].upper(), "string")
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        char_len("text").alias("n_chars_udf"),
+        first_token_upper("text").alias("first_token_upper"),
+    )
+
+
+@register("multimodal_frames")  # rows-only: arbitrary-Python mapInPandas path
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic frame sampling over the binary payload (§2.10
+    multimodal_cols, the video path): fixed-size byte windows every
+    ``stride`` bytes stand in for ffmpeg keyframe extraction. The row
+    blow-up happens at the edge, post-filter — the 100 TB-safe place.
+    Rows-only; exact frame bytes pinned by tests/test_llm.py."""
+    from mongodb_mysql_cdc_spark.operators.multimodal import sample_frames
+
+    media = with_payload(load(spark, sf_dir, "documents"))
+    return sample_frames(media, frame_bytes=32, stride=128, max_frames=4)
+
+
+@register(
+    "multimodal_decode",
+    oracle="""
+WITH wav AS (
+  SELECT doc_id, 64 + doc_id % 64 AS n_samples FROM documents WHERE doc_id % 2 = 0
+),
+wav_feat AS (
+  SELECT w.doc_id, 'audio/wav' AS media_type,
+         CAST(44 + 2 * w.n_samples AS BIGINT) AS n_bytes,
+         CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+         CAST(8000 AS BIGINT) AS sample_rate,
+         CAST(w.n_samples AS BIGINT) AS n_samples,
+         CAST(w.n_samples AS DOUBLE) * 1000.0 / 8000.0 AS duration_ms,
+         avg(abs(CAST((w.doc_id * 31 + t.i * 17) % 2048 - 1024 AS DOUBLE))) AS signal_mean
+  FROM wav w CROSS JOIN LATERAL (SELECT unnest(range(w.n_samples)) AS i) t
+  GROUP BY ALL
+),
+bmp AS (
+  SELECT doc_id, 4 + doc_id % 8 AS w, 4 AS h FROM documents WHERE doc_id % 2 = 1
+),
+bmp_feat AS (
+  SELECT b.doc_id, 'image/bmp' AS media_type,
+         CAST(54 + b.h * ((3 * b.w + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+         CAST(b.w AS BIGINT) AS width, CAST(b.h AS BIGINT) AS height,
+         CAST(NULL AS BIGINT) AS sample_rate, CAST(NULL AS BIGINT) AS n_samples,
+         CAST(NULL AS DOUBLE) AS duration_ms,
+         avg(CAST((b.doc_id * 7 + x.x * 3 + y.y * 13) % 256 AS DOUBLE)) AS signal_mean
+  FROM bmp b
+  CROSS JOIN LATERAL (SELECT unnest(range(b.w)) AS x) x
+  CROSS JOIN LATERAL (SELECT unnest(range(b.h)) AS y) y
+  GROUP BY ALL
+)
+SELECT * FROM wav_feat UNION ALL SELECT * FROM bmp_feat
+""",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode over Arrow-batched mapInPandas (§2.10): synth_media
+    manufactures genuine PCM16 WAV / 24-bit BMP containers per document,
+    decode_media chunk-walks and header-parses them back (struct + numpy).
+    The oracle recomputes every feature ANALYTICALLY from the generator
+    formulas (generate_series, no byte handling), so a broken byte layout,
+    header offset, padding rule, or sample decode shows up as a value
+    mismatch. Signal means are exact: all partial sums are integers below
+    2^53, so fp summation order cannot diverge between engines."""
+    return decode_media(synth_media(load(spark, sf_dir, "documents")))

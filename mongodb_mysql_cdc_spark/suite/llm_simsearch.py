@@ -1,0 +1,293 @@
+"""§2.10 similarity search: exact brute-force top-k (broadcast query set ×
+streamed corpus), LSH-bucketed ANN, IVF cell-restricted ANN, kNN
+classification. Split from suite/llm.py in round 2.
+
+All vector math is a sequential left fold (`F.aggregate` / `list_reduce`)
+in DOUBLE — IEEE-exact and same-order on both engines, so no rounding.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mongodb_mysql_cdc_spark.catalog import load
+from mongodb_mysql_cdc_spark.functions import hashing as H
+from mongodb_mysql_cdc_spark.functions import text as X
+from mongodb_mysql_cdc_spark.functions import vectors as V
+from mongodb_mysql_cdc_spark.functions.compat import hround, sql_round
+from mongodb_mysql_cdc_spark.registry import register
+
+# Shared DuckDB CTE: lowercased whitespace tokens (matches functions/text.py).
+TOKS_CTE = (
+    "toks AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS t "
+    "FROM documents)"
+)
+from mongodb_mysql_cdc_spark.operators.partitioning import spread
+
+
+# ---------------------------------------------------------------------------
+# Similarity search: brute-force top-k, LSH-bucketed ANN, kNN classify
+# ---------------------------------------------------------------------------
+
+_N_QUERIES = 10  # vec_id < 10 are the query set; the rest are the corpus
+_TOP_K = 5
+_EMB_DIM = 64  # harness embedding dimensionality (FIXTURES.md)
+
+
+def _scored_pairs(emb: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, cos_sim) for query-set × corpus; the query
+    side is broadcast — corpus streams, zero shuffle. Norms are computed
+    once per vector, not per pair (the pair expression is a single dot
+    fold); the values stay bit-identical to the oracle's per-pair form."""
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        V.norm(F.col("embedding")).alias("qn"),
+    )
+    c = spread(emb.filter(F.col("vec_id") >= _N_QUERIES), "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "label",
+        V.norm(F.col("embedding")).alias("cn"),
+    )
+    return c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        "label",
+        (V.dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+    )
+
+
+_PAIRS_SQL = f"""
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS label,
+         {V.sql_cosine('q.embedding', 'c.embedding')} AS cos_sim
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id < {_N_QUERIES} AND c.vec_id >= {_N_QUERIES}
+"""
+
+
+@register(
+    "sim_search_topk",
+    oracle=f"""
+WITH pairs AS ({_PAIRS_SQL})
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= {_TOP_K}
+""",
+)
+def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (§2.10 sim_search_topk) — the exact
+    baseline. Broadcast queries × streamed corpus, then a per-query window
+    top-k (ties broken by neighbor_id for determinism). At 100 TB the
+    window is per-query-id — perfectly parallel, state = k rows/query."""
+    pairs = _scored_pairs(load(spark, sf_dir, "embeddings"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+_LSH_NBITS = 4  # 16 buckets
+
+# Hyperplane sign matrices are BAKED IN as literals at plan-build time:
+# r_j[i] = ±1 from bit 0 of md5(f"{j}:{i}") computed in Python — the exact
+# value both engines would compute at runtime, with zero runtime hashing
+# (the previous runtime-hashed form spent 4×64 md5 calls per vector).
+_PLANES = [
+    [1.0 if H.py_hash60(f"{j}:{i}") & 1 else -1.0 for i in range(_EMB_DIM)]
+    for j in range(_LSH_NBITS)
+]
+
+
+def _bucket_col(vec) -> F.Column:
+    """Random-hyperplane LSH bucket: bit j = sign of <v, r_j>. The dot is
+    a sequential double fold over zip_with → bit-identical to DuckDB."""
+    total = None
+    for j in range(_LSH_NBITS):
+        # one Py4J call per plane (F.lit on a list), not 64 per-element lits
+        plane = F.lit(_PLANES[j])
+        prods = F.zip_with(V.to_double(vec), plane, lambda x, s: x * s)
+        dot_j = F.aggregate(prods, F.lit(0.0), lambda a, x: a + x)
+        term = F.when(dot_j > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        total = term if total is None else total + term
+    return total.cast("int")
+
+
+def _sql_bucket(vec: str) -> str:
+    terms = []
+    for j in range(_LSH_NBITS):
+        plane = "[" + ", ".join(str(v) for v in _PLANES[j]) + "]"
+        dot_j = (
+            f"list_reduce(list_transform(list_zip(CAST({vec} AS DOUBLE[]), {plane}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (a, b) -> a + b)"
+        )
+        terms.append(f"(CASE WHEN {dot_j} > 0 THEN {1 << j} ELSE 0 END)")
+    return "CAST(" + " + ".join(terms) + " AS INTEGER)"
+
+
+@register(
+    "sim_search_lsh",
+    oracle=f"""
+WITH b AS (SELECT vec_id, embedding, label, {_sql_bucket('embedding')} AS bucket FROM embeddings),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket AS bucket,
+         {V.sql_cosine('q.embedding', 'c.embedding')} AS cos_sim
+  FROM b q JOIN b c
+    ON q.bucket = c.bucket AND q.vec_id < {_N_QUERIES} AND c.vec_id >= {_N_QUERIES}
+)
+SELECT query_id, neighbor_id, bucket, cos_sim, rank FROM (
+  SELECT query_id, neighbor_id, bucket, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= {_TOP_K}
+""",
+)
+def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (§2.10 scale path). Both sides hash to
+    a {_LSH_NBITS}-bit random-hyperplane bucket; distance math only runs
+    within matching buckets (~2^{_LSH_NBITS}-fold corpus pruning; recall
+    traded per extra bit). At 100 TB the bucket join replaces the cross
+    join: shuffle on bucket id, or broadcast the (tiny) bucketed query set
+    as done here."""
+    emb = spread(load(spark, sf_dir, "embeddings"), "vec_id").withColumn(
+        "bucket", _bucket_col(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket",
+        V.norm(F.col("embedding")).alias("qn"),
+    )
+    c = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"),
+        F.col("bucket").alias("cbucket"), V.norm(F.col("embedding")).alias("cn"),
+    )
+    pairs = c.join(F.broadcast(q), F.col("bucket") == F.col("cbucket")).select(
+        "query_id",
+        "neighbor_id",
+        "bucket",
+        (V.dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "bucket", "cos_sim", "rank")
+    )
+
+
+_IVF_NCELLS = 8
+# Deterministic coarse centroids: the first _IVF_NCELLS corpus vectors
+# (vec_id 10..17). Real IVF trains k-means; any fixed, data-derived set
+# gives the same engine shape (assign → cell-restricted search), and a
+# deterministic choice keeps the oracle exact.
+_IVF_CENTROID_LO = _N_QUERIES
+_IVF_CENTROID_HI = _N_QUERIES + _IVF_NCELLS  # exclusive
+
+_SQL_CENT = f"""
+cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         WHERE vec_id >= {_IVF_CENTROID_LO} AND vec_id < {_IVF_CENTROID_HI}),
+assign AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {V.sql_cosine('e.embedding', 'c.cvec')} DESC, c.cid) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+)"""
+
+
+@register(
+    "sim_search_ivf",
+    oracle=f"""
+WITH {_SQL_CENT},
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, qa.cid AS cell,
+         {V.sql_cosine('q.embedding', 'c.embedding')} AS cos_sim
+  FROM embeddings q
+  JOIN assign qa ON qa.vec_id = q.vec_id
+  JOIN assign ca ON ca.cid = qa.cid
+  JOIN embeddings c ON c.vec_id = ca.vec_id
+  WHERE q.vec_id < {_N_QUERIES} AND c.vec_id >= {_N_QUERIES}
+)
+SELECT query_id, neighbor_id, cell, cos_sim, rank FROM (
+  SELECT query_id, neighbor_id, cell, cos_sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM pairs
+) WHERE rank <= {_TOP_K}
+""",
+)
+def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (§2.10 scale path, second family next to LSH):
+    assign every vector to its nearest coarse centroid (tiny broadcast
+    cross-product), then search only the query's cell (probe=1). At 100 TB
+    the assignment pass is one broadcast map over the corpus and the cell
+    id becomes the partition key — searches touch 1/n_cells of the data.
+    Centroids here are a deterministic data-derived set so the DuckDB
+    oracle reproduces cells exactly; production would k-means them."""
+    emb = spread(load(spark, sf_dir, "embeddings"), "vec_id")
+    cent = emb.filter(
+        (F.col("vec_id") >= _IVF_CENTROID_LO) & (F.col("vec_id") < _IVF_CENTROID_HI)
+    ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "cid", V.cosine("embedding", "cvec").alias("ccos")
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "embedding")
+    )
+    q = assign.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"),
+        F.col("embedding").alias("qv"),
+    )
+    c = assign.filter(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("cid").alias("ccell"),
+        F.col("embedding").alias("cv"),
+    )
+    pairs = c.join(F.broadcast(q), F.col("cell") == F.col("ccell")).select(
+        "query_id", "neighbor_id", "cell", V.cosine("qv", "cv").alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "cell", "cos_sim", "rank")
+    )
+
+
+@register(
+    "knn_classify",
+    oracle=f"""
+WITH pairs AS ({_PAIRS_SQL}),
+topk AS (
+  SELECT query_id, label FROM (
+    SELECT query_id, label,
+           row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM pairs
+  ) WHERE rank <= {_TOP_K}
+),
+votes AS (SELECT query_id, label, count(*) AS votes FROM topk GROUP BY query_id, label)
+SELECT query_id, label AS predicted_label, votes FROM (
+  SELECT query_id, label, votes,
+         row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, label) AS vr
+  FROM votes
+) WHERE vr = 1
+""",
+)
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-label classification (§2.10): top-k neighbors by
+    cosine, then per-query vote count; ties broken by smallest label for
+    determinism. Same broadcast-query / streamed-corpus shape as top-k."""
+    pairs = _scored_pairs(load(spark, sf_dir, "embeddings"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    topk = pairs.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= _TOP_K)
+    votes = topk.groupBy("query_id", "label").agg(F.count(F.lit(1)).alias("votes"))
+    wv = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("label"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "votes")
+    )
+
+

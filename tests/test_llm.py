@@ -14,7 +14,7 @@ from mongodb_mysql_cdc_spark.operators.multimodal import (
     sample_frames,
     with_payload,
 )
-from mongodb_mysql_cdc_spark.suite import llm
+from mongodb_mysql_cdc_spark.suite import llm_dedup, llm_simsearch, llm_text
 
 
 def test_hash60_matches_duckdb_spelling(spark):
@@ -34,10 +34,10 @@ def test_minhash_candidates_catch_high_jaccard_pairs(spark, sf_dir):
     (1-J²)⁴ < 2e-3 at J=0.9; this corpus's planted pairs are J≈0.99)."""
     exact = {
         (r.doc_a, r.doc_b)
-        for r in llm.dedup_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.9).collect()
+        for r in llm_dedup.dedup_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.9).collect()
     }
     candidates = {
-        (r.doc_a, r.doc_b) for r in llm.dedup_minhash_lsh(spark, sf_dir).collect()
+        (r.doc_a, r.doc_b) for r in llm_dedup.dedup_minhash_lsh(spark, sf_dir).collect()
     }
     assert exact, "corpus should contain planted near-dup pairs"
     assert exact <= candidates
@@ -48,9 +48,9 @@ def test_lsh_ann_results_are_true_neighbors(spark, sf_dir):
     cosine values and correct per-bucket ranking."""
     brute = {
         (r.query_id, r.neighbor_id): r.cos_sim
-        for r in llm._scored_pairs(load(spark, sf_dir, "embeddings")).collect()
+        for r in llm_simsearch._scored_pairs(load(spark, sf_dir, "embeddings")).collect()
     }
-    ann = llm.sim_search_lsh(spark, sf_dir).collect()
+    ann = llm_simsearch.sim_search_lsh(spark, sf_dir).collect()
     assert ann
     for r in ann:
         assert (r.query_id, r.neighbor_id) in brute
@@ -66,8 +66,8 @@ def test_lsh_ann_results_are_true_neighbors(spark, sf_dir):
 def test_simhash_near_dups_have_small_hamming_distance(spark, sf_dir):
     """Planted near-dup pairs (found by exact Jaccard) must sit within a
     small SimHash Hamming radius; random pairs should average much larger."""
-    sim = {r.doc_id: r.simhash for r in llm.dedup_simhash(spark, sf_dir).collect()}
-    near = llm.dedup_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.9).collect()
+    sim = {r.doc_id: r.simhash for r in llm_dedup.dedup_simhash(spark, sf_dir).collect()}
+    near = llm_dedup.dedup_ngram_jaccard(spark, sf_dir).filter(F.col("jaccard") >= 0.9).collect()
     assert near
 
     def ham(a, b):
@@ -94,30 +94,47 @@ def test_connected_components_chain_graph(spark):
 
 
 def test_multimodal_decode_golden(spark, sf_dir):
-    """The fake decoder's byte statistics must equal python-side ground
-    truth computed from the raw document text."""
-    docs = {r.doc_id: r.text for r in load(spark, sf_dir, "documents").limit(50).collect()}
+    """The REAL decoder's parsed fields must equal independent ground
+    truth: the synthesized WAV payloads are re-read with the *stdlib*
+    ``wave`` codec (a parser we did not write), and the analytic
+    per-doc formulas pin every feature."""
+    import io
+    import wave
+
+    from mongodb_mysql_cdc_spark.operators.multimodal import synth_media
+
+    media = synth_media(load(spark, sf_dir, "documents")).filter(F.col("doc_id") < 20)
+    payloads = {r.doc_id: bytes(r.payload) for r in media.collect()}
     feats = {
         r.doc_id: r
-        for r in decode_media(with_payload(load(spark, sf_dir, "documents")), fake=True)
-        .filter(F.col("doc_id").isin(*docs))
-        .collect()
+        for r in decode_media(media).collect()
     }
-    assert set(feats) == set(docs)
-    for doc_id, text in docs.items():
-        raw = text.encode("utf-8")
-        f = feats[doc_id]
-        assert f.n_bytes == len(raw)
-        assert f.byte_sum == sum(raw)
-        assert f.byte_mean == pytest.approx(sum(raw) / len(raw))
-        assert f.first_byte == raw[0]
-        assert f.last_byte == raw[-1]
-        assert f.media_type == "text/plain"
+    assert set(feats) == set(payloads)
+    for doc_id, f in feats.items():
+        if doc_id % 2 == 0:  # WAV — cross-check with the stdlib codec
+            wf = wave.open(io.BytesIO(payloads[doc_id]))
+            assert f.media_type == "audio/wav"
+            assert f.sample_rate == wf.getframerate() == 8000
+            assert f.n_samples == wf.getnframes() == 64 + doc_id % 64
+            assert f.duration_ms == pytest.approx(f.n_samples * 1000.0 / 8000)
+            expect_mean = sum(
+                abs(((doc_id * 31 + i * 17) % 2048) - 1024) for i in range(f.n_samples)
+            ) / f.n_samples
+            assert f.signal_mean == pytest.approx(expect_mean)
+        else:  # BMP — analytic pixel mean
+            w, h = 4 + doc_id % 8, 4
+            assert f.media_type == "image/bmp"
+            assert (f.width, f.height) == (w, h)
+            vals = [(doc_id * 7 + x * 3 + y * 13) % 256 for y in range(h) for x in range(w)]
+            assert f.signal_mean == pytest.approx(sum(vals) / len(vals))
+            assert f.n_bytes == 54 + h * ((3 * w + 3) // 4 * 4)
 
 
 def test_multimodal_decode_without_codecs_raises(spark, sf_dir):
-    with pytest.raises(NotImplementedError):
-        decode_media(with_payload(load(spark, sf_dir, "documents")))
+    """Payloads with no shipped parser (e.g. compressed codecs) must fail
+    loudly, not silently produce garbage."""
+    with pytest.raises(Exception, match="NotImplementedError|no codec"):
+        decode_media(with_payload(load(spark, sf_dir, "documents"))).collect()
 
 
 def test_sample_frames_shape(spark, sf_dir):
@@ -135,9 +152,9 @@ def test_sample_frames_shape(spark, sf_dir):
 def test_sim_search_plans_broadcast_the_query_side(spark, sf_dir):
     """Scale shape: the ANN joins must broadcast the (tiny) query side —
     a shuffled join here would be the 100 TB bottleneck."""
-    plan = llm.sim_search_topk(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    plan = llm_simsearch.sim_search_topk(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    plan = llm.sim_search_lsh(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    plan = llm_simsearch.sim_search_lsh(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan
 
 
@@ -146,7 +163,7 @@ def test_tfidf_weights_match_manual_computation(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     n_docs = docs.select("doc_id").distinct().count()
-    sample = llm.tfidf(spark, sf_dir).filter(F.col("doc_id") == 1).collect()
+    sample = llm_text.tfidf(spark, sf_dir).filter(F.col("doc_id") == 1).collect()
     assert sample
     for r in sample[:10]:
         expect = r.tf * (math.log((n_docs + 1.0) / (r.df + 1.0)) + 1.0)
