@@ -23,6 +23,7 @@ _MODULES = (
     "llm_text",
     "llm_media",
     "streaming_batch",
+    "pipeline",
 )
 
 

@@ -1,0 +1,326 @@
+"""Training-data pipeline operators (round-2 extension beyond SURVEY §2.10):
+stratified sampling, per-group reservoirs, benchmark decontamination,
+sequence packing, domain mixing, quality bucketing, and SCD2 change
+history — the curation stages a 100 TB pretraining pipeline runs between
+dedup and tokenization.
+
+Reference parity note: the reference (arashkhavari/mongodb-mysql-cdc) has
+no such surface; these extend the mandated LLM-pipeline family
+(BASELINE.json:6) with the same oracle-checked discipline as §2.10.
+
+Shared determinism rule: any "random" choice is a ``hash60`` of a salted
+key — reproducible on both engines, stable under re-partitioning, and
+exactly re-computable by the DuckDB oracle (no RNG state anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mongodb_mysql_cdc_spark.catalog import load
+from mongodb_mysql_cdc_spark.functions import hashing as H
+from mongodb_mysql_cdc_spark.functions import text as X
+from mongodb_mysql_cdc_spark.functions.compat import hround, sql_round
+from mongodb_mysql_cdc_spark.registry import register
+
+# Lowercased whitespace tokens — must match functions/text.py (same CTE as
+# the llm_* modules).
+TOKS_CTE = (
+    "toks AS (SELECT doc_id, lang, source, n_chars,"
+    " string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents)"
+)
+
+
+# ---------------------------------------------------------------------------
+# Sampling
+# ---------------------------------------------------------------------------
+
+_RATE_SQL = (
+    "CASE source WHEN 'src0' THEN 200 WHEN 'src1' THEN 500 ELSE 100 END"
+)
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {H.sql_hash60("concat('smpl|', CAST(doc_id AS VARCHAR))")} % 1000
+      < {_RATE_SQL}
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Bernoulli sampling at configured rates (src0 20 %,
+    src1 50 %, rest 10 %) — the domain-rebalancing primitive.
+
+    100 TB design: the keep/drop decision is a pure narrow projection
+    (hash of the row's own key), so sampling composes with partition
+    pruning and costs zero shuffle; the same (salt, key) pair always
+    lands on the same side, so reruns and incremental loads agree."""
+    d = load(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source") == "src0", 200)
+        .when(F.col("source") == "src1", 500)
+        .otherwise(100)
+    )
+    coin = H.hash60(F.concat(F.lit("smpl|"), F.col("doc_id").cast("string"))) % 1000
+    return d.filter(coin < rate).select("doc_id", "lang", "source")
+
+
+@register(
+    "sample_per_group",
+    oracle=f"""
+SELECT doc_id, lang, rk FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {H.sql_hash60("concat('rsv|', CAST(doc_id AS VARCHAR))")}, doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= 20
+""",
+)
+def sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic reservoir: exactly min(20, |group|) docs per language,
+    chosen by salted-hash order (uniform, reproducible, engine-portable).
+
+    100 TB design: one shuffle on the group key. With few giant groups
+    (languages), pre-aggregate a per-partition top-20 first (map-side
+    candidate pruning) — Catalyst's TakeOrderedAndProject does exactly
+    this shape for global top-k; per-group the window + filter rank<=k
+    plan prunes on the fly via WindowGroupLimit."""
+    d = load(spark, sf_dir, "documents")
+    coin = H.hash60(F.concat(F.lit("rsv|"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(coin.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_BENCH_MAX_ID = 25  # doc_id < 25 stands in for the eval/benchmark set
+_DECON_N = 5  # 5-word shingles: long enough that overlap means real reuse
+
+
+@register(
+    "decontaminate",
+    oracle=f"""
+WITH {TOKS_CTE},
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(t) - {_DECON_N - 1}, 0)),
+    i -> array_to_string(t[i:i+{_DECON_N - 1}], ' '))) AS s
+  FROM toks WHERE greatest(len(t) - {_DECON_N - 1}, 0) > 0
+),
+bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < {_BENCH_MAX_ID}),
+contaminated AS (
+  SELECT DISTINCT c.doc_id
+  FROM (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= {_BENCH_MAX_ID}) c
+  JOIN bench b ON c.g = b.g
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id >= {_BENCH_MAX_ID}
+  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+""",
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: drop every training doc sharing any
+    5-gram with the eval set (docs 0-24 stand in for the benchmark).
+
+    100 TB design: the benchmark shingle set is tiny (eval suites are
+    MBs) → broadcast; the corpus side explodes shingles and left-ANTI
+    joins against the broadcast — no shuffle of the corpus, no pair
+    materialization. At petabyte eval suites you'd swap the broadcast
+    for a bloom filter pushed into the scan."""
+    d = load(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    sh = d.select(
+        "doc_id", F.array_distinct(X.word_shingles(toks, _DECON_N)).alias("sh")
+    ).filter(F.size("sh") > 0)
+    bench = (
+        sh.filter(F.col("doc_id") < _BENCH_MAX_ID)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") >= _BENCH_MAX_ID).select(
+        "doc_id", F.explode("sh").alias("g")
+    )
+    contaminated = corpus.join(F.broadcast(bench), "g").select("doc_id").distinct()
+    return (
+        d.filter(F.col("doc_id") >= _BENCH_MAX_ID)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 2048
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+WITH {TOKS_CTE},
+counted AS (SELECT doc_id, lang, len(t) AS n_tokens FROM toks),
+packed AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM counted
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((cum_tokens - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS bin_id
+FROM packed
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs (in stable doc_id order per language)
+    to ~{budget}-token training bins by cumulative token count — the
+    standard pre-tokenization packing pass. bin_id = starting offset
+    div budget, so a doc straddling a boundary starts the next bin's
+    overflow (greedy packing, no splitting).
+
+    100 TB design: packing is stream-order-local, so the window
+    partitions by (lang) here and by (lang, shard) in production — bins
+    never need to be globally contiguous, only locally dense, so the
+    shard count scales the parallelism freely."""
+    d = load(spark, sf_dir, "documents")
+    n_tokens = F.size(X.tokens(F.col("text"))).cast("long")
+    counted = d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start_offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    # floor == integer div here (offsets are non-negative)
+    bin_id = F.floor(start_offset / _PACK_BUDGET).cast("long")
+    return counted.select("doc_id", "lang", "n_tokens", bin_id.alias("bin_id"))
+
+
+# ---------------------------------------------------------------------------
+# Domain mixing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "domain_mix",
+    oracle=f"""
+WITH cnt AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+tot AS (SELECT sum(n_docs) AS total, count(*) AS n_sources FROM cnt)
+SELECT source, n_docs,
+       {sql_round('(CAST(total AS DOUBLE) / n_sources) / n_docs', 6)} AS resample_weight
+FROM cnt CROSS JOIN tot
+""",
+)
+def domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing weights: per-source resampling factor that flattens
+    the corpus to a uniform target mix (weight = target share / actual
+    share). Feed the weights to sample_stratified-style coin flips for
+    the actual resample pass.
+
+    100 TB design: one map-side-combined count per source (KBs) plus a
+    broadcast of the 1-row total — no data-sized shuffle at any scale."""
+    d = load(spark, sf_dir, "documents")
+    cnt = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = cnt.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    weight = (F.col("total").cast("double") / F.col("n_sources")) / F.col("n_docs")
+    return cnt.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", hround(weight, 6).alias("resample_weight")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality bucketing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_buckets",
+    oracle="""
+SELECT doc_id, lang, n_chars,
+       CAST(ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT)
+         AS q_bucket
+FROM documents
+""",
+)
+def quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile assignment per language (ntile over a quality
+    signal; doc length stands in for the model score column). Downstream
+    mixes sample per bucket — e.g. upweight the top deciles.
+
+    100 TB design: one shuffle on the group key; ntile needs the group
+    sorted, which is the same work the pack_sequences window already
+    does — in a combined pipeline both ride one exchange."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return d.select(
+        "doc_id", "lang", "n_chars", F.ntile(10).over(w).cast("long").alias("q_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 change history (CDC-side extension)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cdc_scd2",
+    oracle="""
+WITH env AS (
+  SELECT user_id AS key, ts, event_id AS seq,
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+         value
+  FROM events
+),
+versioned AS (
+  SELECT key, ts, seq, op, value,
+         lead(ts) OVER (PARTITION BY key ORDER BY ts, seq) AS next_ts
+  FROM env
+)
+SELECT key, seq, value, ts AS valid_from, next_ts AS valid_to,
+       (next_ts IS NULL) AS is_current
+FROM versioned
+WHERE op <> 'd'
+""",
+)
+def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 from the change stream: every
+    non-delete envelope becomes a version row with a [valid_from,
+    valid_to) interval; a following event (including a delete) closes the
+    interval, and an open interval marks the current image — the history
+    table a warehouse keeps NEXT TO the LWW current-state table that
+    cdc_apply maintains.
+
+    100 TB design: one window over (key), i.e. the same partitioning the
+    apply path already shuffles by — history and current state
+    materialize from a single exchange. State is bounded per key by
+    version count, and time-travel queries become interval predicates
+    that prune on valid_from/valid_to partition columns."""
+    from mongodb_mysql_cdc_spark.sources.cdc import events_as_envelopes
+
+    env = events_as_envelopes(spark, sf_dir)
+    w = Window.partitionBy("key").orderBy("ts", "seq")
+    versioned = env.select(
+        "key", "ts", "seq", "op", F.col("after.value").alias("value")
+    ).withColumn("next_ts", F.lead("ts").over(w))
+    return versioned.filter(F.col("op") != "d").select(
+        "key",
+        "seq",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.col("next_ts").alias("valid_to"),
+        F.col("next_ts").isNull().alias("is_current"),
+    )
