@@ -60,6 +60,37 @@ def stage_event_chunks(
     return out
 
 
+GHOST_USER = 1_000_000_000  # matches no real user on any side
+
+
+def stage_heartbeats(
+    spark: SparkSession, staged_dir: str, sf_dir: str, *, n: int = 3,
+    event_type: str = "signup"
+) -> None:
+    """Append far-future heartbeat chunks (the Debezium-heartbeat idiom) so
+    watermarks provably pass every real event and append-mode tails flush
+    inside data batches. THREE ascending beats because watermark
+    application lags batches and the final no-data batch is unreliable
+    (found empirically — see stream_stream_join_left's docstring). The
+    ghost rows carry GHOST_USER; callers filter them from results. The
+    event_type matters when per-type predicates get pushed below a
+    watermark (the heartbeat must satisfy them to be observed)."""
+    import datetime
+    import os
+
+    max_ts = load(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    for i in range(n):
+        hb_ts = max_ts + datetime.timedelta(hours=10 * (i + 1))
+        hb = spark.createDataFrame(
+            [(-1 - i, hb_ts, GHOST_USER, event_type, 0.0, "{}")],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+        hb.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(staged_dir, f"chunk=999{i}")
+        )
+
+
 def read_event_stream(spark: SparkSession, staged_dir: str) -> DataFrame:
     """Open the staged dir as a file stream, one chunk per micro-batch."""
     return (

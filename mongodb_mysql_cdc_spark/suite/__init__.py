@@ -24,6 +24,7 @@ _MODULES = (
     "llm_media",
     "streaming_batch",
     "pipeline",
+    "subqueries",
 )
 
 

@@ -264,3 +264,62 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("min_by(event_id, ts)").alias("first_event_id"),
         F.max("ts").alias("last_ts"),
     )
+
+
+@register(
+    "pivot_wide",
+    oracle=f"""
+SELECT l_returnflag,
+       {sql_round("sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)")} AS qty_f,
+       {sql_round("sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)")} AS qty_o,
+       count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
+       count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot with EXPLICIT value list — at 100 TB the value list
+    must be declared (or sampled in a prior pass): an unlisted .pivot()
+    triggers a full distinct scan before planning.  With values declared
+    the plan is a single hash aggregate, identical to conditional sums —
+    which is exactly the oracle's spelling."""
+    li = load(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            hround(F.sum("l_quantity")).alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return wide.select(
+        "l_returnflag",
+        F.col("F_qty").alias("qty_f"),
+        F.col("O_qty").alias("qty_o"),
+        F.col("F_n").alias("n_f"),
+        F.col("O_n").alias("n_o"),
+    )
+
+
+@register(
+    "unpivot_long",
+    oracle="""
+SELECT s_suppkey, metric, CAST(val AS DOUBLE) AS val
+FROM (
+  SELECT s_suppkey, 'acctbal' AS metric, s_acctbal AS val FROM supplier
+  UNION ALL
+  SELECT s_suppkey, 'nationkey', CAST(s_nationkey AS DOUBLE) FROM supplier
+)
+""",
+)
+def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt). Spark's native unpivot is a zero-shuffle
+    generator (each row expands locally) — the safe direction at any
+    scale; the oracle is the classic UNION ALL spelling."""
+    s = load(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey", "s_acctbal", F.col("s_nationkey").cast("double").alias("nationkey")
+    ).withColumnRenamed("s_acctbal", "acctbal").unpivot(
+        "s_suppkey", ["acctbal", "nationkey"], "metric", "val"
+    )

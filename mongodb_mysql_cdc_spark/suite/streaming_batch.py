@@ -91,6 +91,58 @@ def win_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_session",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM gaps
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+""",
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE session windows (§2.9 win_session's streaming form): the
+    replayed change feed grouped by session_window in APPEND mode, so a
+    session row only emits once the watermark proves the 30-min gap —
+    i.e. every emission is FINAL (no update-folding needed, unlike the
+    tumbling complete-mode query). Far-future heartbeats flush the tail
+    sessions; the ghost user's own session is filtered out batch-side.
+    Same oracle as the batch win_session — stream/batch parity for the
+    merge semantics of session windows, which are the hardest stateful
+    case (windows merge as late events bridge gaps)."""
+    from mongodb_mysql_cdc_spark.streaming.replay import (
+        GHOST_USER,
+        drain_to_memory_table,
+        read_event_stream,
+        stage_event_chunks,
+        stage_heartbeats,
+    )
+    from mongodb_mysql_cdc_spark.streaming.windows import session_counts
+
+    staged = stage_event_chunks(spark, sf_dir, n_chunks=4, dir_prefix="sess")
+    stage_heartbeats(spark, staged, sf_dir)
+    stream = read_event_stream(spark, staged).withWatermark("ts", "1 hour")
+    sess = session_counts(stream, "30 minutes")
+    out = drain_to_memory_table(spark, sess, "sess", "append", settle=True)
+    return out.filter(F.col("user_id") != GHOST_USER)
+
+
+@register(
     "late_data",
     oracle="""
 SELECT event_id, user_id, ts
@@ -198,29 +250,15 @@ def stream_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
       event and the outer tail emits inside data batches.
 
     Oracle: the plain batch LEFT JOIN."""
-    import datetime
-    import os
-
     from mongodb_mysql_cdc_spark.streaming.replay import (
         drain_to_memory_table,
         read_event_stream,
         stage_event_chunks,
+        stage_heartbeats,
     )
-    from mongodb_mysql_cdc_spark.catalog import load as _load
 
     staged = stage_event_chunks(spark, sf_dir, n_chunks=4, dir_prefix="ssjl")
-    max_ts = _load(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
-    ghost = 1_000_000_000  # user id that exists on neither side's real data
-    for i in range(3):
-        hb_ts = max_ts + datetime.timedelta(hours=10 * (i + 1))
-        hb = spark.createDataFrame(
-            [(-1 - i, hb_ts, ghost, "signup", 0.0, "{}")],
-            "event_id long, ts timestamp, user_id long, event_type string,"
-            " value double, props string",
-        )
-        hb.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(staged, f"chunk=999{i}")
-        )
+    stage_heartbeats(spark, staged, sf_dir, event_type="signup")
 
     left = (
         read_event_stream(spark, staged)

@@ -1,0 +1,133 @@
+"""SQL subquery surface — EXISTS / NOT EXISTS / IN / scalar subqueries,
+expressed through ``spark.sql`` so Catalyst's subquery rewrites
+(RewritePredicateSubquery → semi/anti join, scalar-subquery broadcast)
+are what actually run. The DataFrame spellings of the same algebra live
+in suite/joins.py (join_semi/join_anti); this module proves the *SQL
+dialect* surface a MySQL-side user would write.
+
+100 TB notes: correlated EXISTS/IN rewrite to hash semi-joins (shuffle on
+the correlation key — same cost model as join_semi); an uncorrelated
+scalar subquery executes once and broadcasts as a literal, never a
+per-row lookup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mongodb_mysql_cdc_spark.catalog import load
+from mongodb_mysql_cdc_spark.registry import register
+
+
+def _views(spark: SparkSession, sf_dir: str, *tables: str) -> None:
+    for t in tables:
+        load(spark, sf_dir, t).createOrReplaceTempView(f"_sq_{t}")
+
+
+@register(
+    "subquery_exists",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45
+)
+""",
+)
+def subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS → Catalyst rewrites to a left-semi hash join."""
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM _sq_orders o
+        WHERE EXISTS (
+          SELECT 1 FROM _sq_lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45
+        )
+        """
+    )
+
+
+@register(
+    "subquery_not_exists",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+)
+""",
+)
+def subquery_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated NOT EXISTS → left-anti hash join (customers with no
+    order above the threshold — chosen so the result is non-trivially
+    between 0 and |customer| at every SF)."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM _sq_customer c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM _sq_orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+        )
+        """
+    )
+
+
+@register(
+    "subquery_in",
+    oracle="""
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_nationkey IN (
+  SELECT n_nationkey FROM nation WHERE n_regionkey <= 1
+)
+""",
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) → semi join against the (tiny, broadcastable) key
+    set."""
+    _views(spark, sf_dir, "supplier", "nation")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name
+        FROM _sq_supplier
+        WHERE s_nationkey IN (
+          SELECT n_nationkey FROM _sq_nation WHERE n_regionkey <= 1
+        )
+        """
+    )
+
+
+@register(
+    "subquery_scalar",
+    oracle="""
+SELECT o_orderkey, o_totalprice,
+       CAST(floor((o_totalprice - (SELECT avg(o_totalprice) FROM orders)) * 100.0 + 0.5)
+            / 100.0 AS DOUBLE) AS price_vs_avg
+FROM orders
+WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) * 0.5
+""",
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subqueries in SELECT and WHERE — each executes
+    once and is broadcast as a literal (never a per-row lookup).
+
+    Determinism: the WHERE scalar is max()*0.5 — exact fp on both engines,
+    so the row set cannot flap at the boundary; the SELECT uses avg(),
+    whose fp summation ORDER differs across engines (ulp-level), so the
+    derived column is hround-ed to 2dp on both sides."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               CAST(floor((o_totalprice - (SELECT avg(o_totalprice) FROM _sq_orders)) * 100.0 + 0.5)
+                    / 100.0 AS DOUBLE) AS price_vs_avg
+        FROM _sq_orders
+        WHERE o_totalprice > (SELECT max(o_totalprice) FROM _sq_orders) * 0.5
+        """
+    )

@@ -192,3 +192,54 @@ def win_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(F.percent_rank().over(w), 6).alias("pct_rank"),
         hround(F.cume_dist().over(w), 6).alias("cum_dist"),
     )
+
+
+@register(
+    "win_range_frame",
+    oracle=f"""
+SELECT event_id, user_id, ts,
+       count(*) OVER w                    AS n_last_hour,
+       {sql_round('sum(value) OVER w')}   AS val_last_hour
+FROM (SELECT event_id, user_id, ts, value,
+             epoch_us(ts) // 1000000 AS ts_sec
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+""",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: per user, how many events / how much
+    value in the trailing hour INCLUDING peers at the same instant —
+    the value-based frame §2.5's ROWS frames can't express.
+
+    Cross-engine note: the order key is epoch seconds (integer), not a
+    timestamp — numeric RANGE frames behave identically everywhere,
+    while interval-typed frames differ in dialect. Peers (equal ts_sec)
+    enter the frame together in both engines, so no unique tiebreak is
+    needed (unlike rank windows).
+
+    100 TB: same cost model as any window — one shuffle on user_id plus
+    a sort; frame evaluation is a sliding two-pointer over each
+    partition, O(rows), state bounded by the hour span."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_sec"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            (F.unix_timestamp("ts")).alias("ts_sec"),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.count(F.lit(1)).over(w).alias("n_last_hour"),
+            hround(F.sum("value").over(w)).alias("val_last_hour"),
+        )
+    )
