@@ -275,3 +275,31 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = with_watermark(read_event_stream(spark, staged), "1 hour")
     agg = tumbling_counts(stream).select("win_start", "event_type", "n")
     return drain_to_memory_table(spark, agg, "tumble", "complete")
+
+
+@register(
+    "stream_dedup_watermarked",
+    oracle="SELECT event_id, user_id, event_type, ts FROM events",
+)
+def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live dropDuplicatesWithinWatermark (§2.9 dedup_state, the
+    bounded-state form): unlike plain dropDuplicates — whose key state
+    grows for the stream's lifetime — this evicts each key's dedup state
+    once the watermark passes its event time + delay, so state is
+    O(events per watermark window) forever. That eviction is the ONLY
+    100 TB-viable shape for at-least-once redelivery dedup (resume-token
+    replays arrive within seconds, not days). Redelivery is simulated by
+    staging one chunk twice; duplicates land well inside the delay, so
+    the emitted stream equals the exact-once oracle."""
+    staged = stage_event_chunks(spark, sf_dir, n_chunks=4, dir_prefix="dedupw")
+    dup_src = os.path.join(staged, "chunk=0002")
+    spark.read.parquet(dup_src).write.mode("overwrite").parquet(
+        os.path.join(staged, "chunk=0005")
+    )
+    stream = read_event_stream(spark, staged)
+    deduped = (
+        stream.withWatermark("ts", "10 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+    return drain_to_memory_table(spark, deduped, "dedupw", "append")

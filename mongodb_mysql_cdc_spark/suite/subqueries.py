@@ -131,3 +131,42 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_totalprice > (SELECT max(o_totalprice) FROM _sq_orders) * 0.5
         """
     )
+
+
+@register(
+    "join_lateral",
+    oracle="""
+SELECT r.r_name, t.n_name, t.n_suppliers
+FROM region r
+CROSS JOIN LATERAL (
+  SELECT n.n_name, count(*) AS n_suppliers
+  FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name
+  ORDER BY n_suppliers DESC, n.n_name
+  LIMIT 2
+) t
+""",
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT (top-2
+    nations by supplier count per region) — the 'for each row, run a
+    parameterized query' surface. Catalyst decorrelates it into a join +
+    per-group rank prune, i.e. the same physical shape as topk_per_group
+    — proof the lateral dialect costs nothing over the window spelling.
+    Ties break on n_name so the LIMIT is deterministic on both engines."""
+    _views(spark, sf_dir, "region", "nation", "supplier")
+    return spark.sql(
+        """
+        SELECT r.r_name, t.n_name, t.n_suppliers
+        FROM _sq_region r
+        JOIN LATERAL (
+          SELECT n.n_name, count(*) AS n_suppliers
+          FROM _sq_nation n JOIN _sq_supplier s ON s.s_nationkey = n.n_nationkey
+          WHERE n.n_regionkey = r.r_regionkey
+          GROUP BY n.n_name
+          ORDER BY n_suppliers DESC, n.n_name
+          LIMIT 2
+        ) t
+        """
+    )
