@@ -323,3 +323,17 @@ def unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("s_acctbal", "acctbal").unpivot(
         "s_suppkey", ["acctbal", "nationkey"], "metric", "val"
     )
+
+
+@register("agg_approx_quantile")  # sketch estimate — not hash-comparable: rows-only
+def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style sketch) beside the exact percentile —
+    the 100 TB path where exact quantiles would sort every group. The
+    accuracy parameter bounds sketch memory; rows-only check (sketch
+    internals differ across engines) with the exact column as the sanity
+    anchor, pinned by tests/test_rows_only.py."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)").alias("approx_p"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("exact_p"),
+    )

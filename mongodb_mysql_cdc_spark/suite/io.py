@@ -255,3 +255,23 @@ def output_mode_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = tumbling_counts(stream).select("win_start", "event_type", "n")
     emissions = drain_to_memory_table(spark, agg, "upd", "update")
     return emissions.groupBy("win_start", "event_type").agg(F.max("n").alias("n"))
+
+
+@register(
+    "sink_orc_roundtrip",
+    oracle="SELECT p_partkey, p_name, p_brand, p_size, p_retailprice FROM part",
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC write→read roundtrip (§2.1 format breadth beyond parquet/json/
+    csv): the oracle reads the SOURCE table, so the check proves the ORC
+    path preserves every row and type bit-for-bit. DuckDB cannot read ORC
+    — comparing against the original is what makes this oracle-able.
+    100 TB note: ORC, like parquet, carries min/max stripe statistics, so
+    the same pushdown/pruning contracts hold; Spark's vectorized ORC
+    reader keeps the scan whole-stage-codegen'd."""
+    out = os.path.join(tempfile.mkdtemp(prefix="sparkcdc_orc_"), "part")
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size", "p_retailprice"
+    )
+    p.write.mode("overwrite").orc(out)
+    return spark.read.schema(p.schema).orc(out)

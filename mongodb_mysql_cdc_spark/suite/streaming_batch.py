@@ -314,3 +314,38 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.join(c, ev.user_id == c.c_custkey).select(
         "event_id", "user_id", F.col("c_mktsegment").alias("segment"), "value"
     )
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+WITH assigned AS (
+  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS win_start, event_type FROM events
+  UNION ALL
+  SELECT date_trunc('hour', ts) AS win_start, event_type FROM events
+)
+SELECT win_start,
+       win_start + INTERVAL 2 HOUR AS win_end,
+       event_type,
+       count(*) AS n
+FROM assigned
+GROUP BY 1, 2, 3
+""",
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE sliding windows (complete mode): every event lands in two 2h/1h
+    windows; same oracle as the batch win_sliding (stream/batch parity).
+    Complete mode because slides overlap until the watermark closes them;
+    at 100 TB you would emit with append mode + watermark and accept
+    finalized-window latency instead of re-emission volume."""
+    from mongodb_mysql_cdc_spark.streaming.replay import (
+        drain_to_memory_table,
+        read_event_stream,
+        stage_event_chunks,
+    )
+    from mongodb_mysql_cdc_spark.streaming.windows import sliding_counts, with_watermark
+
+    staged = stage_event_chunks(spark, sf_dir, n_chunks=4, dir_prefix="slide")
+    stream = with_watermark(read_event_stream(spark, staged), "1 hour")
+    agg = sliding_counts(stream).select("win_start", "win_end", "event_type", "n")
+    return drain_to_memory_table(spark, agg, "slide", "complete")

@@ -39,3 +39,14 @@ def test_multimodal_frames_bounded_per_doc(spark):
     mx = per_doc.agg(F.max("count")).first()[0]
     mn = per_doc.agg(F.min("count")).first()[0]
     assert 1 <= mn and mx <= 4
+
+
+def test_approx_quantile_within_tolerance_of_exact(spark):
+    """approx_percentile at accuracy=10000 must sit within 1% relative
+    error of the exact percentile it ships alongside."""
+    rows = queries()["agg_approx_quantile"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        for approx, exact in zip(r.approx_p, r.exact_p):
+            assert exact > 0
+            assert abs(approx - exact) / exact <= 0.01, (r.l_returnflag, approx, exact)
