@@ -303,3 +303,64 @@ def stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type", "ts")
     )
     return drain_to_memory_table(spark, deduped, "dedupw", "append")
+
+
+@register(
+    "cdc_schema_evolution",
+    oracle="""
+SELECT event_id AS seq,
+       user_id AS key,
+       ts,
+       event_type AS after_event_type,
+       CASE WHEN ts >= (SELECT max(ts) FROM events) - INTERVAL 2 DAY
+            THEN concat('ch_', CAST(user_id % 3 AS VARCHAR)) END AS channel,
+       (ts >= (SELECT max(ts) FROM events) - INTERVAL 2 DAY) AS is_evolved
+FROM events
+""",
+)
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream producer schema evolution through the dynamic→fixed
+    bridge (SURVEY §1.3): the source starts emitting a NEW document field
+    (`channel`) partway through the stream (last 2 days here). The wire
+    form is JSON either way; the consumer parses with the EVOLVED declared
+    schema and old events surface the field as NULL — no reprocessing, no
+    branching in the parse path. (The inverse direction is free too:
+    from_json silently ignores fields the declared schema lacks, so an
+    old consumer keeps working against the new producer.) The cutoff is a
+    broadcast scalar, never collected."""
+    from mongodb_mysql_cdc_spark.sources.cdc import _JSON_OPTS
+
+    ev = load(spark, sf_dir, "events")
+    horizon = ev.agg((F.max("ts") - F.expr("INTERVAL 2 DAYS")).alias("_cut"))
+    tagged = ev.crossJoin(F.broadcast(horizon))
+    channel = F.concat(F.lit("ch_"), (F.col("user_id") % 3).cast("string"))
+    # Wire form: late events carry the new field, early ones genuinely
+    # lack it (two JSON shapes, exactly like a rolling producer deploy).
+    # _JSON_OPTS keeps the oplog timestamp at full microsecond precision
+    # through the roundtrip (default to_json truncates to millis).
+    early = tagged.filter(F.col("ts") < F.col("_cut")).select(
+        F.to_json(
+            F.struct("event_id", "ts", "user_id", "event_type"), _JSON_OPTS
+        ).alias("raw")
+    )
+    late = tagged.filter(F.col("ts") >= F.col("_cut")).select(
+        F.to_json(
+            F.struct("event_id", "ts", "user_id", "event_type", channel.alias("channel")),
+            _JSON_OPTS,
+        ).alias("raw")
+    )
+    evolved_schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type STRING, channel STRING"
+    )
+    parsed = early.unionByName(late).select(
+        F.from_json("raw", evolved_schema, _JSON_OPTS).alias("v")
+    )
+    return parsed.select(
+        F.col("v.event_id").alias("seq"),
+        F.col("v.user_id").alias("key"),
+        F.col("v.ts").alias("ts"),
+        F.col("v.event_type").alias("after_event_type"),
+        F.col("v.channel").alias("channel"),
+        F.col("v.channel").isNotNull().alias("is_evolved"),
+    )

@@ -94,3 +94,48 @@ def test_bucketed_join_has_no_exchange(spark):
 def test_codegen_covers_flagship(spark):
     """The flagship aggregate must run inside whole-stage codegen."""
     assert wholestage_codegen_spans(_q("pricing_summary", spark)) >= 1
+
+
+def test_subqueries_rewrite_to_semi_anti_joins(spark):
+    """EXISTS/IN must plan as semi joins, NOT EXISTS as an anti join —
+    never a per-row subquery execution."""
+    plan = explain_str(_q("subquery_exists", spark))
+    assert "LeftSemi" in plan
+    plan = explain_str(_q("subquery_in", spark))
+    assert "LeftSemi" in plan
+    plan = explain_str(_q("subquery_not_exists", spark))
+    assert "LeftAnti" in plan
+
+
+def test_scalar_subquery_is_not_a_join(spark):
+    """Uncorrelated scalar subqueries execute once (Subquery/scalar
+    broadcast), so the main plan must contain no join at all."""
+    plan = explain_str(_q("subquery_scalar", spark))
+    assert "Join" not in plan
+
+
+def test_pivot_with_declared_values_is_single_aggregate(spark):
+    """With an explicit value list, pivot is one hash aggregate over the
+    group key — no distinct-value pre-scan, no expand explosion."""
+    plan = explain_str(_q("pivot_wide", spark), "simple")
+    # Declared values plan as pre-aggregate (flag,status) + pivotfirst
+    # (flag) — two map-combined shuffles over group-sized data, no
+    # distinct-value pre-scan, no Expand row blow-up.
+    assert plan.count("Exchange") == 2
+    assert "Expand" not in plan
+    assert "pivotfirst" in plan
+
+
+def test_scd2_rides_one_exchange(spark):
+    """The SCD2 window must shuffle once on the key — the same exchange
+    the cdc_apply path uses."""
+    plan = explain_str(_q("cdc_scd2", spark), "simple")
+    assert plan.count("Exchange") == 1
+
+
+def test_lateral_decorrelates_to_rank_prune(spark):
+    """LATERAL + LIMIT must decorrelate (no per-row execution): the plan
+    contains a window rank or group-limit, and no cartesian product."""
+    plan = explain_str(_q("join_lateral", spark))
+    assert "CartesianProduct" not in plan
+    assert ("WindowGroupLimit" in plan) or ("Window" in plan)
