@@ -25,6 +25,7 @@ _MODULES = (
     "streaming_batch",
     "pipeline",
     "subqueries",
+    "analytics",
 )
 
 

@@ -1,0 +1,144 @@
+"""Event-stream analytics (round-2 extension): funnel conversion,
+cohort retention, embedding normalization — the product-analytics queries
+a CDC-replicated events table exists to answer (SURVEY §0: the sink side
+of the pipeline is a warehouse; these are its canonical reads).
+
+100 TB notes: every query here is one or two hash aggregates on
+user-sized keys plus broadcast-scalar joins — no window over the full
+stream, no driver collection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongodb_mysql_cdc_spark.catalog import load
+from mongodb_mysql_cdc_spark.functions import vectors as V
+from mongodb_mysql_cdc_spark.functions.compat import hround, sql_round
+from mongodb_mysql_cdc_spark.registry import register
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+WITH first_signup AS (
+  SELECT user_id, min(ts) AS signup_ts
+  FROM events WHERE event_type = 'signup'
+  GROUP BY user_id
+),
+first_purchase AS (
+  SELECT e.user_id, min(e.ts) AS purchase_ts
+  FROM events e JOIN first_signup s
+    ON e.user_id = s.user_id AND e.ts >= s.signup_ts
+  WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id
+)
+SELECT s.user_id, s.signup_ts, p.purchase_ts,
+       (p.purchase_ts IS NOT NULL
+        AND p.purchase_ts <= s.signup_ts + INTERVAL 24 HOUR) AS converted_24h
+FROM first_signup s LEFT JOIN first_purchase p ON s.user_id = p.user_id
+""",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel: each user's first signup, their first purchase at
+    or after it, and whether conversion happened within 24 h. Two
+    map-combined aggregates + one join on user_id — at 100 TB both sides
+    are user-cardinality (far smaller than the event stream) and
+    co-partition on the same key."""
+    ev = load(spark, sf_dir, "events")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(signup, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return signup.join(purchase, "user_id", "left").select(
+        "user_id",
+        "signup_ts",
+        "purchase_ts",
+        (
+            F.col("purchase_ts").isNotNull()
+            & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 24 HOURS"))
+        ).alias("converted_24h"),
+    )
+
+
+@register(
+    "retention_cohort",
+    oracle="""
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+cohorts AS (
+  SELECT user_id, min(day) AS cohort_day FROM user_days GROUP BY user_id
+)
+SELECT c.cohort_day,
+       CAST(d.day - c.cohort_day AS BIGINT) AS day_offset,
+       count(DISTINCT d.user_id) AS n_active
+FROM user_days d JOIN cohorts c ON d.user_id = c.user_id
+WHERE d.day - c.cohort_day <= 7
+GROUP BY c.cohort_day, day_offset
+""",
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active day,
+    counted on each of their next 7 active days. distinct user-days
+    first (collapses the stream to user×day cardinality — the crucial
+    pre-aggregation at 100 TB), then one self-joinable cohort table."""
+    ev = load(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct()
+    cohorts = user_days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    offset = F.datediff("day", "cohort_day").cast("long")
+    return (
+        user_days.join(cohorts, "user_id")
+        .filter(offset <= 7)
+        .groupBy("cohort_day", offset.alias("day_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "embedding_normalize",
+    oracle=f"""
+SELECT vec_id,
+       {sql_round(V.sql_norm('embedding'), 6)} AS l2_norm,
+       {sql_round(f"CAST(embedding[1] AS DOUBLE) / {V.sql_norm('embedding')}", 6)} AS first_unit,
+       {sql_round(f"list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)), (acc, x) -> acc + x) / {V.sql_norm('embedding')}", 6)} AS unit_sum
+FROM embeddings
+WHERE {V.sql_norm('embedding')} > 0
+""",
+)
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization — the preprocessing step every cosine-based op
+    assumes. The normalized vector itself is array-typed (driver
+    canonicalizer can't hash arrays), so the check emits its invariants:
+    the norm, the first unit component, and the unit-vector fold sum —
+    any wrong element moves at least one of them. Zero-norm vectors are
+    excluded (undefined direction). Pure HOF fold, zero shuffle.
+
+    The unit sum is computed as (Σxᵢ)/‖x‖ on BOTH engines rather than
+    Σ(xᵢ/‖x‖): dividing inside the fold would re-evaluate the norm per
+    element (HOF lambdas get no CSE — the shingle lesson), and the two
+    spellings differ in fp rounding, so the algebraic form must match
+    the oracle exactly."""
+    e = load(spark, sf_dir, "embeddings")
+    nrm = V.norm(F.col("embedding"))
+    raw_sum = F.aggregate(
+        V.to_double(F.col("embedding")), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return e.filter(nrm > 0).select(
+        "vec_id",
+        hround(nrm, 6).alias("l2_norm"),
+        hround(F.col("embedding").getItem(0).cast("double") / nrm, 6).alias("first_unit"),
+        hround(raw_sum / nrm, 6).alias("unit_sum"),
+    )
