@@ -275,3 +275,31 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p.write.mode("overwrite").orc(out)
     return spark.read.schema(p.schema).orc(out)
+
+
+@register(
+    "maintenance_cluster",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+""",
+)
+def maintenance_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout clustering (the OPTIMIZE ... ZORDER-lite for plain
+    parquet): rewrite the table sorted WITHIN partitions by the hot
+    filter column, so every row group's min/max statistics become tight
+    and a time-range scan prunes whole groups at the footer. The query
+    itself re-reads the clustered copy with a range predicate — the
+    oracle is the same predicate on the original table, proving the
+    rewrite is lossless. 100 TB: sortWithinPartitions is a local sort
+    (no shuffle); combine with repartition(range) when global clustering
+    is worth one exchange."""
+    out = os.path.join(tempfile.mkdtemp(prefix="sparkcdc_cluster_"), "lineitem")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"
+    )
+    li.sortWithinPartitions("l_shipdate").write.mode("overwrite").parquet(out)
+    return spark.read.schema(li.schema).parquet(out).filter(
+        F.col("l_shipdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp")
+    )

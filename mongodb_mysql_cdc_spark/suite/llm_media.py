@@ -147,3 +147,64 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     mismatch. Signal means are exact: all partial sums are integers below
     2^53, so fp summation order cannot diverge between engines."""
     return decode_media(synth_media(load(spark, sf_dir, "documents")))
+
+
+@register(
+    "udf_grouped_agg",
+    oracle=f"""
+SELECT event_type,
+       {sql_round('regr_slope(value, CAST(user_id AS DOUBLE))', 4)} AS slope,
+       {sql_round('regr_intercept(value, CAST(user_id AS DOUBLE))', 4)} AS intercept,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped-map UDAF tier of the Python surface (§2.10
+    udf_surface; scalar pandas_udf and row-UDF tiers live in
+    udf_surface, mapInPandas in multimodal_*): per event_type, an OLS
+    fit of value on user_id via GroupedData.applyInPandas — arbitrary
+    per-group Python over an Arrow batch. Matches DuckDB's
+    regr_slope/regr_intercept through the covariance closed form;
+    4dp rounding absorbs summation-order ulps.
+
+    100 TB: one shuffle on the group key; each group must fit one
+    executor's Arrow batch — with low-cardinality groups like these you
+    would pre-aggregate (sum/sumsq/sumxy are algebraic) and keep Python
+    out entirely; this entry exists to prove the escape hatch."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("slope", T.DoubleType()),
+            T.StructField("intercept", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def fit(pdf):
+        import pandas as pd
+
+        x = pdf["user_id"].astype("float64")
+        y = pdf["value"].astype("float64")
+        n = len(pdf)
+        mx, my = x.mean(), y.mean()
+        cov = ((x - mx) * (y - my)).sum()
+        var = ((x - mx) ** 2).sum()
+        slope = cov / var
+        intercept = my - slope * mx
+        import math
+
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "slope": [math.floor(slope * 1e4 + 0.5) / 1e4],
+                "intercept": [math.floor(intercept * 1e4 + 0.5) / 1e4],
+                "n": [n],
+            }
+        )
+
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    return ev.groupBy("event_type").applyInPandas(fit, schema)
