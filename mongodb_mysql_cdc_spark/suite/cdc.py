@@ -21,6 +21,7 @@ from mongodb_mysql_cdc_spark.sources.cdc import (
     envelopes_as_json,
     envelopes_from_events,
     events_as_envelopes,
+    op_for_event_type,
     parse_envelope_json,
 )
 from mongodb_mysql_cdc_spark.streaming.apply import CdcParquetSink, cdc_apply_batch
@@ -363,4 +364,101 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v.event_type").alias("after_event_type"),
         F.col("v.channel").alias("channel"),
         F.col("v.channel").isNotNull().alias("is_evolved"),
+    )
+
+
+@register(
+    "cdc_route_tables",
+    oracle=f"""
+WITH env AS (
+  SELECT 'events' AS dst_table, user_id AS key, ts, event_id AS seq,
+         {_OP_SQL} AS op, value
+  FROM events
+  UNION ALL
+  SELECT 'orders' AS dst_table, o_custkey AS key, o_orderdate AS ts,
+         o_orderkey AS seq,
+         CASE WHEN o_orderstatus = 'F' THEN 'u' ELSE 'c' END AS op,
+         o_totalprice AS value
+  FROM orders
+)
+SELECT dst_table, op, count(*) AS n, count(DISTINCT key) AS n_keys,
+       max(ts) AS last_ts
+FROM env
+GROUP BY dst_table, op
+""",
+)
+def cdc_route_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-collection routing (§0: db.watch() tails a whole DATABASE —
+    one envelope stream carries many collections, demultiplexed to one
+    sink table each by ns/source.table). Two synthetic collections
+    (events + orders mapped to envelopes) union into one feed; the
+    router groups by destination. In the live path this is
+    ``foreachBatch`` + ``df.filter(col("source.table") == t)`` per
+    registered sink — partitionBy(dst_table) on write makes the demux a
+    free partition split rather than N scans. The checked output is the
+    per-table/op routing census."""
+    ev = load(spark, sf_dir, "events")
+    env_events = ev.select(
+        F.lit("events").alias("dst_table"),
+        F.col("user_id").alias("key"),
+        F.col("ts"),
+        F.col("event_id").alias("seq"),
+        op_for_event_type().alias("op"),
+        F.col("value"),
+    )
+    o = load(spark, sf_dir, "orders")
+    env_orders = o.select(
+        F.lit("orders").alias("dst_table"),
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderstatus") == "F", "u").otherwise("c").alias("op"),
+        F.col("o_totalprice").alias("value"),
+    )
+    feed = env_events.unionByName(env_orders)
+    return feed.groupBy("dst_table", "op").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("key").alias("n_keys"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@register(
+    "cdc_apply_soft_delete",
+    oracle=f"""
+WITH env AS (
+  SELECT user_id AS key, ts, event_id AS seq, {_OP_SQL} AS op,
+         event_type, value
+  FROM events
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY key ORDER BY ts DESC, seq DESC) AS rn
+    FROM env
+  ) WHERE rn = 1
+)
+SELECT key, ts AS last_ts, event_type AS last_event_type,
+       value AS last_value, (op = 'd') AS is_deleted
+FROM latest
+""",
+)
+def cdc_apply_soft_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-delete apply mode: the LWW fold keeps tombstoned keys as
+    flagged rows instead of dropping them (the warehouse-friendly mode —
+    auditable deletes, GDPR erasure as a later compaction). Same
+    max_by-per-key shuffle as cdc_apply_batch; only the final filter
+    differs, so both modes share one physical plan shape."""
+    env = events_as_envelopes(spark, sf_dir)
+    latest = env.groupBy("key").agg(
+        F.expr(
+            "max_by(struct(op, ts, after.event_type AS event_type, after.value AS value),"
+            " struct(ts, seq))"
+        ).alias("s")
+    )
+    return latest.select(
+        "key",
+        F.col("s.ts").alias("last_ts"),
+        F.col("s.event_type").alias("last_event_type"),
+        F.col("s.value").alias("last_value"),
+        (F.col("s.op") == "d").alias("is_deleted"),
     )
