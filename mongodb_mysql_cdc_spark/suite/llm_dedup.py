@@ -424,3 +424,40 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_allpairs_cosine(emb, threshold=0.4, n_blocks=8)
 
 
+
+
+@register(
+    "dedup_levenshtein",
+    oracle="""
+SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS edit_dist
+FROM supplier a JOIN supplier b
+  ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 2
+""",
+)
+def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance record matching (§2.10 dedup_fuzzy, the entity-
+    resolution flavor): supplier names within Levenshtein distance 2,
+    candidates BLOCKED by nation so the quadratic distance only runs
+    inside blocks — the classic blocking-key discipline (at 100 TB the
+    block key is a cheap canonical form: sorted name tokens, phonetic
+    code, or an LSH bucket; never compare across blocks). levenshtein()
+    is the same classic DP on both engines → exact integer parity."""
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    a = s.alias("a")
+    b = s.alias("b")
+    dist = F.levenshtein(F.col("a.s_name"), F.col("b.s_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+            & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+        )
+        .filter(dist <= 2)
+        .select(
+            F.col("a.s_suppkey").alias("supp_a"),
+            F.col("b.s_suppkey").alias("supp_b"),
+            dist.cast("long").alias("edit_dist"),
+        )
+    )
