@@ -89,17 +89,38 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_frames")  # rows-only: arbitrary-Python mapInPandas path
+@register(
+    "multimodal_frames",
+    oracle="""
+SELECT d.doc_id,
+       CAST(t.k AS INTEGER) AS frame_no,
+       substring(d.text, CAST(t.k * 128 + 1 AS BIGINT), 32) AS frame_text
+FROM documents d
+CROSS JOIN LATERAL (
+  SELECT unnest(range(least(4,
+    CAST(ceil(octet_length(encode(d.text)) / 128.0) AS BIGINT)))) AS k
+) t
+""",
+)
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic frame sampling over the binary payload (§2.10
     multimodal_cols, the video path): fixed-size byte windows every
     ``stride`` bytes stand in for ffmpeg keyframe extraction. The row
     blow-up happens at the edge, post-filter — the 100 TB-safe place.
-    Rows-only; exact frame bytes pinned by tests/test_llm.py."""
+
+    Oracle note: the sampled frames are BYTE slices (mapInPandas over the
+    payload — exact bytes pinned by tests/test_llm.py); DuckDB has no BLOB
+    substring, but this corpus is pure ASCII at every SF (verified:
+    octet_length(encode(text)) == length(text) for all rows), so the
+    oracle's CHARACTER slice of the original text equals the decoded byte
+    slice and the frame content gets full value-hash coverage."""
     from mongodb_mysql_cdc_spark.operators.multimodal import sample_frames
 
     media = with_payload(load(spark, sf_dir, "documents"))
-    return sample_frames(media, frame_bytes=32, stride=128, max_frames=4)
+    frames = sample_frames(media, frame_bytes=32, stride=128, max_frames=4)
+    return frames.select(
+        "doc_id", "frame_no", F.col("frame").cast("string").alias("frame_text")
+    )
 
 
 @register(
