@@ -65,13 +65,14 @@ _DRIVER_WINDOW = [
     "text_tokenize", "text_stats", "text_quality", "token_count", "lang_id",
     "doc_fingerprint", "text_redact", "text_repetition", "tfidf",
     "multimodal_meta", "udf_surface", "multimodal_frames", "multimodal_decode",
+    # §2.1 io rows + §2.9 output modes (suite/io.py) and the §2.8
+    # array/HOF family — cheap queries BEFORE the expensive stream-join
+    # block, so a time-based driver cap can't starve them
+    "read_json", "read_csv", "sink_append", "output_mode_update",
+    "fn_array",
     # §2.9 event-time windows + stream joins (suite/streaming_batch.py)
     "win_tumbling", "win_sliding", "win_session", "late_data",
-    "stream_stream_join", "stream_stream_join_left", "stream_static_join",
-    # §2.1 io rows + §2.9 output modes (suite/io.py)
-    "read_json", "read_csv", "sink_append", "output_mode_update",
-    # §2.8 array/HOF family (the remaining scalar families follow in r3)
-    "fn_array",
+    "stream_static_join", "stream_stream_join", "stream_stream_join_left",
 ]
 
 
