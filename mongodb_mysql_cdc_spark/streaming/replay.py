@@ -137,12 +137,13 @@ def drain_to_memory_table(
     # store PER shuffle partition PER micro-batch (a stream-stream join
     # keeps four), so the session's 32 partitions mean ~128 state-store
     # round-trips per batch over kilobytes of data — pure fixed cost at
-    # replay scale (measured: stream_stream_join_left 51 s → single digits
-    # at 8 partitions). The partition count is captured in the fresh
-    # checkpoint at .start(), so restoring the conf afterwards is safe.
-    # A production deployment sizes this to the cluster, not to the replay.
+    # replay scale (measured on stream_stream_join_left: 51 s at 32
+    # partitions → ~36 s at 8 → ~24 s at 4). The partition count is
+    # captured in the fresh checkpoint at .start(), so restoring the conf
+    # afterwards is safe. A production deployment sizes this to the
+    # cluster, not to the replay.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
         q, name = memory_sink_table(df, f"{prefix}_{uuid.uuid4().hex[:8]}", output_mode)
         try:
