@@ -462,3 +462,50 @@ def cdc_apply_soft_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.value").alias("last_value"),
         (F.col("s.op") == "d").alias("is_deleted"),
     )
+
+
+@register(
+    "cdc_state_asof",
+    oracle=f"""
+WITH cut AS (SELECT max(ts) - INTERVAL 3 DAY AS cutoff FROM events),
+env AS (
+  SELECT user_id AS key, ts, event_id AS seq, {_OP_SQL} AS op,
+         event_type, value
+  FROM events, cut
+  WHERE ts <= cut.cutoff
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY key ORDER BY ts DESC, seq DESC) AS rn
+    FROM env
+  ) WHERE rn = 1
+)
+SELECT key, ts AS last_ts, event_type AS last_event_type,
+       value AS last_value
+FROM latest
+WHERE op <> 'd'
+""",
+)
+def cdc_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time state (time travel): the LWW fold restricted to
+    events at or before a cutoff — what the replica looked like then.
+    With the SCD2 history table this is an interval predicate; computed
+    here directly from the envelope log (the PITR path when only the log
+    survives). The cutoff (max ts − 3 days) is a broadcast scalar. Same
+    single key-shuffle as cdc_apply_batch — as-of reads cost no more
+    than current reads."""
+    env = events_as_envelopes(spark, sf_dir)
+    cut = env.agg((F.max("ts") - F.expr("INTERVAL 3 DAYS")).alias("_cutoff"))
+    upto = env.crossJoin(F.broadcast(cut)).filter(F.col("ts") <= F.col("_cutoff"))
+    latest = upto.groupBy("key").agg(
+        F.expr(
+            "max_by(struct(op, ts, after.event_type AS event_type, after.value AS value),"
+            " struct(ts, seq))"
+        ).alias("s")
+    )
+    return latest.filter(F.col("s.op") != "d").select(
+        "key",
+        F.col("s.ts").alias("last_ts"),
+        F.col("s.event_type").alias("last_event_type"),
+        F.col("s.value").alias("last_value"),
+    )

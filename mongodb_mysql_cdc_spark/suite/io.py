@@ -303,3 +303,68 @@ def maintenance_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(li.schema).parquet(out).filter(
         F.col("l_shipdate") >= F.lit("1997-06-01 00:00:00").cast("timestamp")
     )
+
+
+@register(
+    "dq_checks",
+    oracle="""
+SELECT 'orders_null_custkey' AS check_name,
+       count(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_violations,
+       count(*) AS n_rows
+FROM orders
+UNION ALL
+SELECT 'orders_nonpositive_price',
+       count(CASE WHEN o_totalprice <= 0 THEN 1 END), count(*)
+FROM orders
+UNION ALL
+SELECT 'lineitem_qty_range',
+       count(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 END), count(*)
+FROM lineitem
+UNION ALL
+SELECT 'orders_orphan_custkey',
+       count(CASE WHEN c.c_custkey IS NULL THEN 1 END), count(*)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'events_bad_type',
+       count(CASE WHEN event_type NOT IN
+         ('click','view','purchase','signup','error') THEN 1 END), count(*)
+FROM events
+""",
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (the expectations layer an ETL pipeline runs
+    before promoting a load): null keys, domain ranges, referential
+    integrity (orphan FKs via broadcast-dim left join), enum membership —
+    one census row per check. Each check is a map-side conditional count;
+    the whole suite is one pass per table plus one broadcast join. At
+    100 TB the census is the cheap always-on guard; row-level quarantine
+    (writing violating rows aside) reuses the same predicates as
+    filters."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    ev = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+
+    def census(df, name, pred):
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.when(pred, 1)).alias("n_violations"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+
+    orphan = o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+    return (
+        census(o, "orders_null_custkey", F.col("o_custkey").isNull())
+        .unionByName(census(o, "orders_nonpositive_price", F.col("o_totalprice") <= 0))
+        .unionByName(
+            census(li, "lineitem_qty_range",
+                   (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))
+        )
+        .unionByName(census(orphan, "orders_orphan_custkey", F.col("c_custkey").isNull()))
+        .unionByName(
+            census(
+                ev, "events_bad_type",
+                ~F.col("event_type").isin("click", "view", "purchase", "signup", "error"),
+            )
+        )
+    )
