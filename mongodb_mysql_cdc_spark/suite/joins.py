@@ -298,3 +298,38 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region")
     n = load(spark, sf_dir, "nation")
     return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+SELECT a.event_id AS id_a, b.event_id AS id_b, a.k
+FROM (SELECT event_id, CAST(json_extract(props, '$.missing') AS BIGINT) AS k
+      FROM events WHERE event_id < 200) a
+JOIN (SELECT event_id, CAST(json_extract(props, '$.missing') AS BIGINT) AS k
+      FROM events WHERE event_id < 200) b
+  ON a.k IS NOT DISTINCT FROM b.k AND a.event_id < b.event_id
+""",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other — the semantics MySQL's <=> gives a CDC key compare
+    when documents lack the field. Extracting a missing JSON path makes
+    every key NULL here, so the result is exactly the sub-quadratic
+    null-block self-pairing; a plain equi-join would return zero rows.
+    At scale the NULL block is the ultimate skew key: route it to a
+    broadcast or salt it (join_salted) before using <=> on big data."""
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    keyed = ev.select(
+        "event_id", F.get_json_object("props", "$.missing").cast("long").alias("k")
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            F.col("a.k").eqNullSafe(F.col("b.k"))
+            & (F.col("a.event_id") < F.col("b.event_id")),
+        )
+        .select(F.col("a.event_id").alias("id_a"), F.col("b.event_id").alias("id_b"),
+                F.col("a.k").alias("k"))
+    )

@@ -285,3 +285,36 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2("text", 256).alias("text_sha256"),
         F.md5(canonical).alias("row_fingerprint"),
     )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_orderkey & 255                        AS low_byte,
+       l_orderkey | 15                         AS with_low,
+       xor(l_orderkey, l_partkey)              AS keys_xor,
+       l_orderkey << 2                         AS shifted_up,
+       l_orderkey >> 3                         AS shifted_down,
+       ~l_orderkey                             AS inverted,
+       CAST(bit_count(l_orderkey) AS INTEGER)  AS pop_count
+FROM lineitem
+""",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family (§2.8 breadth): and/or/xor/shifts/not/popcount —
+    the bucket-id and bitmap arithmetic primitives (SimHash, bloom
+    filters, partition routing all reduce to these)."""
+    li = load(spark, sf_dir, "lineitem")
+    k = F.col("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(15)).alias("with_low"),
+        k.bitwiseXOR(F.col("l_partkey")).alias("keys_xor"),
+        F.expr("shiftleft(l_orderkey, 2)").alias("shifted_up"),
+        F.expr("shiftright(l_orderkey, 3)").alias("shifted_down"),
+        F.expr("~l_orderkey").alias("inverted"),
+        F.bit_count(k).alias("pop_count"),
+    )

@@ -243,3 +243,36 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             hround(F.sum("value").over(w)).alias("val_last_hour"),
         )
     )
+
+
+@register(
+    "win_nth_value",
+    oracle="""
+SELECT event_id, user_id,
+       nth_value(event_id, 2) OVER w AS second_event,
+       first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                                EXCLUDE NO OTHERS) AS first_val,
+       last_value(event_type) OVER w AS latest_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value / running first/last over a growing frame (§2.5 breadth):
+    the 'second event so far' and 'type as of now' per user — unique
+    (ts, event_id) tiebreak keeps every frame deterministic."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.nth_value("event_id", 2).over(w).alias("second_event"),
+        F.first("value").over(w).alias("first_val"),
+        F.last("event_type").over(w).alias("latest_type"),
+    )
