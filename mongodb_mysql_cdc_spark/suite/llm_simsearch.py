@@ -291,3 +291,114 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "kmeans_refine",
+    oracle=f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (SELECT vec_id - 10 AS cell, v FROM emb WHERE vec_id BETWEEN 10 AND 17),
+d1 AS (
+  SELECT e.vec_id, c.cell,
+         list_reduce(list_transform(list_zip(e.v, c.v),
+           p -> (p[1] - p[2]) * (p[1] - p[2])), (a, x) -> a + x) AS dist
+  FROM emb e CROSS JOIN c0 c
+),
+a1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+pos AS (
+  SELECT e.vec_id, unnest(e.v) AS val, generate_subscripts(e.v, 1) AS pos
+  FROM emb e
+),
+m1 AS (
+  SELECT a1.cell, pos.pos, avg(pos.val) AS mv
+  FROM pos JOIN a1 ON pos.vec_id = a1.vec_id
+  GROUP BY a1.cell, pos.pos
+),
+c1 AS (SELECT cell, list(mv ORDER BY pos) AS v FROM m1 GROUP BY cell),
+d2 AS (
+  SELECT e.vec_id, c.cell,
+         list_reduce(list_transform(list_zip(e.v, c.v),
+           p -> (p[1] - p[2]) * (p[1] - p[2])), (a, x) -> a + x) AS dist
+  FROM emb e CROSS JOIN c1 c
+),
+a2 AS (
+  SELECT vec_id, cell, dist FROM (
+    SELECT vec_id, cell, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn
+    FROM d2
+  ) WHERE rn = 1
+)
+SELECT a1.vec_id, a1.cell AS cell_init, a2.cell AS cell_refined,
+       {sql_round('a2.dist', 4)} AS dist_refined
+FROM a1 JOIN a2 ON a1.vec_id = a2.vec_id
+""",
+)
+def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd refinement of k-means (the iterative-ML shape on Spark):
+    deterministic seed centroids (vectors 10-17, the IVF trick) → assign
+    (broadcast 8 centroids, fold-exact L2) → per-cell/per-dimension mean
+    (explode + two-phase agg) → re-assign against the refined centroids.
+    Assignments break distance ties on cell id via a window, so both
+    engines pick identical cells; refined distances are rounded to 4dp
+    because the cell means' fp summation order differs across engines.
+
+    100 TB: each iteration is (broadcast-join + map) + one explode-agg
+    shuffle keyed by (cell, dim) — k×d means stay tiny; the corpus is
+    scanned, never shuffled whole. Full Lloyd loops the same two stages
+    with a driver-side convergence scalar (compare dedup_clusters'
+    localCheckpoint pattern)."""
+    from pyspark.sql import Window as W
+
+    emb = spread(load(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", V.to_double(F.col("embedding")).alias("v")
+    )
+    c0 = emb.filter(F.col("vec_id").between(10, 17)).select(
+        (F.col("vec_id") - 10).alias("cell"), F.col("v").alias("cv")
+    )
+
+    def assign(cents):
+        d = emb.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            "cell",
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("dist"),
+        )
+        w = W.partitionBy("vec_id").orderBy("dist", "cell")
+        return d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+
+    a1 = assign(c0).select("vec_id", "cell")
+    pos = emb.select("vec_id", F.posexplode("v").alias("pos0", "val"))
+    m1 = (
+        pos.join(a1, "vec_id")
+        .groupBy("cell", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.avg("val").alias("mv"))
+    )
+    c1 = m1.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mv"))), lambda s: s.mv
+        ).alias("cv")
+    )
+    a2 = assign(c1).select(
+        "vec_id", F.col("cell").alias("cell_refined"), "dist"
+    )
+    return (
+        a1.join(a2, "vec_id")
+        .select(
+            "vec_id",
+            F.col("cell").alias("cell_init"),
+            "cell_refined",
+            hround(F.col("dist"), 4).alias("dist_refined"),
+        )
+    )
