@@ -114,3 +114,36 @@ def test_tombstones_survive_reconcile_but_not_current_state(spark):
     internal = _collect_state(state)
     assert len(internal) == 1 and internal[0][1] == "d"  # tombstone retained
     assert cdc_apply_batch(df).count() == 0  # queryable view: key is gone
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e12, max_value=1e12, allow_nan=False, width=64),
+        min_size=1, max_size=40,
+    ),
+    n=st.integers(0, 6),
+)
+def test_hround_cross_engine_parity(spark, vals, n):
+    """hround (the rounding used by 60+ oracles) must be BIT-identical
+    between Spark and DuckDB for arbitrary doubles and scales — hypothesis
+    hunts for a value where the floor-based spelling diverges (Spark's own
+    round() does diverge, via Java BigDecimal)."""
+    import duckdb
+
+    from mongodb_mysql_cdc_spark.functions.compat import hround, sql_round
+
+    con = duckdb.connect()
+    sql = sql_round("x", n)
+    duck = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {sql} FROM (SELECT unnest(CAST(? AS DOUBLE[])) AS x)", [vals]
+        ).fetchall()
+    ]
+    sdf = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r.r for r in sdf.select(hround(F.col("x"), n).alias("r")).collect()]
+    assert len(got) == len(duck)
+    for g, d in zip(got, duck):
+        assert g == d and str(g) == str(d), (g, d, n)
