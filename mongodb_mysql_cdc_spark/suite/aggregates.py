@@ -337,3 +337,25 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)").alias("approx_p"),
         F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("exact_p"),
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+SELECT CAST(floor(value / 10.0) AS BIGINT) AS bin,
+       count(*) AS n,
+       CAST(floor(value / 10.0) AS BIGINT) * 10.0 AS bin_lo
+FROM events
+GROUP BY 1, 3
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (the profiling primitive): bin = floor(x/w).
+    One map-side-combined aggregate on the bin id — |bins| cardinality
+    regardless of data size, the cheapest full-column distribution sketch
+    at any scale."""
+    ev = load(spark, sf_dir, "events")
+    bin_id = F.floor(F.col("value") / 10.0).cast("long")
+    return ev.groupBy(
+        bin_id.alias("bin"), (bin_id * 10.0).alias("bin_lo")
+    ).agg(F.count(F.lit(1)).alias("n")).select("bin", "n", "bin_lo")

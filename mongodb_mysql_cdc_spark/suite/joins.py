@@ -333,3 +333,49 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.event_id").alias("id_a"), F.col("b.event_id").alias("id_b"),
                 F.col("a.k").alias("k"))
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+SELECT a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+       a.o_custkey AS custkey,
+       greatest(a.o_orderdate, b.o_orderdate) AS overlap_start
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+ AND a.o_orderdate < b.o_orderdate + INTERVAL 30 DAY
+ AND b.o_orderdate < a.o_orderdate + INTERVAL 30 DAY
+""",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal interval-overlap join (§2.3 beyond range/asof): pairs of
+    the same customer's orders whose 30-day activity windows intersect —
+    the classic 'concurrent validity' query (SCD2 intervals, session
+    overlap, reservation conflicts all reduce to it).
+
+    Scale discipline: the overlap predicate alone is a theta join
+    (quadratic); the EQUI-conjunct on the entity key (o_custkey) makes it
+    a hash join with the theta as a residual filter, so cost is bounded
+    by per-entity interval counts. Global interval overlap (no entity
+    key) would instead bucket time into stride-sized cells and equi-join
+    on the cell — same trick as the LSH band join."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    a, b = o.alias("a"), o.alias("b")
+    month = F.expr("INTERVAL 30 DAYS")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.col("a.o_orderdate") < F.col("b.o_orderdate") + month)
+            & (F.col("b.o_orderdate") < F.col("a.o_orderdate") + month),
+        )
+        .select(
+            F.col("a.o_orderkey").alias("order_a"),
+            F.col("b.o_orderkey").alias("order_b"),
+            F.col("a.o_custkey").alias("custkey"),
+            F.greatest(F.col("a.o_orderdate"), F.col("b.o_orderdate")).alias(
+                "overlap_start"
+            ),
+        )
+    )
