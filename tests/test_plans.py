@@ -139,3 +139,20 @@ def test_lateral_decorrelates_to_rank_prune(spark):
     plan = explain_str(_q("join_lateral", spark))
     assert "CartesianProduct" not in plan
     assert ("WindowGroupLimit" in plan) or ("Window" in plan)
+
+
+def test_interval_overlap_is_hash_join_not_cartesian(spark):
+    """The temporal overlap must ride as a residual on the entity-key
+    hash join — never a cartesian/nested-loop over all interval pairs."""
+    plan = explain_str(_q("join_interval_overlap", spark))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # any equi-hash strategy qualifies (broadcast at this SF; SMJ/SHJ at scale)
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_kmeans_refine_broadcasts_centroids(spark):
+    """Both assignment passes must broadcast the k×d centroid table; the
+    corpus is scanned, never shuffled whole."""
+    plan = explain_str(_q("kmeans_refine", spark))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
