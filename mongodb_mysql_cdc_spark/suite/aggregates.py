@@ -359,3 +359,33 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(
         bin_id.alias("bin"), (bin_id * 10.0).alias("bin_lo")
     ).agg(F.count(F.lit(1)).alias("n")).select("bin", "n", "bin_lo")
+
+
+@register(
+    "agg_mode",
+    oracle="""
+SELECT event_type, user_id AS mode_user, n AS mode_count FROM (
+  SELECT event_type, user_id, count(*) AS n,
+         row_number() OVER (PARTITION BY event_type ORDER BY count(*) DESC, user_id) AS rn
+  FROM events GROUP BY event_type, user_id
+) WHERE rn = 1
+""",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent user per event type): built-in
+    mode() breaks frequency ties arbitrarily in BOTH engines, so the
+    checked spelling is count + rank with a value tiebreak — same two-agg
+    shape, reproducible everywhere. The first aggregate is map-side
+    combined; the window runs over |groups| rows only."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("user_id"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type", F.col("user_id").alias("mode_user"), F.col("n").alias("mode_count")
+        )
+    )

@@ -318,3 +318,36 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("~l_orderkey").alias("inverted"),
         F.bit_count(k).alias("pop_count"),
     )
+
+
+@register(
+    "fn_string2",
+    oracle="""
+SELECT p_partkey,
+       reverse(p_brand)                          AS brand_rev,
+       repeat(p_brand, 2)                        AS brand_twice,
+       translate(p_type, 'aeiou', '_____')       AS type_devowel,
+       left(p_name, 5)                           AS name_left,
+       right(p_name, 5)                          AS name_right,
+       CAST(levenshtein(p_brand, p_type) AS BIGINT) AS brand_type_dist,
+       CAST(starts_with(p_type, 'STANDARD') AS BOOLEAN) AS is_standard,
+       md5(concat(p_name, '|', p_type))          AS name_type_md5
+FROM part
+""",
+)
+def fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string family (§2.8 breadth): reverse / repeat / translate /
+    left / right / scalar levenshtein / prefix test — the normalization
+    toolkit entity resolution and PII scrubbing draw from."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.repeat(F.col("p_brand"), 2).alias("brand_twice"),
+        F.translate(F.col("p_type"), "aeiou", "_____").alias("type_devowel"),
+        F.substring("p_name", 1, 5).alias("name_left"),
+        F.col("p_name").substr(F.length("p_name") - 4, F.lit(5)).alias("name_right"),
+        F.levenshtein("p_brand", "p_type").cast("long").alias("brand_type_dist"),
+        F.col("p_type").startswith("STANDARD").alias("is_standard"),
+        F.md5(F.concat_ws("|", "p_name", "p_type")).alias("name_type_md5"),
+    )
