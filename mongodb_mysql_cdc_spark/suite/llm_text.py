@@ -330,3 +330,39 @@ def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "text_ngram_freq",
+    oracle=f"""
+WITH {TOKS_CTE},
+bi AS (
+  SELECT unnest(list_transform(
+    generate_series(1, greatest(len(t) - 1, 0)),
+    i -> array_to_string(t[i:i+1], ' '))) AS bigram
+  FROM toks WHERE len(t) >= 2
+)
+SELECT bigram, count(*) AS freq
+FROM bi
+GROUP BY bigram
+HAVING count(*) >= 20
+""",
+)
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequency table (the n-gram LM / collocation
+    primitive): shingle(2) → explode → count, thresholded to the
+    vocabulary head. Same exchange-keyed tokenize barrier as every
+    shingle pipeline; the aggregate is map-side combined on the bigram,
+    so shuffle volume is |distinct bigrams|, not |tokens|."""
+    d = load(spark, sf_dir, "documents")
+    tok_df = d.select("doc_id", X.tokens(F.col("text")).alias("t")).repartition(
+        F.col("doc_id")
+    )
+    bi = tok_df.filter(F.size("t") >= 2).select(
+        F.explode(X.word_shingles(F.col("t"), 2)).alias("bigram")
+    )
+    return (
+        bi.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= 20)
+    )

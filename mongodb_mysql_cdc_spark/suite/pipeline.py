@@ -330,3 +330,47 @@ def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("next_ts").alias("valid_to"),
         F.col("next_ts").isNull().alias("is_current"),
     )
+
+
+@register(
+    "sample_weighted",
+    oracle=f"""
+WITH cnt AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+tot AS (SELECT sum(n_docs) AS total, count(*) AS n_sources FROM cnt),
+w AS (
+  SELECT source,
+         least((CAST(total AS DOUBLE) / n_sources) / n_docs, 1.0) AS keep_p
+  FROM cnt CROSS JOIN tot
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN w ON d.source = w.source
+WHERE CAST({H.sql_hash60("concat('wsmp|', CAST(d.doc_id AS VARCHAR))")} % 1000000 AS DOUBLE)
+      < w.keep_p * 1000000.0
+""",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted downsampling driven by the domain_mix weights: each doc
+    keeps with probability min(weight, 1) — the under-represented sources
+    survive intact while over-represented ones thin toward the uniform
+    target (upsampling, weight>1, is a separate explode-by-ceil pass).
+    The coin is the same salted hash as sample_stratified, the weights
+    join is a broadcast of a |sources|-row table — still zero
+    corpus-sized shuffles."""
+    d = load(spark, sf_dir, "documents")
+    cnt = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = cnt.agg(F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_sources"))
+    w = cnt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            (F.col("total").cast("double") / F.col("n_sources")) / F.col("n_docs"),
+            F.lit(1.0),
+        ).alias("keep_p"),
+    )
+    coin = (
+        H.hash60(F.concat(F.lit("wsmp|"), F.col("doc_id").cast("string"))) % 1000000
+    ).cast("double")
+    return (
+        d.join(F.broadcast(w), "source")
+        .filter(coin < F.col("keep_p") * 1000000.0)
+        .select("doc_id", "source")
+    )
