@@ -12,7 +12,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mongodb_mysql_cdc_spark.catalog import load
@@ -516,4 +516,69 @@ def cdc_state_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.ts").alias("last_ts"),
         F.col("s.event_type").alias("last_event_type"),
         F.col("s.value").alias("last_value"),
+    )
+
+
+@register(
+    "cdc_before_after_diff",
+    oracle=f"""
+WITH env AS (
+  SELECT user_id AS key, ts, event_id AS seq, {_OP_SQL} AS op,
+         event_type, value
+  FROM events
+),
+imaged AS (
+  SELECT key, ts, seq, op, event_type, value,
+         lag(event_type) OVER w AS before_event_type,
+         lag(value) OVER w AS before_value
+  FROM env
+  WINDOW w AS (PARTITION BY key ORDER BY ts, seq)
+)
+SELECT key, seq, op,
+       before_event_type, event_type AS after_event_type,
+       before_value, value AS after_value,
+       concat_ws(',',
+         CASE WHEN before_event_type IS DISTINCT FROM event_type THEN 'event_type' END,
+         CASE WHEN before_value IS DISTINCT FROM value THEN 'value' END
+       ) AS changed_fields
+FROM imaged
+WHERE op = 'u' AND before_event_type IS NOT NULL
+""",
+)
+def cdc_before_after_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Before/after image diff (the Debezium ``updateDescription`` /
+    MongoDB pre-image semantic): each update envelope is paired with the
+    key's previous image (lag over the oplog order) and the changed-field
+    list is computed with null-safe comparisons — what a consumer uses to
+    build partial UPDATE statements instead of full-row REPLACEs. One
+    window on the same key partitioning as every apply path; at 100 TB
+    the before-image rides the envelope (change stream pre-images) and
+    this becomes a pure projection."""
+    env = events_as_envelopes(spark, sf_dir)
+    w = Window.partitionBy("key").orderBy("ts", "seq")
+    imaged = env.select(
+        "key", "ts", "seq", "op",
+        F.col("after.event_type").alias("after_event_type"),
+        F.col("after.value").alias("after_value"),
+    ).select(
+        "*",
+        F.lag("after_event_type").over(w).alias("before_event_type"),
+        F.lag("after_value").over(w).alias("before_value"),
+    )
+    changed = F.concat_ws(
+        ",",
+        F.when(
+            ~F.col("before_event_type").eqNullSafe(F.col("after_event_type")),
+            "event_type",
+        ),
+        F.when(~F.col("before_value").eqNullSafe(F.col("after_value")), "value"),
+    )
+    return (
+        imaged.filter((F.col("op") == "u") & F.col("before_event_type").isNotNull())
+        .select(
+            "key", "seq", "op",
+            "before_event_type", "after_event_type",
+            "before_value", "after_value",
+            changed.alias("changed_fields"),
+        )
     )

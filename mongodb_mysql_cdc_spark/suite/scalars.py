@@ -351,3 +351,41 @@ def fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type").startswith("STANDARD").alias("is_standard"),
         F.md5(F.concat_ws("|", "p_name", "p_type")).alias("name_type_md5"),
     )
+
+
+@register(
+    "fn_datetime2",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE)        AS plus_3mo,
+       last_day(CAST(o_orderdate AS DATE))                 AS month_end,
+       CAST(quarter(o_orderdate) AS BIGINT)                AS qtr,
+       CAST(weekofyear(o_orderdate) AS BIGINT)             AS iso_week,
+       CAST(dayofyear(o_orderdate) AS BIGINT)              AS doy,
+       CAST(date_diff('month', DATE '1995-01-01',
+                      CAST(o_orderdate AS DATE)) AS BIGINT) AS months_since_95,
+       CAST(date_trunc('week', o_orderdate) AS DATE)       AS week_start
+FROM orders
+""",
+)
+def fn_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second datetime family (§2.8 breadth): calendar arithmetic —
+    add_months / last_day / quarter / ISO week / day-of-year / whole-month
+    difference / week truncation. months_between is floored to whole
+    months on both sides (DuckDB's date_diff('month') counts boundary
+    crossings; Spark's months_between is fractional — floor aligns
+    them only for day-1 anchors, so the Spark side uses the same
+    boundary-crossing formula explicitly)."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    months_since = (F.year(d) - 1995) * 12 + (F.month(d) - 1)
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 3).alias("plus_3mo"),
+        F.last_day(d).alias("month_end"),
+        F.quarter("o_orderdate").cast("long").alias("qtr"),
+        F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        months_since.cast("long").alias("months_since_95"),
+        F.date_trunc("week", "o_orderdate").cast("date").alias("week_start"),
+    )
