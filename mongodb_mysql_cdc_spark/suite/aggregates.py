@@ -389,3 +389,29 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", F.col("user_id").alias("mode_user"), F.col("n").alias("mode_count")
         )
     )
+
+
+@register(
+    "agg_boolean",
+    oracle="""
+SELECT event_type,
+       bool_and(value >= 0)                    AS all_nonneg,
+       bool_or(value > 90)                     AS any_high,
+       count(CASE WHEN value > 50 THEN 1 END)  AS n_over_50,
+       CAST(avg(CASE WHEN value > 50 THEN 1.0 ELSE 0.0 END) * 100 AS DOUBLE) AS pct_over_50
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family (§2.4 breadth): every/any/count_if and a
+    conditional percentage — the predicate-census primitives. avg of a
+    0/1 double is exact here (sums of small integers in fp), so no
+    rounding is needed for the percentage."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.every(F.col("value") >= 0).alias("all_nonneg"),
+        F.some(F.col("value") > 90).alias("any_high"),
+        F.count_if(F.col("value") > 50).alias("n_over_50"),
+        (F.avg(F.when(F.col("value") > 50, 1.0).otherwise(0.0)) * 100).alias("pct_over_50"),
+    )

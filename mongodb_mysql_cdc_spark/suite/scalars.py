@@ -389,3 +389,61 @@ def fn_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
         months_since.cast("long").alias("months_since_95"),
         F.date_trunc("week", "o_orderdate").cast("date").alias("week_start"),
     )
+
+
+@register(
+    "fn_regex",
+    oracle="""
+SELECT doc_id,
+       coalesce(array_to_string(regexp_extract_all(text, 'sc[a-z]+'), ','), '') AS sc_words,
+       CAST(len(regexp_extract_all(text, 'hash')) AS BIGINT)       AS n_hash,
+       regexp_replace(text, '\\s+', '_', 'g')                       AS snaked,
+       regexp_matches(text, 'stream|batch')                         AS mentions_exec,
+       regexp_extract(text, '([a-z]+) ([a-z]+)', 2)                 AS second_word
+FROM documents
+""",
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family (§2.8 breadth): extract-all (array → joined string for
+    the canonicalizer; DuckDB joins an EMPTY list to NULL where Spark
+    gives "" — coalesced in the oracle), match counting, global replace, boolean match,
+    group extraction — all JVM-side regexp codegen."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.array_join(F.expr("regexp_extract_all(text, 'sc[a-z]+', 0)"), ",").alias("sc_words"),
+        F.size(F.expr("regexp_extract_all(text, 'hash', 0)")).cast("long").alias("n_hash"),
+        F.regexp_replace("text", r"\s+", "_").alias("snaked"),
+        F.col("text").rlike("stream|batch").alias("mentions_exec"),
+        F.regexp_extract("text", "([a-z]+) ([a-z]+)", 2).alias("second_word"),
+    )
+
+
+@register(
+    "fn_trig",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber,
+       {sql_round('sin(l_discount)', 6)}                    AS sin_d,
+       {sql_round('cos(l_tax)', 6)}                         AS cos_t,
+       {sql_round('atan2(l_discount, l_tax + 0.01)', 6)}    AS angle,
+       {sql_round('degrees(atan(l_quantity / 100.0))', 6)}  AS slope_deg,
+       {sql_round('exp(l_discount)', 6)}                    AS exp_d,
+       {sql_round('log10(l_extendedprice)', 6)}             AS log10_price
+FROM lineitem
+""",
+)
+def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcendental family (§2.8 breadth): trig / inverse-trig /
+    exp / log10. All transcendentals differ by ulps across libm
+    implementations → rounded to 6dp on both sides (the fn_math rule)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        hround(F.sin("l_discount"), 6).alias("sin_d"),
+        hround(F.cos("l_tax"), 6).alias("cos_t"),
+        hround(F.atan2(F.col("l_discount"), F.col("l_tax") + 0.01), 6).alias("angle"),
+        hround(F.degrees(F.atan(F.col("l_quantity") / 100.0)), 6).alias("slope_deg"),
+        hround(F.exp("l_discount"), 6).alias("exp_d"),
+        hround(F.log10("l_extendedprice"), 6).alias("log10_price"),
+    )
