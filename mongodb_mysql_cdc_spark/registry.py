@@ -45,37 +45,51 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 
 
 # The driver verifies the FIRST 50 names in queries() order per round
-# (CORRECTNESS_r01.json = registry positions 1-50 exactly).  Round 1 left
-# the CDC core, the whole LLM suite, streaming, and io with zero driver
-# evidence, so this window front-loads exactly those 50: the three
-# round-1-red queries (now fixed — their green rows prove the fixes),
-# then cdc, llm, streaming, and the §2.1 io rows.  The 43 queries already
-# driver-green in round 1 keep their r1 rows and sit behind the window.
+# (CORRECTNESS_r01.json = registry positions 1-50 exactly).  Rounds 1+2
+# produced green driver rows for 97 distinct queries; 56 registered
+# queries had only builder/judge strict-checker evidence.  This round-3
+# window front-loads 50 of those 56, cheap scalar/agg/join families
+# first and the live replayed-stream queries last so a time-capped
+# driver run can't starve the cheap ones (the r2 ordering trick).
+#
+# The 6 that don't fit — queued for round 4, chosen because they carry
+# the strongest independent evidence already (each individually or
+# group-attested "pass strict" by the round-2 judge re-run, and
+# agg_approx_quantile only gets the weaker rows-only check anyway):
+#   agg_approx_quantile, dedup_levenshtein, kmeans_refine,
+#   udf_grouped_agg, sample_stratified, sample_per_group
 _DRIVER_WINDOW = [
-    # round-1 hash-FAIL fixes — re-verify first
-    "fn_math", "cast_types", "agg_collect",
-    # the five remaining §2.8 rows with no driver evidence (cheap, early;
-    # counted in the judge's §2 coverage, unlike the text extensions that
-    # previously held these slots)
-    "fn_conditional", "fn_explode", "fn_struct_map", "fn_json", "fn_hash",
-    # §2.1/§2.9 CDC core (suite/cdc.py)
-    "cdc_envelope_parse", "filter_op_type", "snapshot_load", "sink_upsert",
-    "dedup_state", "cdc_apply_batch", "cdc_apply_stream", "cdc_apply_stateful",
-    "stream_source", "stream_dedup", "stream_tumbling",
-    # §2.10 LLM-pipeline suite (suite/llm.py)
-    "dedup_exact", "dedup_minhash_lsh", "dedup_clusters", "dedup_survivors",
-    "dedup_simhash", "dedup_ngram_jaccard", "dedup_embedding_cosine",
-    "sim_search_topk", "sim_search_lsh", "sim_search_ivf", "knn_classify",
-    "text_tokenize", "text_stats", "text_quality", "tfidf",
-    "multimodal_meta", "udf_surface", "multimodal_frames", "multimodal_decode",
-    # §2.1 io rows + §2.9 output modes (suite/io.py) and the §2.8
-    # array/HOF family — cheap queries BEFORE the expensive stream-join
-    # block, so a time-based driver cap can't starve them
-    "read_json", "read_csv", "sink_append", "output_mode_update",
-    "fn_array",
-    # §2.9 event-time windows + stream joins (suite/streaming_batch.py)
-    "win_tumbling", "win_sliding", "win_session", "late_data",
-    "stream_static_join", "stream_stream_join", "stream_stream_join_left",
+    # §2.8 scalar-function families (cheapest — small inputs, no joins)
+    "fn_bitwise", "fn_string2", "fn_datetime2", "fn_regex", "fn_trig",
+    # §2.4 aggregate extensions
+    "agg_histogram", "agg_mode", "agg_boolean",
+    # §2.2/§2.4 reshaping
+    "pivot_wide", "unpivot_long",
+    # §2.5 window extensions
+    "win_range_frame", "win_nth_value",
+    # §2.3 join extensions
+    "join_null_safe", "join_interval_overlap", "join_salted",
+    "join_bucketed", "join_lateral",
+    # subqueries (§2.11)
+    "subquery_exists", "subquery_not_exists", "subquery_in",
+    "subquery_scalar",
+    # §2.9/§2.1 CDC extensions (batch forms — cheap)
+    "cdc_scd2", "cdc_schema_evolution", "cdc_route_tables",
+    "cdc_apply_soft_delete", "cdc_state_asof", "cdc_before_after_diff",
+    # §2.10 text extensions (displaced from the r2 window)
+    "token_count", "lang_id", "doc_fingerprint", "text_redact",
+    "text_repetition", "text_ngram_freq",
+    # §2.10 curation / training-data pipeline
+    "sample_weighted", "decontaminate", "pack_sequences", "domain_mix",
+    "quality_buckets",
+    # analytics (§2.11)
+    "funnel_conversion", "retention_cohort", "embedding_normalize",
+    "dq_checks",
+    # §2.1 io extensions + maintenance
+    "sink_partition_overwrite", "scan_merge_schema", "sink_orc_roundtrip",
+    "maintenance_compact", "maintenance_cluster",
+    # live replayed streams LAST — most expensive per query
+    "stream_session", "stream_sliding", "stream_dedup_watermarked",
 ]
 
 

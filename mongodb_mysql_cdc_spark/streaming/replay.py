@@ -142,6 +142,13 @@ def drain_to_memory_table(
     # captured in the fresh checkpoint at .start(), so restoring the conf
     # afterwards is safe. A production deployment sizes this to the
     # cluster, not to the replay.
+    #
+    # THREAD-SAFETY: the override is session-global while held — a query
+    # planned concurrently on the same session would pick up 4 partitions.
+    # Every caller (suite replay queries, the CLI pipeline) is
+    # single-threaded per session; Spark offers no per-stream conf for
+    # shuffle.partitions short of spark.cloneSession(), which would forfeit
+    # the shared temp-view namespace the memory sink needs.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:

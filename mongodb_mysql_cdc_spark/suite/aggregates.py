@@ -297,8 +297,11 @@ def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.col("F_qty").alias("qty_f"),
         F.col("O_qty").alias("qty_o"),
-        F.col("F_n").alias("n_f"),
-        F.col("O_n").alias("n_o"),
+        # a pivot cell with no rows is NULL in Spark but 0 under the
+        # oracle's count(CASE ...) — coalesce so a data refresh that drops
+        # one (returnflag, linestatus) combination can't flip the hash
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("n_o"),
     )
 
 

@@ -346,7 +346,10 @@ def fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.repeat(F.col("p_brand"), 2).alias("brand_twice"),
         F.translate(F.col("p_type"), "aeiou", "_____").alias("type_devowel"),
         F.substring("p_name", 1, 5).alias("name_left"),
-        F.col("p_name").substr(F.length("p_name") - 4, F.lit(5)).alias("name_right"),
+        # right(), not substr(length-4, 5): for names shorter than 5 chars a
+        # computed start index <= 0 hits Spark's negative-index-from-end
+        # semantics and diverges from SQL right().
+        F.expr("right(p_name, 5)").alias("name_right"),
         F.levenshtein("p_brand", "p_type").cast("long").alias("brand_type_dist"),
         F.col("p_type").startswith("STANDARD").alias("is_standard"),
         F.md5(F.concat_ws("|", "p_name", "p_type")).alias("name_type_md5"),
