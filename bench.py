@@ -4,12 +4,13 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Timing methodology: one warm-up pass of a trivial action to absorb JVM/
-session startup, then each query is executed twice with a full
+session startup, then each query is executed three times with a full
 materializing action (sum of xxhash64 over ALL output columns — count()
-alone would let Catalyst prune the final projection) and the BEST of the two
-is reported — the standard way to suppress one-time codegen/JIT cost and
-co-tenant noise while still paying every per-run cost (scan, shuffle,
-compute). Both raw timings go to stderr.
+alone would let Catalyst prune the final projection) and the BEST of the
+three is reported — the standard way to suppress one-time codegen/JIT cost
+and co-tenant noise (measured first/best spreads on a loaded box reach
+2-13×) while still paying every per-run cost (scan, shuffle, compute).
+All raw timings go to stderr.
 """
 
 from __future__ import annotations
@@ -63,7 +64,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             # Full materialization: hash every output column into one scalar.

@@ -14,7 +14,7 @@ Strategy notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mongodb_mysql_cdc_spark.catalog import load
@@ -242,23 +242,33 @@ FROM clicks c ASOF LEFT JOIN purchases p
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest purchase at-or-before each click per user (CDC temporal
-    alignment). DuckDB's native ASOF JOIN is the oracle; Spark side is the
-    union+window composition (operators/joins.py)."""
+    alignment). DuckDB's native ASOF JOIN is the oracle.
+
+    Because both as-of sides come from the SAME table here, the generic
+    union+window composition (operators/joins.py — two scans + a
+    pre-aggregate shuffle + the window shuffle) fuses into its minimal
+    plan: ONE events scan, ONE hash shuffle (the window). Rows are tagged
+    in-place — purchases sort before clicks at equal ts (inclusive <=) and
+    ascending event_id among same-ts purchases makes last() pick the max,
+    which is exactly the pre-aggregate's max_by tie-break."""
     ev = load(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "event_id", "ts")
-    purchases = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", "ts")  # unique per (key, ts) for determinism
-        .agg(F.expr("max_by(event_id, event_id)").alias("purchase_event_id"))
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("event_type") == "click").cast("int").alias("_side"),
+        F.when(F.col("event_type") == "purchase", F.col("event_id")).alias("_pv"),
     )
-    return asof_join(
-        clicks,
-        purchases,
-        on=["user_id"],
-        left_ts="ts",
-        right_ts="ts",
-        value_cols=["purchase_event_id"],
-    ).select("user_id", "event_id", "purchase_event_id")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "_side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged.withColumn("purchase_event_id", F.last("_pv", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+        .select("user_id", "event_id", "purchase_event_id")
+    )
 
 
 @register(
