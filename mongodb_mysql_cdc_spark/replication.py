@@ -32,55 +32,54 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mongodb_mysql_cdc_spark.catalog import load
-from mongodb_mysql_cdc_spark.sources.cdc import envelopes_from_events
+from mongodb_mysql_cdc_spark.sources.adapters import EnvelopeSource, ParquetReplaySource
 from mongodb_mysql_cdc_spark.streaming.apply import CdcParquetSink, reconcile
-from mongodb_mysql_cdc_spark.streaming.replay import (
-    read_event_stream,
-    run_to_completion,
-    stage_event_chunks,
-)
+from mongodb_mysql_cdc_spark.streaming.replay import run_to_completion
 
 
 @dataclass
 class ReplicationPipeline:
-    """Snapshot + tail one source stream table into a keyed sink state."""
+    """Snapshot + tail one envelope source into a keyed sink state.
+
+    The source is any ``EnvelopeSource`` (sources/adapters.py): pass
+    ``source_dir`` for the harness parquet replay, or ``source=`` with a
+    deployment adapter (e.g. MongoChangeStreamSource) — everything from
+    reconcile down is source-agnostic."""
 
     spark: SparkSession
-    source_dir: str
+    source_dir: str | None = None
     sink_dir: str = field(default_factory=lambda: tempfile.mkdtemp(prefix="sparkcdc_replica_"))
     n_chunks: int = 4
     snapshot_chunks: int = 1  # chunks folded into the initial bulk load
+    source: EnvelopeSource | None = None
 
     def __post_init__(self) -> None:
+        if self.source is None:
+            if self.source_dir is None:
+                raise ValueError("pass source_dir (parquet replay) or source=")
+            self.source = ParquetReplaySource(
+                self.spark, self.source_dir,
+                n_chunks=self.n_chunks, snapshot_chunks=self.snapshot_chunks,
+            )
         self._sink = CdcParquetSink(self.spark, self.sink_dir)
-        self._staged: str | None = None
 
     # -- entry point A: initial snapshot -----------------------------------
     def snapshot(self) -> "ReplicationPipeline":
-        """Bulk-load the consistent starting state: the first
-        ``snapshot_chunks`` of the time-ordered feed applied as ONE batch
-        (batch id -1, guarded like any other epoch)."""
-        staged = self._stage()
-        parts = [
-            os.path.join(staged, f"chunk={i:04d}")
-            for i in range(1, self.snapshot_chunks + 1)
-        ]
-        snap = self.spark.read.parquet(*parts)
-        self._sink.apply_batch(envelopes_from_events(snap), batch_id=-1)
+        """Bulk-load the consistent starting state: the source's snapshot
+        envelopes applied as ONE batch (batch id -1, guarded like any
+        other epoch)."""
+        self._sink.apply_batch(self.source.snapshot(), batch_id=-1)
         return self
 
     # -- entry point B+C: change-stream tail + apply ------------------------
     def tail(self) -> "ReplicationPipeline":
-        """Open the remaining chunks as a real file stream (one chunk per
-        micro-batch, offsets checkpointed) and fold each micro-batch into
-        the sink idempotently."""
-        staged = self._stage()
-        stream = read_event_stream(self.spark, staged)
-        # Chunks already folded by the snapshot are re-delivered by the
-        # stream from offset zero — the batch-id guard plus LWW
+        """Open the source's change feed (offsets checkpointed) and fold
+        each micro-batch into the sink idempotently."""
+        # Events already folded by the snapshot may be re-delivered by a
+        # stream starting from offset zero — the batch-id guard plus LWW
         # idempotence make the overlap harmless (same replay argument as
         # a resume-token restart).
-        env = envelopes_from_events(stream)
+        env = self.source.stream()
         q = (
             env.writeStream.foreachBatch(self._sink.apply_batch)
             .option(
@@ -108,15 +107,6 @@ class ReplicationPipeline:
             "state_rows": 0 if state is None else state.count(),
             "live_rows": 0 if state is None else self.current().count(),
         }
-
-    def _stage(self) -> str:
-        if self._staged is None:
-            self._staged = stage_event_chunks(
-                self.spark, self.source_dir, n_chunks=self.n_chunks,
-                dir_prefix="replica",
-            )
-        return self._staged
-
 
 def expected_state(spark: SparkSession, source_dir: str) -> DataFrame:
     """The batch ground truth the pipeline must converge to: LWW fold of

@@ -39,3 +39,26 @@ def test_pipeline_restart_is_idempotent(spark, sf_dir):
     second = ReplicationPipeline(spark, sf_dir, sink, n_chunks=4)
     after = _rows(second.run().select("key", "last_ts"))
     assert before == after
+
+
+def test_source_adapter_seam(spark, sf_dir):
+    """Both adapters satisfy the EnvelopeSource protocol; the production
+    Mongo adapter fails loudly (no connector in the harness) rather than
+    pretending."""
+    import pytest
+
+    from mongodb_mysql_cdc_spark.sources.adapters import (
+        EnvelopeSource,
+        MongoChangeStreamSource,
+        ParquetReplaySource,
+    )
+    from mongodb_mysql_cdc_spark.sources.cdc import ENVELOPE_SCHEMA
+
+    replay = ParquetReplaySource(spark, sf_dir, n_chunks=2)
+    mongo = MongoChangeStreamSource(spark, "mongodb://db", "appdb", "events")
+    assert isinstance(replay, EnvelopeSource)
+    assert isinstance(mongo, EnvelopeSource)
+    shape = lambda st: [(f.name, f.dataType.simpleString()) for f in st.fields]
+    assert shape(replay.snapshot().schema) == shape(ENVELOPE_SCHEMA)
+    with pytest.raises(RuntimeError, match="mongo-spark-connector"):
+        mongo.stream()
