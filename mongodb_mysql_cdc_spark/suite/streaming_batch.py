@@ -143,6 +143,58 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_session_stateful",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM gaps
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       user_id,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+""",
+)
+def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows as a CUSTOM stateful operator —
+    applyInPandasWithState instead of the built-in session_window
+    (streaming/windows.py:stateful_session_stream). The StateStore keeps
+    only the open session per user (three scalars); closed sessions emit
+    immediately and the open session's snapshot emits every batch, so the
+    tail flushes with no watermark/heartbeat machinery. Update-mode
+    emissions fold to final sessions via groupBy max (emissions are
+    monotone per session). Third session-window form, same oracle —
+    built-in batch, built-in streaming, and custom-state streaming must
+    agree exactly."""
+    from mongodb_mysql_cdc_spark.streaming.replay import (
+        drain_to_memory_table,
+        read_event_stream,
+        stage_event_chunks,
+    )
+    from mongodb_mysql_cdc_spark.streaming.windows import (
+        fold_session_updates,
+        stateful_session_stream,
+    )
+
+    staged = stage_event_chunks(spark, sf_dir, n_chunks=4, dir_prefix="sessst")
+    sess = stateful_session_stream(read_event_stream(spark, staged))
+    out = drain_to_memory_table(spark, sess, "sessst", "update")
+    return fold_session_updates(out)
+
+
+@register(
     "late_data",
     oracle="""
 SELECT event_id, user_id, ts
