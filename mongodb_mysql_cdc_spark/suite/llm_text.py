@@ -366,3 +366,41 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= 20)
     )
+
+
+@register(
+    "text_entropy",
+    oracle=f"""
+WITH {TOKS_CTE},
+ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
+c AS (SELECT doc_id, token, count(*) AS cnt FROM ex GROUP BY doc_id, token)
+SELECT doc_id,
+       sum(cnt)  AS n_tokens,
+       count(*)  AS n_types,
+       {sql_round('count(*) / CAST(sum(cnt) AS DOUBLE)', 6)} AS ttr,
+       {sql_round('log2(sum(cnt)) - sum(cnt * log2(cnt)) / sum(cnt)', 6)} AS entropy
+FROM c
+GROUP BY doc_id
+""",
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram word-distribution entropy + type-token ratio per document —
+    the information-density quality signals (low entropy ≈ repetitive
+    boilerplate; low TTR ≈ keyword stuffing) a pretraining filter keys on.
+
+    H = -Σ (c/n)·log2(c/n) is folded to log2(n) - Σ c·log2(c) / n so the
+    whole thing is ONE two-phase hash aggregation pipeline (token counts,
+    then per-doc moments) — no window, no second pass over tokens; shuffle
+    volume is |distinct (doc, token)| then |docs|."""
+    docs = load(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("token"))
+    c = ex.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    n = F.sum("cnt")
+    return c.groupBy("doc_id").agg(
+        n.alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        hround(F.count(F.lit(1)) / n.cast("double"), 6).alias("ttr"),
+        hround(
+            F.log2(n) - F.sum(F.col("cnt") * F.log2("cnt")) / n, 6
+        ).alias("entropy"),
+    )

@@ -450,3 +450,60 @@ def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(F.exp("l_discount"), 6).alias("exp_d"),
         hround(F.log10("l_extendedprice"), 6).alias("log10_price"),
     )
+
+
+@register(
+    "fn_url",
+    oracle=r"""
+WITH u AS (
+  SELECT p_partkey,
+         concat('https://catalog.example.com/',
+                replace(replace(lower(p_brand), ' ', '-'), '#', '-'),
+                '/item-', CAST(p_partkey AS VARCHAR),
+                '?size=', CAST(p_size AS VARCHAR)) AS url
+  FROM part
+)
+SELECT p_partkey, url,
+       regexp_extract(url, 'https?://([^/]+)/', 1)   AS host,
+       regexp_extract(url, 'https?://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '\?(.*)$', 1)             AS query_str,
+       CAST(regexp_extract(url, 'size=([0-9]+)', 1) AS INTEGER) AS size_param,
+       concat(regexp_extract(url, 'https?://([^/]+)/', 1),
+              regexp_extract(url, 'https?://[^/]+(/[^?]*)', 1)) AS canonical
+FROM u
+""",
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL family (§2.8 breadth; the web-corpus curation primitive —
+    canonical host+path keys URL-level dedup). URLs are synthesized
+    deterministically from part rows, then decomposed with Spark's
+    built-in parse_url (JVM-side, codegen'd); the oracle re-derives the
+    same parts with regexes, so the check is a genuine cross-
+    implementation test of the parsing, not regex-vs-same-regex."""
+    p = load(spark, sf_dir, "part")
+    url = F.concat(
+        F.lit("https://catalog.example.com/"),
+        # '#' would become a URL fragment and swallow path+query — slug
+        # every non-URL-safe char in the brand
+        F.replace(
+            F.replace(F.lower("p_brand"), F.lit(" "), F.lit("-")),
+            F.lit("#"),
+            F.lit("-"),
+        ),
+        F.lit("/item-"),
+        F.col("p_partkey").cast("string"),
+        F.lit("?size="),
+        F.col("p_size").cast("string"),
+    )
+    u = p.select("p_partkey", url.alias("url"))
+    host = F.parse_url("url", F.lit("HOST"))
+    path = F.parse_url("url", F.lit("PATH"))
+    return u.select(
+        "p_partkey",
+        "url",
+        host.alias("host"),
+        path.alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query_str"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("size")).cast("int").alias("size_param"),
+        F.concat(host, path).alias("canonical"),
+    )

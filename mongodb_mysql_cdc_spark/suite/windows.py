@@ -276,3 +276,43 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("value").over(w).alias("first_val"),
         F.last("event_type").over(w).alias("latest_type"),
     )
+
+
+@register(
+    "win_gaps_islands",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              OR epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, event_id, ts,
+       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS session_id
+FROM gaps
+""",
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands session-id ASSIGNMENT (§2.5 meets sessionization):
+    unlike session_window (which aggregates), this keeps every event row
+    and labels it with its session ordinal — the shape feature pipelines
+    need to join events back to their session. lag + running sum over ONE
+    window spec = one shuffle + one sort; Catalyst evaluates both
+    functions in a single WindowExec over the shared (user_id, ts,
+    event_id) ordering."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(w)
+    new_session = (
+        F.when(prev_us.isNull() | (F.unix_micros("ts") - prev_us >= 1_800_000_000), 1)
+        .otherwise(0)
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "user_id", "event_id", "ts",
+        F.sum(new_session).over(run).alias("session_id"),
+    )
