@@ -156,3 +156,21 @@ def test_kmeans_refine_broadcasts_centroids(spark):
     plan = explain_str(_q("kmeans_refine", spark))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_fused_asof_is_single_scan_single_shuffle(spark):
+    """join_asof's fused form: ONE events scan, ONE exchange (the window
+    hash partition) — the union+pre-aggregate shape would show two scans
+    and two+ exchanges."""
+    # formatted explain prints each node in the tree AND a detail block —
+    # count unique scan locations / exchange node ids, not substrings
+    plan = explain_str(_q("join_asof", spark))
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert len(set(__import__("re").findall(r"\(\d+\) Exchange", plan))) == 1, plan
+
+
+def test_gaps_islands_single_window_ordering(spark):
+    """lag + running-sum share one (user_id, ts, event_id) ordering: one
+    exchange, no extra sort between the two window computations."""
+    plan = explain_str(_q("win_gaps_islands", spark))
+    assert len(set(__import__("re").findall(r"\(\d+\) Exchange", plan))) == 1, plan
