@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 from mongodb_mysql_cdc_spark.catalog import load
 from mongodb_mysql_cdc_spark.registry import register
 from mongodb_mysql_cdc_spark.sources.cdc import (
+    _JSON_OPTS,
+    ENVELOPE_SCHEMA,
     envelopes_as_json,
     envelopes_from_events,
     events_as_envelopes,
@@ -581,4 +583,53 @@ def cdc_before_after_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "before_value", "after_value",
             changed.alias("changed_fields"),
         )
+    )
+
+
+@register(
+    "cdc_dead_letter",
+    oracle=f"""
+SELECT event_id AS offset,
+       CASE WHEN event_id % 97 = 0 THEN 'dead' ELSE 'ok' END AS status,
+       CASE WHEN event_id % 97 = 0 THEN NULL ELSE user_id END AS key,
+       CASE WHEN event_id % 97 = 0 THEN NULL ELSE {_OP_SQL} END AS op
+FROM events
+""",
+)
+def cdc_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing — the malformed-payload path every real CDC
+    ingest needs: envelopes arrive as JSON with their transport offset
+    (the Kafka offset / resume token) as metadata; payloads that fail
+    from_json go to the DLQ WITH their offset so they can be replayed
+    after a fix, instead of poisoning the stream.
+
+    Corruption is synthesized deterministically (every 97th offset gets a
+    mangled payload) so the oracle can derive the routing from the events
+    table directly. "Failed to parse" is detected as the all-null
+    mandatory-field struct — from_json's PERMISSIVE contract — which no
+    genuine envelope can produce (op/ts/key are never all null)."""
+    env = events_as_envelopes(spark, sf_dir)
+    # offset rides beside the serialized payload, like Kafka metadata
+    wire = env.select(
+        F.col("seq").alias("offset"),
+        F.to_json(F.struct(*env.columns), _JSON_OPTS).alias("raw"),
+    )
+    corrupted = wire.select(
+        "offset",
+        F.when(
+            F.col("offset") % 97 == 0, F.concat(F.lit("CORRUPT"), F.col("raw"))
+        )
+        .otherwise(F.col("raw"))
+        .alias("raw"),
+    )
+    parsed = corrupted.select("offset", F.from_json("raw", ENVELOPE_SCHEMA, _JSON_OPTS).alias("v"))
+    dead = (
+        F.col("v").isNull()
+        | (F.col("v.op").isNull() & F.col("v.ts").isNull() & F.col("v.key").isNull())
+    )
+    return parsed.select(
+        "offset",
+        F.when(dead, "dead").otherwise("ok").alias("status"),
+        F.when(~dead, F.col("v.key")).alias("key"),
+        F.when(~dead, F.col("v.op")).alias("op"),
     )

@@ -375,8 +375,8 @@ WITH {TOKS_CTE},
 ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
 c AS (SELECT doc_id, token, count(*) AS cnt FROM ex GROUP BY doc_id, token)
 SELECT doc_id,
-       sum(cnt)  AS n_tokens,
-       count(*)  AS n_types,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       count(*)                 AS n_types,
        {sql_round('count(*) / CAST(sum(cnt) AS DOUBLE)', 6)} AS ttr,
        {sql_round('log2(sum(cnt)) - sum(cnt * log2(cnt)) / sum(cnt)', 6)} AS entropy
 FROM c
@@ -403,4 +403,48 @@ def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(
             F.log2(n) - F.sum(F.col("cnt") * F.log2("cnt")) / n, 6
         ).alias("entropy"),
+    )
+
+
+@register(
+    "token_oov_rate",
+    oracle=f"""
+WITH {TOKS_CTE},
+ex AS (SELECT doc_id, unnest(t) AS token FROM toks),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, count(*) AS freq FROM ex GROUP BY token
+  ) ORDER BY freq DESC, token LIMIT 10
+)
+SELECT ex.doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       {sql_round('sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)', 6)} AS oov_rate
+FROM ex LEFT JOIN vocab v ON ex.token = v.token
+GROUP BY ex.doc_id
+""",
+)
+def token_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own head
+    vocabulary (top-10 tokens by frequency, ties broken by token) — the
+    tokenizer-coverage metric a pretraining pipeline computes before
+    committing to a vocab. Two-pass shape: the vocab fits the driver by
+    construction (top-K of a frequency aggregate), so the membership test
+    is a BROADCAST left join — the corpus-sized side never shuffles for
+    the join, only for its own per-doc aggregate."""
+    docs = load(spark, sf_dir, "documents")
+    ex = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("token"))
+    vocab = (
+        ex.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(10)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    joined = ex.join(F.broadcast(vocab), "token", "left")
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        oov.alias("n_oov"),
+        hround(oov / F.count(F.lit(1)).cast("double"), 6).alias("oov_rate"),
     )

@@ -290,9 +290,9 @@ WITH gaps AS (
   FROM events
 )
 SELECT user_id, event_id, ts,
-       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-         AS session_id
+       CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS session_id
 FROM gaps
 """,
 )
