@@ -368,3 +368,35 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """True if the spark-avro module is on the classpath. Avro has been an
+    EXTERNAL module since Spark 2.4 (deployed with --packages
+    org.apache.spark:spark-avro_2.13); this container ships without it and
+    has no network, so the roundtrip below is gated rather than registered
+    as a driver query (a registered query must run everywhere)."""
+    try:
+        spark.range(1).write.format("avro").save(
+            os.path.join(tempfile.mkdtemp(prefix="avro_probe_"), "p")
+        )
+        return True
+    except Exception:
+        return False
+
+
+def sink_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro write→read roundtrip, same contract as sink_orc_roundtrip
+    (compare against the source table). Raises a clear error where the
+    module is absent instead of failing inside the datasource lookup."""
+    if not avro_available(spark):
+        raise RuntimeError(
+            "spark-avro is not on the classpath; deploy with "
+            "--packages org.apache.spark:spark-avro_2.13:<spark-version>"
+        )
+    out = os.path.join(tempfile.mkdtemp(prefix="sparkcdc_avro_"), "part")
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size", "p_retailprice"
+    )
+    p.write.mode("overwrite").format("avro").save(out)
+    return spark.read.schema(p.schema).format("avro").load(out)

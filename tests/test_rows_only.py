@@ -50,3 +50,19 @@ def test_approx_quantile_within_tolerance_of_exact(spark):
         for approx, exact in zip(r.approx_p, r.exact_p):
             assert exact > 0
             assert abs(approx - exact) / exact <= 0.01, (r.l_returnflag, approx, exact)
+
+
+def test_avro_roundtrip_or_documented_gate(spark, sf_dir):
+    """Avro is an external Spark module: where present the roundtrip must
+    preserve rows; where absent (this container) the gate must raise the
+    actionable deploy hint, not a datasource lookup error."""
+    import pytest
+
+    from mongodb_mysql_cdc_spark.suite.io import avro_available, sink_avro_roundtrip
+
+    if avro_available(spark):
+        out = sink_avro_roundtrip(spark, sf_dir)
+        assert out.count() == 2000
+    else:
+        with pytest.raises(RuntimeError, match="spark-avro"):
+            sink_avro_roundtrip(spark, sf_dir)
