@@ -26,7 +26,7 @@ from mongodb_mysql_cdc_spark.sources.cdc import (
     op_for_event_type,
     parse_envelope_json,
 )
-from mongodb_mysql_cdc_spark.streaming.apply import CdcParquetSink, cdc_apply_batch
+from mongodb_mysql_cdc_spark.streaming.apply import CdcParquetSink, cdc_apply_batch, reconcile
 from mongodb_mysql_cdc_spark.streaming.replay import (
     drain_to_memory_table,
     read_event_stream,
@@ -632,4 +632,51 @@ def cdc_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(dead, "dead").otherwise("ok").alias("status"),
         F.when(~dead, F.col("v.key")).alias("key"),
         F.when(~dead, F.col("v.op")).alias("op"),
+    )
+
+
+@register(
+    "cdc_tombstone_gc",
+    oracle=f"""
+WITH env AS (
+  SELECT user_id AS key, ts, event_id AS seq, {_OP_SQL} AS op,
+         event_type, value
+  FROM events
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY key ORDER BY ts DESC, seq DESC) AS rn
+    FROM env
+  ) WHERE rn = 1
+),
+horizon AS (SELECT max(ts) - INTERVAL 7 DAY AS h FROM events)
+SELECT key, op, ts, seq,
+       event_type AS after_event_type, value AS after_value
+FROM latest CROSS JOIN horizon
+WHERE op <> 'd' OR ts >= h
+""",
+)
+def cdc_tombstone_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone garbage collection — the state-table maintenance op the
+    flagship's retention rule requires: a delete marker must be KEPT until
+    no event older than it can still arrive (here: a 7-day horizon behind
+    max event time, the watermark stand-in), then compacts away on
+    rewrite. Dropping it earlier would let a late, older update resurrect
+    the deleted key; keeping it forever makes state grow with deletes
+    instead of live keys. Live rows are never GC'd. The horizon is a
+    1-row broadcast (scalar aggregate crossJoin) — zero extra shuffle on
+    the state side."""
+    env = envelopes_from_events(load(spark, sf_dir, "events"))
+    state = reconcile(env)
+    horizon = env.agg(
+        (F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("h")
+    )
+    return (
+        state.crossJoin(F.broadcast(horizon))
+        .filter((F.col("op") != "d") | (F.col("ts") >= F.col("h")))
+        .select(
+            "key", "op", "ts", "seq",
+            F.col("after.event_type").alias("after_event_type"),
+            F.col("after.value").alias("after_value"),
+        )
     )

@@ -374,3 +374,30 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(coin < F.col("keep_p") * 1000000.0)
         .select("doc_id", "source")
     )
+
+
+@register(
+    "dataset_split",
+    oracle=f"""
+SELECT doc_id, lang, source,
+       CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang, source,
+         {H.sql_hash60("concat('split|', CAST(doc_id AS VARCHAR))")} % 100 AS h
+  FROM documents
+)
+""",
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5) — the canonical
+    final step of a training-data pipeline. The split is a salted hash of
+    the document's own id: a pure narrow projection (zero shuffle, composes
+    with partition pruning), stable across reruns and incremental loads —
+    a document can never migrate between splits when the corpus grows,
+    which is the leakage guarantee random() cannot give."""
+    d = load(spark, sf_dir, "documents")
+    h = H.hash60(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))) % 100
+    split = (
+        F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    )
+    return d.select("doc_id", "lang", "source", split.alias("split"))
