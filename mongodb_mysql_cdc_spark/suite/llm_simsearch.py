@@ -402,3 +402,62 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
             hround(F.col("dist"), 4).alias("dist_refined"),
         )
     )
+
+
+@register(
+    "embedding_quantize",
+    oracle=f"""
+WITH s AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, scale,
+         list_transform(v, x -> floor(x / scale + 0.5)) AS qv, v
+  FROM s
+)
+SELECT vec_id,
+       {sql_round('scale', 6)} AS scale,
+       CAST(list_min(qv) AS BIGINT) AS q_min,
+       CAST(list_max(qv) AS BIGINT) AS q_max,
+       {sql_round('sqrt(list_reduce(list_transform(list_zip(v, qv), p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale)), (a, b) -> a + b) / len(v))', 6)} AS recon_rmse
+FROM q
+""",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the memory
+    lever that makes 100 TB of vectors servable (4× smaller than f32,
+    SIMD-dot-product friendly). Per vector: scale = max|x|/127,
+    q = round(x/scale); reported here as summary stats (scale, q range,
+    reconstruction RMSE) so the check is scalar-hashable. Pure narrow
+    HOF projection — zero shuffle, composes with any downstream ANN
+    bucketing. Rounding uses the floor(x+0.5) spelling on BOTH engines
+    (compat.hround rule) — Spark round() HALF_UPs through BigDecimal and
+    would diverge."""
+    e = load(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    s = e.select("vec_id", scale.alias("scale"), v.alias("v"))
+    qv = F.transform(F.col("v"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5)))
+    q = s.select("vec_id", "scale", qv.alias("qv"), "v")
+    # (d * d), not pow(d, 2): pow's libm path differs by ulps across
+    # engines; plain multiply is IEEE-identical
+    sq_err = F.zip_with(
+        F.col("v"),
+        F.col("qv"),
+        lambda x, qi: (x - qi * F.col("scale")) * (x - qi * F.col("scale")),
+    )
+    rmse = F.sqrt(F.aggregate(sq_err, F.lit(0.0), lambda a, b: a + b) / F.size("v"))
+    # Round scale in a SEPARATE projection: aliasing hround(scale) AS
+    # "scale" beside rmse would lateral-column-alias-capture the
+    # F.col("scale") inside rmse's lambdas (Spark 4 LCA resolves sibling
+    # aliases first) and quantize against the ROUNDED scale.
+    return q.select(
+        "vec_id",
+        "scale",
+        F.array_min("qv").cast("long").alias("q_min"),
+        F.array_max("qv").cast("long").alias("q_max"),
+        hround(rmse, 6).alias("recon_rmse"),
+    ).withColumn("scale", hround(F.col("scale"), 6))
