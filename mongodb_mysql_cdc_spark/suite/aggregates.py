@@ -418,3 +418,46 @@ def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("value") > 50).alias("n_over_50"),
         (F.avg(F.when(F.col("value") > 50, 1.0).otherwise(0.0)) * 100).alias("pct_over_50"),
     )
+
+
+@register(
+    "agg_incremental_merge",
+    oracle=f"""
+SELECT event_type,
+       count(*)                       AS n,
+       {sql_round('sum(value)', 4)}   AS total,
+       {sql_round('min(value)', 4)}   AS vmin,
+       {sql_round('max(value)', 4)}   AS vmax,
+       {sql_round('sum(value) / count(*)', 4)} AS mean
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable partial-aggregate state — the incremental-rollup pattern:
+    each ingest chunk keeps (count, sum, min, max) per group, and the
+    global aggregate is a MERGE of partials, never a re-scan of history.
+    The oracle is the DIRECT single-pass aggregate, so the check proves
+    merge(partials) == direct — the algebraic property that makes the
+    rollup maintainable at 100 TB (refreshing a day's partition re-reads
+    one partition, not the table; the same property Spark's own two-phase
+    hash aggregation relies on per shuffle).
+
+    The mean is derived from merged (sum, count) at the END — never
+    averaged-of-averages, the classic incremental-rollup bug."""
+    ev = load(spark, sf_dir, "events")
+    # deterministic "ingest chunk" stand-in
+    chunked = ev.withColumn("chunk", F.col("event_id") % 8)
+    partial = chunked.groupBy("event_type", "chunk").agg(
+        F.count(F.lit(1)).alias("p_n"),
+        F.sum("value").alias("p_sum"),
+        F.min("value").alias("p_min"),
+        F.max("value").alias("p_max"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("p_n").alias("n"),
+        hround(F.sum("p_sum"), 4).alias("total"),
+        hround(F.min("p_min"), 4).alias("vmin"),
+        hround(F.max("p_max"), 4).alias("vmax"),
+        hround(F.sum("p_sum") / F.sum("p_n"), 4).alias("mean"),
+    )

@@ -461,3 +461,89 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("qv").cast("long").alias("q_max"),
         hround(rmse, 6).alias("recon_rmse"),
     ).withColumn("scale", hround(F.col("scale"), 6))
+
+
+_RERANK_CAND = 20  # stage-1 survivors per query before the exact rerank
+
+
+def _sql_sign_agree(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}),"
+        f" p -> CASE WHEN (CAST(p[1] AS DOUBLE) >= 0) = (CAST(p[2] AS DOUBLE) >= 0)"
+        f" THEN 1 ELSE 0 END), (acc, x) -> acc + x)"
+    )
+
+
+@register(
+    "sim_search_rerank",
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {_N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= {_N_QUERIES}),
+stage1 AS (
+  SELECT query_id, neighbor_id, qv, cv,
+         {_sql_sign_agree('qv', 'cv')} AS sign_agree
+  FROM q CROSS JOIN c
+),
+cand AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sign_agree DESC, neighbor_id) AS s1_rank
+    FROM stage1
+  ) WHERE s1_rank <= {_RERANK_CAND}
+)
+SELECT query_id, neighbor_id, CAST(sign_agree AS BIGINT) AS sign_agree, cos_sim, rank FROM (
+  SELECT query_id, neighbor_id, sign_agree,
+         {sql_round(V.sql_cosine('qv', 'cv'), 6)} AS cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {V.sql_cosine('qv', 'cv')} DESC, neighbor_id) AS rank
+  FROM cand
+) WHERE rank <= {_TOP_K}
+""",
+)
+def sim_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — the ANN serving pattern at scale: a CHEAP
+    integer metric (sign-bit agreement ≈ 1-bit-quantized cosine; at 100 TB
+    this is a popcount over packed bits) prunes the corpus to
+    {_RERANK_CAND} candidates per query, and the expensive float cosine
+    runs only on survivors — two window top-ks, full-precision math on
+    0.1% of the corpus. Exact same two-stage structure as production
+    IVF/PQ + rerank systems; here stage 1 scans broadcast-joined pairs so
+    the oracle can reproduce it exactly."""
+    emb = spread(load(spark, sf_dir, "embeddings"), "vec_id")
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    sign_agree = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("cv"),
+            lambda x, y: F.when(
+                (x.cast("double") >= 0) == (y.cast("double") >= 0), 1
+            ).otherwise(0),
+        ),
+        F.lit(0),
+        lambda a, b: a + b,
+    )
+    stage1 = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "neighbor_id", "qv", "cv", sign_agree.alias("sign_agree")
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("sign_agree"), F.asc("neighbor_id"))
+    cand = stage1.withColumn("s1_rank", F.row_number().over(w1)).filter(
+        F.col("s1_rank") <= _RERANK_CAND
+    )
+    cos = V.cosine(F.col("qv"), F.col("cv"))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc(cos), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("sign_agree").cast("long").alias("sign_agree"),
+            hround(cos, 6).alias("cos_sim"),
+            "rank",
+        )
+    )
