@@ -229,3 +229,42 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events").select("event_type", "user_id", "value")
     return ev.groupBy("event_type").applyInPandas(fit, schema)
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+WITH bmp AS (
+  SELECT doc_id, 4 + doc_id % 8 AS w, 4 AS h FROM documents WHERE doc_id % 2 = 1
+),
+small AS (
+  SELECT b.doc_id, b.w, b.h,
+         CAST(ceil(b.w / 2.0) AS BIGINT) AS rs_w,
+         CAST(ceil(b.h / 2.0) AS BIGINT) AS rs_h,
+         avg(CAST((b.doc_id * 7 + x.x * 3 + y.y * 13) % 256 AS DOUBLE)) AS rs_mean
+  FROM bmp b
+  CROSS JOIN LATERAL (SELECT unnest(range(0, b.w, 2)) AS x) x
+  CROSS JOIN LATERAL (SELECT unnest(range(0, b.h, 2)) AS y) y
+  GROUP BY ALL
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       rs_w AS rs_width, rs_h AS rs_height,
+       CAST(54 + rs_h * ((3 * rs_w + 3) // 4 * 4) AS BIGINT) AS rs_n_bytes,
+       rs_mean AS rs_pixel_mean
+FROM small
+""",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize (§2.10 multimodal): nearest-neighbor ×2 downsample
+    of the synthesized 24-bit BMPs — parse bytes, subsample the pixel grid
+    anchored at image (0,0), re-encode a valid BMP (operators/multimodal.py
+    resize_bmp). The oracle recomputes dims, re-encoded byte size (incl.
+    the 4-byte row padding rule), and the resampled pixel mean analytically
+    from the generator formula — a wrong stride, flipped row order, or
+    padding bug shows as a value mismatch. Pixel sums are integers < 2^53:
+    exact on both engines."""
+    from mongodb_mysql_cdc_spark.operators.multimodal import resize_bmp, synth_media
+
+    media = synth_media(load(spark, sf_dir, "documents"))
+    return resize_bmp(media, factor=2).drop("resized")

@@ -168,3 +168,26 @@ def test_tfidf_weights_match_manual_computation(spark, sf_dir):
     for r in sample[:10]:
         expect = r.tf * (math.log((n_docs + 1.0) / (r.df + 1.0)) + 1.0)
         assert r.tfidf == pytest.approx(expect, rel=1e-5)
+
+
+def test_resized_bmp_is_itself_decodable(spark, sf_dir):
+    """resize_bmp must emit VALID BMPs: parsing a resized payload with the
+    independent stdlib/struct path yields the declared dims and the
+    declared byte size."""
+    import struct
+
+    from mongodb_mysql_cdc_spark.catalog import load
+    from mongodb_mysql_cdc_spark.operators.multimodal import resize_bmp, synth_media
+
+    rows = (
+        resize_bmp(synth_media(load(spark, sf_dir, "documents")), factor=2)
+        .limit(8)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        b = bytes(r["resized"])
+        assert b[:2] == b"BM"
+        assert len(b) == r["rs_n_bytes"]
+        (_hsz, w, h, _planes, bpp) = struct.unpack_from("<IiiHH", b, 14)
+        assert (w, h, bpp) == (r["rs_width"], r["rs_height"], 24)
