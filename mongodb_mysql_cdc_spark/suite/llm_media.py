@@ -268,3 +268,40 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synth_media(load(spark, sf_dir, "documents"))
     return resize_bmp(media, factor=2).drop("resized")
+
+
+@register(
+    "multimodal_resample",
+    oracle="""
+WITH wav AS (
+  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents WHERE doc_id % 2 = 0
+),
+small AS (
+  SELECT w.doc_id, w.n,
+         CAST(ceil(w.n / 2.0) AS BIGINT) AS rs_n,
+         avg(abs(CAST((w.doc_id * 31 + i.i * 17) % 2048 - 1024 AS DOUBLE))) AS rs_mean
+  FROM wav w
+  CROSS JOIN LATERAL (SELECT unnest(range(0, w.n, 2)) AS i) i
+  GROUP BY ALL
+)
+SELECT doc_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(4000 AS BIGINT) AS rs_rate,
+       rs_n AS rs_n_samples,
+       CAST(44 + 2 * rs_n AS BIGINT) AS rs_n_bytes,
+       rs_mean AS rs_mean_abs
+FROM small
+""",
+)
+def multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio resample (§2.10 multimodal, audio path): decimate the
+    synthesized PCM16 WAVs ×2 and re-encode a valid RIFF container
+    (operators/multimodal.py resample_wav). Oracle recomputes the kept
+    sample count, re-encoded byte size (44-byte header + 2 bytes/sample),
+    and mean |amplitude| of the kept samples analytically from the
+    generator formula. Integer sums < 2^53: exact on both engines."""
+    from mongodb_mysql_cdc_spark.operators.multimodal import resample_wav, synth_media
+
+    media = synth_media(load(spark, sf_dir, "documents"))
+    return resample_wav(media, factor=2).drop("resampled")

@@ -191,3 +191,27 @@ def test_resized_bmp_is_itself_decodable(spark, sf_dir):
         assert len(b) == r["rs_n_bytes"]
         (_hsz, w, h, _planes, bpp) = struct.unpack_from("<IiiHH", b, 14)
         assert (w, h, bpp) == (r["rs_width"], r["rs_height"], 24)
+
+
+def test_resampled_wav_is_itself_decodable(spark, sf_dir):
+    """resample_wav must emit VALID RIFF containers: independent re-parse
+    yields the halved rate and declared sample count/byte size."""
+    import struct
+
+    from mongodb_mysql_cdc_spark.catalog import load
+    from mongodb_mysql_cdc_spark.operators.multimodal import resample_wav, synth_media
+
+    rows = (
+        resample_wav(synth_media(load(spark, sf_dir, "documents")), factor=2)
+        .limit(8)
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        b = bytes(r["resampled"])
+        assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+        assert len(b) == r["rs_n_bytes"]
+        (_sz, _afmt, ch, sr) = struct.unpack_from("<IHHI", b, 16)
+        assert (ch, sr) == (1, r["rs_rate"])
+        n_data = struct.unpack_from("<I", b, 40)[0]
+        assert n_data == 2 * r["rs_n_samples"]
