@@ -448,3 +448,77 @@ def token_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         oov.alias("n_oov"),
         hround(oov / F.count(F.lit(1)).cast("double"), 6).alias("oov_rate"),
     )
+
+
+@register(
+    "quality_ensemble",
+    oracle=f"""
+WITH {TOKS_CTE},
+q AS (
+  SELECT doc_id,
+         len(t) AS n_tokens,
+         len(list_filter(t, x -> x IN ({_SW}))) / greatest(len(t), 1) AS sw_ratio,
+         len(list_distinct(t)) / greatest(len(t), 1) AS ttr
+  FROM toks
+),
+sh AS (SELECT doc_id, list_transform(generate_series(1, greatest(len(t)-2, 0)),
+                                     i -> array_to_string(t[i:i+2], ' ')) AS s
+       FROM toks WHERE greatest(len(t)-2, 0) > 0),
+ex AS (SELECT doc_id, len(s) AS n_shingles, unnest(s) AS g FROM sh),
+rep AS (
+  SELECT doc_id, max(c) / greatest(max(n_shingles), 1) AS rep_ratio FROM (
+    SELECT doc_id, g, max(n_shingles) AS n_shingles, count(*) AS c
+    FROM ex GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)
+SELECT q.doc_id, q.n_tokens, q.sw_ratio, q.ttr,
+       coalesce(rep.rep_ratio, 0.0) AS rep_ratio,
+       CASE WHEN q.n_tokens < 40 THEN 'too_short'
+            WHEN q.sw_ratio > 0.5 THEN 'stopword_heavy'
+            WHEN q.ttr < 0.2 THEN 'low_diversity'
+            WHEN coalesce(rep.rep_ratio, 0.0) > 0.2 THEN 'repetitive'
+            ELSE 'keep' END AS verdict
+FROM q LEFT JOIN rep ON q.doc_id = rep.doc_id
+""",
+)
+def quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-filter GATE: length, stopword density, lexical diversity
+    and the Gopher repetition rule combined into one verdict, with the
+    FIRST failing rule as the drop reason (the audit trail a curation
+    pipeline reports per document). The cheap narrow signals compute in
+    one projection; only the repetition signal needs its shingle
+    aggregation, left-joined back on doc_id — at 100 TB the narrow rules
+    prune first and the expensive signal runs on survivors."""
+    docs = load(spark, sf_dir, "documents")
+    t = X.tokens(F.col("text"))
+    q = docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        X.stopword_ratio(t).alias("sw_ratio"),
+        X.type_token_ratio(t).alias("ttr"),
+    )
+    sh = spread(docs, "doc_id").select(
+        "doc_id", X.word_shingles(t, 3).alias("s")
+    ).filter(F.size("s") > 0)
+    ex = sh.select("doc_id", F.size("s").alias("n_shingles"), F.explode("s").alias("g"))
+    rep = (
+        ex.groupBy("doc_id", "g")
+        .agg(F.max("n_shingles").alias("n_shingles"), F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c") / F.greatest(F.max("n_shingles"), F.lit(1))).alias("rep_ratio")
+        )
+    )
+    j = q.join(rep, "doc_id", "left").withColumn(
+        "rep_ratio", F.coalesce(F.col("rep_ratio"), F.lit(0.0))
+    )
+    verdict = (
+        F.when(F.col("n_tokens") < 40, "too_short")
+        .when(F.col("sw_ratio") > 0.5, "stopword_heavy")
+        .when(F.col("ttr") < 0.2, "low_diversity")
+        .when(F.col("rep_ratio") > 0.2, "repetitive")
+        .otherwise("keep")
+    )
+    return j.select(
+        "doc_id", "n_tokens", "sw_ratio", "ttr", "rep_ratio", verdict.alias("verdict")
+    )
