@@ -461,3 +461,29 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(F.max("p_max"), 4).alias("vmax"),
         hround(F.sum("p_sum") / F.sum("p_n"), 4).alias("mean"),
     )
+
+
+@register(
+    "agg_percentile_exact",
+    oracle=f"""
+SELECT event_type,
+       {sql_round('percentile_cont(0.5)  WITHIN GROUP (ORDER BY value)', 6)} AS p50,
+       {sql_round('percentile_cont(0.9)  WITHIN GROUP (ORDER BY value)', 6)} AS p90,
+       {sql_round('percentile_cont(0.99) WITHIN GROUP (ORDER BY value)', 6)} AS p99
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (linear interpolation at rank (n-1)p) — the
+    latency-SLO aggregate, checked against DuckDB's percentile_cont. The
+    exact form buffers each group's values, so it pairs with
+    agg_approx_quantile: exact where groups are bounded (5 event types),
+    the t-digest/GK sketch where they are not — the same
+    exact-vs-sketch trade as count_distinct vs HLL."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        hround(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        hround(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        hround(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )

@@ -389,3 +389,49 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, arg_min(event_id, event_id) AS next_purchase_id, ts AS pts
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id, ts
+)
+SELECT c.user_id, c.event_id, p.next_purchase_id
+FROM clicks c ASOF LEFT JOIN purchases p
+  ON c.user_id = p.user_id AND c.ts <= p.pts
+""",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of: the EARLIEST purchase at-or-after each click — the
+    attribution direction ("what did this click lead to"), mirror of the
+    backward join_asof. Same fused single-scan shape, with the window
+    running DESC so first-after fills backward: at equal ts the purchase
+    sorts after the click (inclusive <=), and ascending event_id among
+    same-ts purchases makes the DESC-scan's last() pick the MIN event_id —
+    exactly the pre-aggregate's arg_min tie-break."""
+    ev = load(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("event_type") == "click").cast("int").alias("_side"),  # click=1
+        F.when(F.col("event_type") == "purchase", F.col("event_id")).alias("_pv"),
+    )
+    # DESC over (ts, side, -event_id): rows later in scan order are earlier
+    # in time; last(_pv) = the nearest purchase with pts >= ts.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("_side"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged.withColumn("next_purchase_id", F.last("_pv", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+        .select("user_id", "event_id", "next_purchase_id")
+    )
