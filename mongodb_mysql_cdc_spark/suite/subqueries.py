@@ -14,6 +14,7 @@ per-row lookup.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from mongodb_mysql_cdc_spark.catalog import load
 from mongodb_mysql_cdc_spark.registry import register
@@ -168,5 +169,46 @@ def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
           ORDER BY n_suppliers DESC, n.n_name
           LIMIT 2
         ) t
+        """
+    )
+
+
+@register(
+    "subquery_not_in_null",
+    oracle="""
+WITH bulk AS (
+  SELECT CASE WHEN l_quantity >= 49 THEN NULL ELSE l_partkey END AS pk
+  FROM lineitem WHERE l_quantity >= 48
+)
+SELECT p_partkey, p_name,
+       (SELECT count(*) FROM part p2
+        WHERE p2.p_partkey NOT IN (SELECT pk FROM bulk)) AS naive_not_in_rows
+FROM part
+WHERE p_partkey NOT IN (SELECT pk FROM bulk WHERE pk IS NOT NULL)
+"""
+)
+def subquery_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-aware NOT IN — SQL's three-valued-logic trap, exhibited and
+    checked on BOTH engines: the subquery list contains NULLs, so the
+    naive ``NOT IN`` matches zero rows (scalar column pins that 0), while
+    the correct formulation filters NULLs first and Spark plans it as the
+    cheap hash anti join. Spark plans the naive form as a null-aware anti
+    join (BroadcastNestedLoop) — the reason SURVEY §2.11 recommends
+    NOT EXISTS / explicit null filtering at scale."""
+    li = load(spark, sf_dir, "lineitem")
+    bulk = li.filter(F.col("l_quantity") >= 48).select(
+        F.when(F.col("l_quantity") >= 49, F.lit(None).cast("long"))
+        .otherwise(F.col("l_partkey"))
+        .alias("pk")
+    )
+    bulk.createOrReplaceTempView("_sq_bulk_nullable")
+    load(spark, sf_dir, "part").createOrReplaceTempView("_sq_part_nn")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name,
+               (SELECT count(*) FROM _sq_part_nn p2
+                WHERE p2.p_partkey NOT IN (SELECT pk FROM _sq_bulk_nullable)) AS naive_not_in_rows
+        FROM _sq_part_nn
+        WHERE p_partkey NOT IN (SELECT pk FROM _sq_bulk_nullable WHERE pk IS NOT NULL)
         """
     )
