@@ -26,6 +26,7 @@ _MODULES = (
     "pipeline",
     "subqueries",
     "analytics",
+    "timeseries",
 )
 
 

@@ -1,0 +1,169 @@
+"""Hypertable-style time-series operators (round-3 extension): gap fill
+with forward fill, OHLC bucket downsampling, and z-score anomaly flagging
+over the ``events`` stream — the continuous-aggregate reads a TimescaleDB /
+Influx-class user of the replicated warehouse expects.
+
+100 TB notes: every query pre-aggregates the raw stream to bucket
+cardinality (users × hours / users × days / event-type count) before any
+join or window, so the wide operators run on data orders of magnitude
+smaller than the scan. The only windows partition by ``user_id`` — high
+cardinality, no skew concentration — and the anomaly join broadcasts an
+event-type-sized stats table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mongodb_mysql_cdc_spark.catalog import load
+from mongodb_mysql_cdc_spark.functions.compat import hround, sql_round
+from mongodb_mysql_cdc_spark.registry import register
+
+
+@register(
+    "ts_gapfill",
+    oracle=f"""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         avg(value) AS avg_value, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM hourly GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM span
+)
+SELECT g.user_id, g.bucket,
+       h.n_events IS NULL AS is_gap,
+       coalesce(h.n_events, 0) AS n_events,
+       {sql_round("last_value(h.avg_value IGNORE NULLS) OVER "
+                  "(PARTITION BY g.user_id ORDER BY g.bucket "
+                  "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 6)} AS value_ffill
+FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.bucket = h.bucket
+""",
+)
+def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup: aggregate to (user, hour) buckets, then
+    densify each user's timeline with ``sequence`` + ``explode`` between
+    their first and last bucket, and forward-fill missing values with
+    ``last(ignorenulls)`` — the TimescaleDB ``time_bucket_gapfill`` +
+    ``locf`` pair. The grid is generated from the BUCKET-cardinality
+    rollup, never the raw stream, so at 100 TB the explode and the
+    per-user window both run at users×hours scale; the raw scan feeds one
+    map-combined hash aggregate and is never touched again."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.avg("value").alias("avg_value"), F.count("*").alias("n_events"))
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(hourly, ["user_id", "bucket"], "left").select(
+        "user_id",
+        "bucket",
+        F.col("n_events").isNull().alias("is_gap"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        hround(F.last("avg_value", ignorenulls=True).over(w), 6).alias("value_ffill"),
+    )
+
+
+@register(
+    "ts_ohlc_downsample",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, date_trunc('day', ts) AS day, value,
+         first_value(value) OVER w AS open,
+         last_value(value)  OVER w AS close
+  FROM events
+  WINDOW w AS (PARTITION BY user_id, date_trunc('day', ts) ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, day, min(open) AS open, max(value) AS high,
+       min(value) AS low, min(close) AS close, count(*) AS n_ticks
+FROM ordered GROUP BY user_id, day
+""",
+)
+def ts_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling — the candlestick/feature-pipeline rollup: per
+    (user, day) the first, max, min, and last observed value in
+    (ts, event_id) order, with the unique event_id breaking timestamp
+    ties deterministically. first/last come from one unbounded window
+    whose partition keys equal the subsequent groupBy keys, so Catalyst
+    plans a single exchange reused by both operators; open/close are
+    constant within each group and min() just collapses them. No rounding
+    needed: every output is a raw stored double, bit-identical on both
+    engines."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        # Materialize the bucket BEFORE the window so the window's
+        # partitioning and the groupBy hash the same attribute — a
+        # date_trunc inside partitionBy vs an alias in groupBy are
+        # semantically equal but not expression-equal, which costs a
+        # second exchange (observed: 2 exchanges → 1 after this).
+        "day",
+        F.date_trunc("day", "ts"),
+    )
+    w = (
+        Window.partitionBy("user_id", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "day",
+            "value",
+            F.first("value").over(w).alias("open"),
+            F.last("value").over(w).alias("close"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.min("open").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.min("close").alias("close"),
+            F.count("*").alias("n_ticks"),
+        )
+    )
+
+
+@register(
+    "anomaly_zscore",
+    oracle=f"""
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+  FROM events GROUP BY 1
+)
+SELECT event_id, e.event_type, value,
+       {sql_round("(value - mu) / sigma", 6)} AS zscore
+FROM events e JOIN stats USING (event_type)
+WHERE abs((value - mu) / sigma) > 2.5
+""",
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier flagging — the data-quality / monitoring read over
+    the replicated stream: per-event-type mean and sample stddev, then
+    every event more than 2.5σ out. The stats table is event-type
+    cardinality (a handful of rows at ANY data scale) and is broadcast
+    explicitly, so the scan never shuffles — the same
+    aggregate-then-broadcast-back shape as the curation quality gates."""
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2.5)
+        .select("event_id", "event_type", "value", hround(z, 6).alias("zscore"))
+    )
