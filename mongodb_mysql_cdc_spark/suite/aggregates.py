@@ -487,3 +487,43 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
         hround(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
     )
+
+
+@register(
+    "agg_regression",
+    oracle=f"""
+SELECT event_type,
+       CAST(regr_count(value, epoch_us(ts) / 3600000000.0) AS BIGINT) AS n,
+       {sql_round('regr_slope(value, epoch_us(ts) / 3600000000.0)', 6)} AS slope,
+       {sql_round('regr_intercept(value, epoch_us(ts) / 3600000000.0) / 100000.0', 6)} AS intercept_1e5,
+       {sql_round('regr_r2(value, epoch_us(ts) / 3600000000.0)', 6)} AS r2,
+       {sql_round('regr_avgx(value, epoch_us(ts) / 3600000000.0)', 6)} AS avg_hours,
+       {sql_round('regr_avgy(value, epoch_us(ts) / 3600000000.0)', 6)} AS avg_value
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (SQL2003 regr_* family) — per-type
+    trend of value over time, the drift-monitoring read: slope and fit
+    quality of value against the event's hour offset. Built-in JVM
+    aggregates on both engines (one map-combined hash aggregate, fully
+    two-phase mergeable — same scale shape as agg_hash).
+
+    The x axis is microseconds/3.6e9 (hours as double) via unix_micros /
+    epoch_us on the two engines — bit-identical inputs; unix_timestamp /
+    epoch(ts) would disagree on sub-second parts. The intercept
+    extrapolates ~472k hours back to epoch, amplifying each engine's
+    summation-order ulps past six decimals, so it is emitted down-scaled
+    (/1e5) to compare at the precision the estimate actually carries."""
+    ev = load(spark, sf_dir, "events")
+    x = (F.unix_micros("ts") / F.lit(3.6e9)).alias("x")
+    pairs = ev.select("event_type", F.col("value").alias("y"), x)
+    return pairs.groupBy("event_type").agg(
+        F.expr("regr_count(y, x)").cast("long").alias("n"),
+        hround(F.expr("regr_slope(y, x)"), 6).alias("slope"),
+        hround(F.expr("regr_intercept(y, x)") / 100000.0, 6).alias("intercept_1e5"),
+        hround(F.expr("regr_r2(y, x)"), 6).alias("r2"),
+        hround(F.expr("regr_avgx(y, x)"), 6).alias("avg_hours"),
+        hround(F.expr("regr_avgy(y, x)"), 6).alias("avg_value"),
+    )
