@@ -400,3 +400,40 @@ def sink_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p.write.mode("overwrite").format("avro").save(out)
     return spark.read.schema(p.schema).format("avro").load(out)
+
+
+@register(
+    "scan_partition_pruned",
+    oracle="""
+SELECT event_id, event_type, value, CAST(date_trunc('day', ts) AS DATE) AS day
+FROM events
+WHERE CAST(date_trunc('day', ts) AS DATE) =
+      (SELECT CAST(min(date_trunc('day', ts)) AS DATE) + 2 FROM events)
+""",
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static partition pruning — the read-side payoff of the partitioned
+    layout sink_partition_overwrite writes: events land partitioned by
+    day, and a one-day read must touch ONE directory, not the table. The
+    target day is resolved to a plan-time literal first (a scalar
+    aggregate on the driver): Catalyst prunes partitions from literal
+    predicates during planning, so the filter lands in the scan's
+    PartitionFilters and unselected directories are never listed — at
+    100 TB this is the difference between reading ~1/30th of a month and
+    a full scan. (The companion dynamic form — pruning from a joined dim
+    at runtime — needs a second table with a day column; the literal
+    form is the contract tests pin in tests/test_timeseries.py.)"""
+    out = os.path.join(tempfile.mkdtemp(prefix="sparkcdc_prune_"), "events_by_day")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+    )
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+    target = ev.agg(F.date_add(F.min("day"), 2).alias("d")).first()["d"]
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("day") == F.lit(target))
+        .select("event_id", "event_type", "value", "day")
+    )

@@ -167,3 +167,94 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 2.5)
         .select("event_id", "event_type", "value", hround(z, 6).alias("zscore"))
     )
+
+
+@register(
+    "ts_interpolate_linear",
+    oracle=f"""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         avg(value) AS avg_value
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM hourly GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket FROM span
+),
+anchored AS (
+  SELECT g.user_id, g.bucket, h.avg_value,
+         last_value(h.avg_value IGNORE NULLS) OVER wback AS prev_val,
+         last_value(CASE WHEN h.avg_value IS NOT NULL THEN g.bucket END IGNORE NULLS)
+           OVER wback AS prev_ts,
+         first_value(h.avg_value IGNORE NULLS) OVER wfwd AS next_val,
+         first_value(CASE WHEN h.avg_value IS NOT NULL THEN g.bucket END IGNORE NULLS)
+           OVER wfwd AS next_ts
+  FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.bucket = h.bucket
+  WINDOW wback AS (PARTITION BY g.user_id ORDER BY g.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wfwd  AS (PARTITION BY g.user_id ORDER BY g.bucket
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, bucket, avg_value IS NULL AS interpolated,
+       {sql_round("CASE WHEN avg_value IS NOT NULL THEN avg_value "
+                  "ELSE prev_val + (next_val - prev_val) * "
+                  "((epoch_us(bucket) - epoch_us(prev_ts)) / "
+                  " (epoch_us(next_ts) - epoch_us(prev_ts))) END", 6)} AS value_interp
+FROM anchored
+""",
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across gaps — the TimescaleDB ``interpolate``
+    companion to ``ts_gapfill``'s locf: each missing hour gets the value
+    on the straight line between its nearest observed neighbors. Four
+    window expressions over TWO frames (backward and forward) of the SAME
+    (user_id, bucket) ordering — one exchange, one sort, two WindowExec
+    passes. The gap ratio is a quotient of exact integer microsecond
+    deltas, so it is bit-identical cross-engine; span endpoints are
+    observations, so prev/next anchors always exist within the partition.
+    Same users×hours cardinality bound as ts_gapfill at 100 TB."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.avg("value").alias("avg_value"))
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("bucket"),
+        )
+    )
+    wback = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wfwd = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    observed_ts = F.when(F.col("avg_value").isNotNull(), F.col("bucket"))
+    anchored = grid.join(hourly, ["user_id", "bucket"], "left").select(
+        "user_id",
+        "bucket",
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(wback).alias("prev_val"),
+        F.last(observed_ts, ignorenulls=True).over(wback).alias("prev_ts"),
+        F.first("avg_value", ignorenulls=True).over(wfwd).alias("next_val"),
+        F.first(observed_ts, ignorenulls=True).over(wfwd).alias("next_ts"),
+    )
+    ratio = (F.unix_micros("bucket") - F.unix_micros("prev_ts")) / (
+        F.unix_micros("next_ts") - F.unix_micros("prev_ts")
+    )
+    interp = F.when(F.col("avg_value").isNotNull(), F.col("avg_value")).otherwise(
+        F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * ratio
+    )
+    return anchored.select(
+        "user_id",
+        "bucket",
+        F.col("avg_value").isNull().alias("interpolated"),
+        hround(interp, 6).alias("value_interp"),
+    )

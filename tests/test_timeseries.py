@@ -67,3 +67,42 @@ def test_anomaly_zscore_threshold_and_broadcast(spark, sf_dir):
     p = _plan(out)
     assert "BroadcastHashJoin" in p
     assert p.count("Exchange hashpartitioning") <= 1
+
+
+def test_interpolate_matches_locf_on_observed_rows(spark, sf_dir):
+    from mongodb_mysql_cdc_spark.suite.timeseries import ts_interpolate_linear
+
+    out = ts_interpolate_linear(spark, sf_dir).cache()
+    try:
+        # Interpolated values must lie within [min(prev,next), max(prev,next)]
+        # — linear interpolation never overshoots its anchors. Cheap proxy:
+        # every value lies within the user's observed min/max envelope.
+        env = (
+            out.filter(~F.col("interpolated"))
+            .groupBy("user_id")
+            .agg(F.min("value_interp").alias("vlo"), F.max("value_interp").alias("vhi"))
+        )
+        bad = (
+            out.join(env, "user_id")
+            .filter(
+                (F.col("value_interp") < F.col("vlo") - 1e-9)
+                | (F.col("value_interp") > F.col("vhi") + 1e-9)
+            )
+            .count()
+        )
+        assert bad == 0
+        assert out.filter(F.col("value_interp").isNull()).count() == 0
+    finally:
+        out.unpersist()
+
+
+def test_scan_partition_pruned_plan(spark, sf_dir):
+    from mongodb_mysql_cdc_spark.suite.io import scan_partition_pruned
+
+    out = scan_partition_pruned(spark, sf_dir)
+    p = _plan(out)
+    # The day predicate must land in the scan's PartitionFilters (directory
+    # pruning at planning time), not a post-scan Filter.
+    assert "PartitionFilters: [" in p
+    assert "day" in p.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert out.count() > 0
