@@ -437,3 +437,47 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("day") == F.lit(target))
         .select("event_id", "event_type", "value", "day")
     )
+
+
+@register(
+    "join_partition_pruned_dynamic",
+    oracle="""
+WITH ev AS (
+  SELECT event_id, user_id, value, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events
+),
+act AS (SELECT day, count(DISTINCT user_id) AS n_users FROM ev GROUP BY day)
+SELECT e.event_id, e.user_id, e.value, e.day, a.n_users
+FROM ev e JOIN act a USING (day)
+WHERE a.n_users >= 136
+""",
+)
+def join_partition_pruned_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning — the runtime companion to
+    scan_partition_pruned: the fact side is day-partitioned parquet, the
+    dim side is a per-day activity rollup filtered on an AGGREGATE
+    (n_users ≥ 136) that Catalyst cannot fold to a literal day predicate,
+    so only DPP can prune — the broadcast's build keys are re-injected
+    into the scan as ``dynamicpruningexpression(day IN dynamicpruning#N)``
+    and unselected day directories are never read (plan pinned in
+    tests/test_timeseries.py). At 100 TB this is the star-join pattern:
+    fact partitions pruned by whatever survived the dim filter, decided
+    at runtime, no second pass."""
+    out = os.path.join(tempfile.mkdtemp(prefix="sparkcdc_dpp_"), "events_by_day")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+    )
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+    act = (
+        ev.groupBy("day")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .filter(F.col("n_users") >= 136)
+    )
+    return (
+        spark.read.parquet(out)
+        .join(F.broadcast(act), "day")
+        .select("event_id", "user_id", "value", "day", "n_users")
+    )
