@@ -131,29 +131,46 @@ def path_for(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to session-timezone TIMESTAMP.
+
+    The harness parquet carries naive ``timestamp[us]`` values; depending on
+    ``spark.sql.parquet.inferTimestampNTZ.enabled`` (true by default on this
+    build, and we don't control the driver's session) they surface as either
+    TIMESTAMP_NTZ or TIMESTAMP. Functions like ``unix_micros`` and interval
+    arithmetic require TIMESTAMP, and the DuckDB oracle treats the same naive
+    values as UTC — so with the session pinned to UTC this cast is a pure
+    reinterpretation, identical wall-clock on both sides. Top-level columns
+    only: no harness table nests timestamps inside structs/arrays.
+    """
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampNTZType)]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast(T.TimestampType()) for c in ntz})
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one harness table. Plain parquet read: Catalyst drives column
     pruning + predicate pushdown from whatever the caller selects/filters.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects. We read it as raw nanos (legacy conf, runtime-settable)
-    and truncate to microseconds — exactly what DuckDB's reader does, so
-    the oracle sees identical values. Truncation (DIV), not rounding: DIV
-    keeps the integer math in longs; a double division would lose precision
-    above 2^53 ns (~1970+104 days).
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) (which Spark's
+    vectorized reader rejects — read as raw nanos via the legacy conf and
+    truncated to micros, exactly DuckDB's behavior) and, since the round-4
+    regeneration, as naive ``timestamp[us]`` (TIMESTAMP_NTZ under NTZ
+    inference — normalized to session-UTC TIMESTAMP). Handle both so the
+    loader works against either vintage of the harness data. Truncation
+    (DIV), not rounding: DIV keeps the integer math in longs; a double
+    division would lose precision above 2^53 ns (~1970+104 days).
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path_for(sf_dir, name))
-        # Only the original harness file is TIMESTAMP(NANOS) (surfaces as
-        # long under the legacy conf); an events table our own engine wrote
-        # is already micros — convert conditionally on the loaded type.
         if isinstance(df.schema["ts"].dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return df
-    return spark.read.parquet(path_for(sf_dir, name))
+        return _normalize_timestamps(df)
+    return _normalize_timestamps(spark.read.parquet(path_for(sf_dir, name)))
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
