@@ -45,51 +45,45 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 
 
 # The driver verifies the FIRST 50 names in queries() order per round
-# (CORRECTNESS_r01.json = registry positions 1-50 exactly).  Rounds 1+2
-# produced green driver rows for 97 distinct queries; 56 registered
-# queries had only builder/judge strict-checker evidence.  This round-3
-# window front-loads 50 of those 56, cheap scalar/agg/join families
-# first and the live replayed-stream queries last so a time-capped
-# driver run can't starve the cheap ones (the r2 ordering trick).
-#
-# The 6 that don't fit — queued for round 4, chosen because they carry
-# the strongest independent evidence already (each individually or
-# group-attested "pass strict" by the round-2 judge re-run, and
-# agg_approx_quantile only gets the weaker rows-only check anyway):
-#   agg_approx_quantile, dedup_levenshtein, kmeans_refine,
-#   udf_grouped_agg, sample_stratified, sample_per_group
+# (CORRECTNESS_r01.json = registry positions 1-50 exactly).  Rounds 1-3
+# produced green driver rows for 147 distinct queries; the 30 registered
+# queries below carry only builder/judge strict-checker evidence so far.
+# This round-4 window front-loads those 30 (cheap scalar/agg/join
+# families first, the stateful-stream query last so a time-capped driver
+# run can't starve the cheap ones — the ordering trick from r2/r3) and
+# fills the remaining slots with round-4 additions as they land.
 _DRIVER_WINDOW = [
-    # §2.8 scalar-function families (cheapest — small inputs, no joins)
-    "fn_bitwise", "fn_string2", "fn_datetime2", "fn_regex", "fn_trig",
-    # §2.4 aggregate extensions
-    "agg_histogram", "agg_mode", "agg_boolean",
-    # §2.2/§2.4 reshaping
-    "pivot_wide", "unpivot_long",
+    # §2.8/§2.4 scalar + aggregate extensions (cheapest)
+    "fn_url", "agg_approx_quantile", "agg_incremental_merge",
+    "agg_percentile_exact", "agg_regression",
     # §2.5 window extensions
-    "win_range_frame", "win_nth_value",
-    # §2.3 join extensions
-    "join_null_safe", "join_interval_overlap", "join_salted",
-    "join_bucketed", "join_lateral",
-    # subqueries (§2.11)
-    "subquery_exists", "subquery_not_exists", "subquery_in",
-    "subquery_scalar",
-    # §2.9/§2.1 CDC extensions (batch forms — cheap)
-    "cdc_scd2", "cdc_schema_evolution", "cdc_route_tables",
-    "cdc_apply_soft_delete", "cdc_state_asof", "cdc_before_after_diff",
-    # §2.10 text extensions (displaced from the r2 window)
-    "token_count", "lang_id", "doc_fingerprint", "text_redact",
-    "text_repetition", "text_ngram_freq",
-    # §2.10 curation / training-data pipeline
-    "sample_weighted", "decontaminate", "pack_sequences", "domain_mix",
-    "quality_buckets",
-    # analytics (§2.11)
-    "funnel_conversion", "retention_cohort", "embedding_normalize",
-    "dq_checks",
-    # §2.1 io extensions + maintenance
-    "sink_partition_overwrite", "scan_merge_schema", "sink_orc_roundtrip",
-    "maintenance_compact", "maintenance_cluster",
-    # live replayed streams LAST — most expensive per query
-    "stream_session", "stream_sliding", "stream_dedup_watermarked",
+    "win_gaps_islands",
+    # §2.3/§2.1 join + scan extensions
+    "join_asof_forward", "join_partition_pruned_dynamic",
+    "scan_partition_pruned", "subquery_not_in_null",
+    # §2.9 CDC extensions (batch forms)
+    "cdc_dead_letter", "cdc_tombstone_gc",
+    # time-series suite (§2.11)
+    "ts_gapfill", "ts_ohlc_downsample", "anomaly_zscore",
+    "ts_interpolate_linear",
+    # §2.10 text + quality extensions
+    "text_entropy", "token_oov_rate", "quality_ensemble",
+    # §2.10 dedup / similarity extensions
+    "dedup_levenshtein", "kmeans_refine", "embedding_quantize",
+    "sim_search_rerank", "udf_grouped_agg",
+    # §2.10 multimodal (real WAV/BMP kernels — moderate cost)
+    "multimodal_resize", "multimodal_resample",
+    # §2.10 curation
+    "sample_stratified", "sample_per_group", "dataset_split",
+    # round-4 additions (driver-unseen by construction)
+    "fn_array2", "fn_map2", "agg_count_if", "agg_percentile_disc",
+    "win_running_distinct", "dq_profile", "anomaly_mad", "ts_ewma",
+    "join_asof_nearest", "cdc_merge_replicas", "scan_csv_malformed",
+    "doc_chunk_overlap", "dedup_url_canonical", "text_pii_flag",
+    "token_bigram_pmi", "quality_unigram_logprob", "search_bm25",
+    "tfidf_topk_per_doc", "embedding_covariance", "graph_pagerank_iter",
+    # stateful stream LAST — most expensive per query
+    "stream_session_stateful",
 ]
 
 

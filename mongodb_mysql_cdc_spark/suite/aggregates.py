@@ -527,3 +527,67 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(F.expr("regr_avgx(y, x)"), 6).alias("avg_hours"),
         hround(F.expr("regr_avgy(y, x)"), 6).alias("avg_value"),
     )
+
+
+@register(
+    "agg_count_if",
+    oracle=f"""
+SELECT l_returnflag,
+       count(*) FILTER (l_discount > 0.05)                    AS n_discounted,
+       count(*) FILTER (l_quantity >= 25)                     AS n_bulk,
+       {sql_round('sum(l_extendedprice) FILTER (l_tax > 0.04)')} AS taxed_revenue,
+       {sql_round("avg(l_quantity) FILTER (l_linestatus = 'F')", 4)} AS avg_qty_f,
+       max(l_shipdate) FILTER (l_returnflag = 'R')            AS last_return_ship
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregation family (count_if / FILTER-style conditional
+    aggregates). Spark spells these count_if()/sum(CASE...); ANSI spells
+    them FILTER clauses — semantically the map-side-combinable two-phase
+    hash agg either way, so one shuffle of 3 groups at any scale."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),
+        hround(F.sum(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice")))).alias(
+            "taxed_revenue"
+        ),
+        hround(F.avg(F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))), 4).alias(
+            "avg_qty_f"
+        ),
+        F.max(F.when(F.col("l_returnflag") == "R", F.col("l_shipdate"))).alias(
+            "last_return_ship"
+        ),
+    )
+
+
+@register(
+    "agg_percentile_disc",
+    oracle="""
+SELECT event_type,
+       quantile_disc(value, 0.25) AS p25,
+       quantile_disc(value, 0.50) AS p50,
+       quantile_disc(value, 0.95) AS p95,
+       count(*)                   AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentiles (WITHIN GROUP ORDER BY): unlike the
+    interpolating percentile_cont / percentile(), percentile_disc returns
+    an actual element of the group, so the values are hash-identical
+    across engines with no rounding guard — a sharper cross-engine check
+    than the cont form (agg_percentile_exact)."""
+    li = load(spark, sf_dir, "events")
+    return (
+        li.groupBy("event_type")
+        .agg(
+            F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").alias("p25"),
+            F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY value)").alias("p50"),
+            F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias("p95"),
+            F.count("*").alias("n"),
+        )
+    )

@@ -507,3 +507,92 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY"), F.lit("size")).cast("int").alias("size_param"),
         F.concat(host, path).alias("canonical"),
     )
+
+
+@register(
+    "fn_array2",
+    oracle="""
+WITH w AS (
+  SELECT p_partkey, string_split(p_name, ' ') AS words, string_split(p_type, ' ') AS tw
+  FROM part
+)
+SELECT p_partkey,
+       array_to_string(list_sort(list_distinct(words)), ',') AS words_uniq,
+       array_to_string(list_sort(words, 'DESC'), ',')        AS words_desc,
+       length(words)                                   AS n_words,
+       coalesce(list_position(words, 'green'), 0)      AS green_at,
+       array_to_string(list_slice(words, 2, 3), '-')   AS mid_join,
+       list_has_any(words, tw)                         AS shares_word,
+       array_to_string(flatten([words, tw]), ',')      AS both_flat,
+       array_to_string(list_sort(list_filter(words, w -> NOT list_contains(tw, w))), ',') AS only_name
+FROM w
+""",
+)
+def fn_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second §2.8 array family: distinct/sort/position/slice/join/overlap/
+    flatten/except — all JVM codegen'd built-ins, checked against DuckDB's
+    list_* spellings (a genuine cross-dialect test: 1-based positions,
+    absent→NULL vs absent→0, sort-order defaults all differ and are
+    reconciled explicitly here)."""
+    p = load(spark, sf_dir, "part")
+    w = p.select(
+        "p_partkey",
+        F.split("p_name", " ").alias("words"),
+        F.split("p_type", " ").alias("tw"),
+    )
+    return w.select(
+        "p_partkey",
+        F.array_join(F.array_sort(F.array_distinct("words")), ",").alias("words_uniq"),
+        F.array_join(F.sort_array(F.col("words"), asc=False), ",").alias("words_desc"),
+        F.size("words").alias("n_words"),
+        F.array_position("words", "green").alias("green_at"),
+        F.array_join(F.slice("words", 2, 2), "-").alias("mid_join"),
+        F.arrays_overlap("words", "tw").alias("shares_word"),
+        F.array_join(F.flatten(F.array("words", "tw")), ",").alias("both_flat"),
+        F.array_join(F.array_sort(F.array_except("words", "tw")), ",").alias("only_name"),
+    )
+
+
+@register(
+    "fn_map2",
+    oracle="""
+WITH m AS (
+  SELECT p_partkey,
+         map(['brand', 'type', 'size'],
+             [p_brand, p_type, CAST(p_size AS VARCHAR)]) AS attrs
+  FROM part
+)
+SELECT p_partkey,
+       cardinality(attrs)                       AS n_attrs,
+       array_to_string(list_sort(map_keys(attrs)), ',')   AS keys_csv,
+       array_to_string(list_sort(map_values(attrs)), ',') AS vals_csv,
+       (attrs['brand'])[1]                      AS brand,
+       CAST((attrs['size'])[1] AS INTEGER)      AS size_i,
+       (attrs['missing'])[1] IS NOT NULL        AS has_missing
+FROM m
+""",
+)
+def fn_map2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column algebra (§2.8 breadth): construct from arrays,
+    keys/values introspection, typed extraction, absent-key probe. Output
+    columns are scalars/CSV strings only — map ordering is engine-defined,
+    so the map itself is never emitted (the r1 agg_collect lesson applied
+    to maps). DuckDB map extraction yields single-element lists, hence the
+    ``[1]`` de-listing on the oracle side."""
+    p = load(spark, sf_dir, "part")
+    m = p.select(
+        "p_partkey",
+        F.map_from_arrays(
+            F.array(F.lit("brand"), F.lit("type"), F.lit("size")),
+            F.array(F.col("p_brand"), F.col("p_type"), F.col("p_size").cast("string")),
+        ).alias("attrs"),
+    )
+    return m.select(
+        "p_partkey",
+        F.size("attrs").alias("n_attrs"),
+        F.array_join(F.array_sort(F.map_keys("attrs")), ",").alias("keys_csv"),
+        F.array_join(F.array_sort(F.map_values("attrs")), ",").alias("vals_csv"),
+        F.col("attrs").getItem("brand").alias("brand"),
+        F.col("attrs").getItem("size").cast("int").alias("size_i"),
+        F.col("attrs").getItem("missing").isNotNull().alias("has_missing"),
+    )

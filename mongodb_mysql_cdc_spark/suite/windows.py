@@ -316,3 +316,46 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts",
         F.sum(new_session).over(run).alias("session_id"),
     )
+
+
+@register(
+    "win_running_distinct",
+    oracle="""
+SELECT user_id, event_id, ts, event_type,
+       CAST(sum(first_flag)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS distinct_types_so_far
+FROM (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS first_flag
+  FROM events
+)
+""",
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over a window — a frame no engine supports
+    directly (DISTINCT is not frameable). Rewritten as the standard
+    first-occurrence-flag algebra: mark each (user, type)'s first row with
+    one ranking window, then running-sum the flags with a second. Two
+    window passes, pre-clustered on user_id: hash(user_id) satisfies the
+    first window's ClusteredDistribution(user_id, event_type) (subset
+    rule), so Catalyst plans ONE Exchange and two Sorts instead of two
+    full shuffles — at 100 TB the second shuffle is the one you feel."""
+    ev = load(spark, sf_dir, "events").repartition("user_id")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flag = F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(flag).over(w_run).alias("distinct_types_so_far"),
+    )
