@@ -142,3 +142,56 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(F.col("embedding").getItem(0).cast("double") / nrm, 6).alias("first_unit"),
         hround(raw_sum / nrm, 6).alias("unit_sum"),
     )
+
+
+@register(
+    "dq_profile",
+    oracle="""
+SELECT 'c_custkey' AS col_name, count(*) AS n_rows,
+       count(*) - count(c_custkey) AS n_null, count(DISTINCT c_custkey) AS n_distinct,
+       CAST(min(c_custkey) AS VARCHAR) AS min_val, CAST(max(c_custkey) AS VARCHAR) AS max_val
+FROM customer
+UNION ALL
+SELECT 'c_name', count(*), count(*) - count(c_name), count(DISTINCT c_name),
+       CAST(min(c_name) AS VARCHAR), CAST(max(c_name) AS VARCHAR) FROM customer
+UNION ALL
+SELECT 'c_nationkey', count(*), count(*) - count(c_nationkey), count(DISTINCT c_nationkey),
+       CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR) FROM customer
+UNION ALL
+SELECT 'c_acctbal', count(*), count(*) - count(c_acctbal), count(DISTINCT c_acctbal),
+       CAST(min(c_acctbal) AS VARCHAR), CAST(max(c_acctbal) AS VARCHAR) FROM customer
+UNION ALL
+SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment), count(DISTINCT c_mktsegment),
+       CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR) FROM customer
+""",
+)
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profile (null rate / cardinality / bounds) — the
+    first query a data-quality pass runs on a replicated table. ONE scan,
+    one agg computing every column's metrics side by side, then a stack()
+    to long form on the 1-row result — versus the naive per-column loop
+    that rescans the table N_cols times (at 100 TB, a 5× scan saving).
+    count(DISTINCT a), count(DISTINCT b), ... in one agg plans as a
+    single Expand + two-phase agg — wide but still one pass."""
+    c = load(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"]
+    aggs = []
+    for col in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{col}__rows"),
+            F.sum(F.col(col).isNull().cast("long")).alias(f"{col}__null"),
+            F.count_distinct(F.col(col)).alias(f"{col}__distinct"),
+            F.min(col).cast("string").alias(f"{col}__min"),
+            F.max(col).cast("string").alias(f"{col}__max"),
+        ]
+    one = c.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', {col}__rows, {col}__null, {col}__distinct, {col}__min, {col}__max"
+        for col in cols
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(col_name, n_rows, n_null, n_distinct, min_val, max_val)"
+        )
+    )

@@ -435,3 +435,106 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_side") == 1)
         .select("user_id", "event_id", "next_purchase_id")
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, event_id, ts, (event_type = 'click') AS is_click,
+         CASE WHEN event_type = 'purchase' THEN ts END AS p_ts
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+scanned AS (
+  SELECT user_id, event_id, ts, is_click,
+         last_value(p_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_click, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+         first_value(p_ts IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, is_click, event_id
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+  FROM tagged
+)
+SELECT user_id, event_id AS click_id, ts AS click_ts,
+       CASE
+         WHEN prev_ts IS NOT NULL AND epoch_us(ts) - epoch_us(prev_ts) <= 1800000000
+              AND (next_ts IS NULL OR epoch_us(next_ts) - epoch_us(ts) > 1800000000
+                   OR epoch_us(ts) - epoch_us(prev_ts) <= epoch_us(next_ts) - epoch_us(ts))
+           THEN prev_ts
+         WHEN next_ts IS NOT NULL AND epoch_us(next_ts) - epoch_us(ts) <= 1800000000
+           THEN next_ts
+       END AS nearest_purchase_ts,
+       CAST((epoch_us(CASE
+         WHEN prev_ts IS NOT NULL AND epoch_us(ts) - epoch_us(prev_ts) <= 1800000000
+              AND (next_ts IS NULL OR epoch_us(next_ts) - epoch_us(ts) > 1800000000
+                   OR epoch_us(ts) - epoch_us(prev_ts) <= epoch_us(next_ts) - epoch_us(ts))
+           THEN prev_ts
+         WHEN next_ts IS NOT NULL AND epoch_us(next_ts) - epoch_us(ts) <= 1800000000
+           THEN next_ts
+       END) - epoch_us(ts)) // 1000000 AS BIGINT) AS delta_sec
+FROM scanned WHERE is_click
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join (±30 min tolerance, ties prefer the
+    earlier match) — completes the asof family next to backward
+    (join_asof) and forward (join_asof_forward). Same single-shuffle
+    union+window shape as the other two: tag both sides, one window scan
+    carrying last-purchase-before and first-purchase-after per row, then
+    a row-local nearest pick. No pair explosion, no range join — at
+    100 TB each user's timeline is one partition-local linear scan.
+    Equal-ts purchase counts as backward (is_click sorts purchases first
+    at a tied ts on both engines)."""
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("event_type") == "click").alias("is_click"),
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("p_ts"),
+    )
+    order = [F.col("ts"), F.col("is_click"), F.col("event_id")]
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    scanned = tagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "is_click",
+        F.last("p_ts", ignorenulls=True).over(w_back).alias("prev_ts"),
+        F.first("p_ts", ignorenulls=True).over(w_fwd).alias("next_ts"),
+    )
+    us = lambda c: F.unix_micros(F.col(c))  # noqa: E731 — LTZ post-catalog.load
+    tol = 1_800_000_000  # 30 min in microseconds
+    back_ok = F.col("prev_ts").isNotNull() & (us("ts") - us("prev_ts") <= tol)
+    fwd_ok = F.col("next_ts").isNotNull() & (us("next_ts") - us("ts") <= tol)
+    back_nearer = (
+        F.col("next_ts").isNull()
+        | (us("next_ts") - us("ts") > tol)
+        | (us("ts") - us("prev_ts") <= us("next_ts") - us("ts"))
+    )
+    nearest = (
+        F.when(back_ok & back_nearer, F.col("prev_ts"))
+        .when(fwd_ok, F.col("next_ts"))
+    )
+    return scanned.where("is_click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        nearest.alias("nearest_purchase_ts"),
+        # floor(), not a truncating cast: DuckDB's // floors, and the two
+        # disagree on negative sub-second deltas
+        F.floor((F.unix_micros(nearest) - us("ts")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("delta_sec"),
+    )

@@ -258,3 +258,115 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("avg_value").isNull().alias("interpolated"),
         hround(interp, 6).alias("value_interp"),
     )
+
+
+@register(
+    "anomaly_mad",
+    oracle=f"""
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, any_value(med) AS med, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       count(*)                                           AS n,
+       {sql_round('any_value(m.med)', 4)}                 AS median_value,
+       {sql_round('any_value(m.mad)', 4)}                 AS mad_value,
+       CAST(count(*) FILTER (d.adev > 3 * 1.4826 * m.mad) AS BIGINT) AS n_outliers,
+       {sql_round('count(*) FILTER (d.adev > 3 * 1.4826 * m.mad) / CAST(count(*) AS DOUBLE)', 6)} AS outlier_rate
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type
+""",
+)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier detection — the robust twin of
+    anomaly_zscore (mean/stddev are themselves corrupted by the outliers
+    they're meant to find; median/MAD are 50%-breakdown robust). Two exact
+    medians = two shuffles on event_type (5 groups), each followed by a
+    broadcast join back to the stream — the per-group stats frame is
+    bounded by |group keys| so the corpus is never shuffled twice at
+    100 TB, only the 5-row stats are."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.any_value("med").alias("med"), F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    flagged = dev.select("event_type", "adev").join(F.broadcast(mad), "event_type")
+    is_out = F.col("adev") > 3 * 1.4826 * F.col("mad")
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        hround(F.any_value("med"), 4).alias("median_value"),
+        hround(F.any_value("mad"), 4).alias("mad_value"),
+        F.sum(is_out.cast("long")).alias("n_outliers"),
+        hround(F.sum(is_out.cast("long")) / F.count(F.lit(1)).cast("double"), 6).alias(
+            "outlier_rate"
+        ),
+    )
+
+
+@register(
+    "ts_ewma",
+    oracle=f"""
+WITH v AS (
+  SELECT user_id, event_id, ts, value,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vals
+  FROM events
+)
+SELECT user_id, event_id, ts,
+       {sql_round('''
+         list_reduce(list_transform(range(1, len(vals) + 1),
+                                    i -> vals[i] * 0.7 ** (len(vals) - i)),
+                     (a, b) -> a + b)
+         / list_reduce(list_transform(range(1, len(vals) + 1),
+                                      i -> 0.7 ** (len(vals) - i)),
+                       (a, b) -> a + b)''', 6)} AS ewma
+FROM v
+""",
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized truncated EWMA (alpha=0.3, last-20-rows horizon) per
+    user stream. Exact recursive EWMA needs unbounded (1-a)^-n terms that
+    overflow doubles, so the standard streaming formulation truncates the
+    horizon: weights (1-a)^distance over a 20-row frame, normalized by the
+    weight sum (also what makes the warm-up rows well-defined). Spark has
+    no weighted frame aggregate — the frame is materialized with
+    collect_list() OVER (frame order = sort order, so the list is
+    deterministic) and reduced with JVM-side higher-order functions; 20
+    doubles per row, one shuffle on user_id. Mirrors DuckDB's list() OVER
+    + list_reduce on the oracle side — a true cross-engine check of the
+    same algebra in two HOF dialects."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    vals = F.collect_list("value").over(w)
+    num = (
+        "aggregate(zip_with(vals, sequence(1, size(vals)),"
+        " (v, i) -> v * pow(0.7, size(vals) - i)), 0D, (acc, x) -> acc + x)"
+    )
+    den = (
+        "aggregate(transform(sequence(1, size(vals)),"
+        " i -> pow(0.7, size(vals) - i)), 0D, (acc, x) -> acc + x)"
+    )
+    return (
+        ev.select("user_id", "event_id", "ts", vals.alias("vals"))
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            hround(F.expr(num) / F.expr(den), 6).alias("ewma"),
+        )
+    )
