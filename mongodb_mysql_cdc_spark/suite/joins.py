@@ -532,9 +532,10 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("click_id"),
         F.col("ts").alias("click_ts"),
         nearest.alias("nearest_purchase_ts"),
-        # floor(), not a truncating cast: DuckDB's // floors, and the two
-        # disagree on negative sub-second deltas
-        F.floor((F.unix_micros(nearest) - us("ts")) / F.lit(1_000_000))
+        # truncating cast, verified against the oracle: DuckDB's integer //
+        # truncates toward zero on BIGINT operands (it is NOT a floor there),
+        # matching Spark's double->long cast on negative deltas
+        ((F.unix_micros(nearest) - us("ts")) / F.lit(1_000_000))
         .cast("long")
         .alias("delta_sec"),
     )
