@@ -680,3 +680,68 @@ def cdc_tombstone_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("after.value").alias("after_value"),
         )
     )
+
+
+@register(
+    "cdc_merge_replicas",
+    oracle=f"""
+WITH env AS (
+  SELECT user_id AS key, ts, event_id AS seq, {_OP_SQL} AS op,
+         event_type, value, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+),
+deliveries AS (
+  SELECT *, 'A' AS replica FROM env WHERE seq % 3 <> 0
+  UNION ALL
+  SELECT *, 'B' AS replica FROM env WHERE seq % 3 <> 1
+),
+folded AS (
+  SELECT key,
+         count(*)                  AS n_deliveries,
+         count(DISTINCT replica)   AS n_replicas,
+         max(CASE WHEN rn = 1 THEN op END)         AS op,
+         max(CASE WHEN rn = 1 THEN ts END)         AS last_ts,
+         max(CASE WHEN rn = 1 THEN event_type END) AS last_event_type,
+         max(CASE WHEN rn = 1 THEN value END)      AS last_value,
+         max(CASE WHEN rn = 1 THEN k END)          AS last_k
+  FROM (SELECT *, row_number() OVER (PARTITION BY key
+                                     ORDER BY ts DESC, seq DESC, replica) AS rn
+        FROM deliveries)
+  GROUP BY key
+)
+SELECT key, n_deliveries, n_replicas, last_ts, last_event_type, last_value, last_k
+FROM folded WHERE op <> 'd'
+""",
+)
+def cdc_merge_replicas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-replica conflict resolution: two replicas each delivered an
+    overlapping slice of the change feed (at-least-once across the pair —
+    seq%3 partitions with one shared residue class). Union the deliveries
+    and LWW-fold on (ts, seq): duplicated deliveries of the same envelope
+    carry identical payloads, so the fold is delivery-count-invariant —
+    the associativity/idempotence property that makes geo-replicated CDC
+    converge. One shuffle on key; the replica tag rides along for the
+    delivery/replica audit counts. Winner payloads tie-break identically
+    on both engines because tied (ts, seq) rows differ only in the
+    untagged payload columns."""
+    env = events_as_envelopes(spark, sf_dir)
+    rep_a = env.filter(F.col("seq") % 3 != 0).withColumn("replica", F.lit("A"))
+    rep_b = env.filter(F.col("seq") % 3 != 1).withColumn("replica", F.lit("B"))
+    merged = rep_a.unionByName(rep_b)
+    folded = merged.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_deliveries"),
+        F.count_distinct("replica").alias("n_replicas"),
+        F.expr(
+            "max_by(struct(op, ts, after.event_type AS event_type,"
+            " after.value AS value, after.k AS k), struct(ts, seq))"
+        ).alias("w"),
+    )
+    return folded.filter(F.col("w.op") != "d").select(
+        "key",
+        "n_deliveries",
+        "n_replicas",
+        F.col("w.ts").alias("last_ts"),
+        F.col("w.event_type").alias("last_event_type"),
+        F.col("w.value").alias("last_value"),
+        F.col("w.k").alias("last_k"),
+    )

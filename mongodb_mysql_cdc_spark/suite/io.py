@@ -481,3 +481,41 @@ def join_partition_pruned_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(F.broadcast(act), "day")
         .select("event_id", "user_id", "value", "day", "n_users")
     )
+
+
+@register(
+    "scan_csv_malformed",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row tolerance (§2.1 ingest hygiene): a CSV landing file
+    carrying type-corrupt and wrong-arity rows is read in DROPMALFORMED
+    mode — the declared schema is the row filter, bad rows vanish, and the
+    survivors must equal the clean source exactly (the oracle is the
+    original table). The corrupt lines are injected driver-side into the
+    25-row nation dim — the pattern under test is the reader mode, which
+    at 100 TB runs distributed over every landing file unchanged."""
+    rows = (
+        load(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()  # 25-row bounded dim (BROADCAST_DIMS); never a big table
+    )
+    lines = ["n_nationkey,n_name,n_regionkey"]
+    for i, r in enumerate(rows):
+        lines.append(f"{r.n_nationkey},{r.n_name},{r.n_regionkey}")
+        if i % 7 == 0:  # interleave corruption between valid rows
+            lines.append("not_an_int,BADROW,9")  # type-corrupt key
+            lines.append(f"{r.n_nationkey},EXTRA,1,surplus_column")  # arity
+    lines.append("99,TRUNCATED")  # missing column → null-padded, still bad:
+    # n_regionkey NULL fails the non-null row filter below, mirroring the
+    # reference pipeline's NOT NULL sink constraint on the FK
+    out_dir = tempfile.mkdtemp(prefix="sparkcdc_badcsv_")
+    with open(os.path.join(out_dir, "part-00000.csv"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return (
+        spark.read.schema(SCHEMAS["nation"])
+        .option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .csv(out_dir)
+        .filter(F.col("n_regionkey").isNotNull())
+    )
