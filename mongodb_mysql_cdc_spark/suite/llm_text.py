@@ -522,3 +522,435 @@ def quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "doc_id", "n_tokens", "sw_ratio", "ttr", "rep_ratio", verdict.alias("verdict")
     )
+
+
+@register(
+    "doc_chunk_overlap",
+    oracle="""
+SELECT doc_id,
+       unnest(generate_series(1, length(text), 400))            AS chunk_start,
+       substring(text, unnest(generate_series(1, length(text), 400)), 500) AS chunk,
+       length(substring(text, unnest(generate_series(1, length(text), 400)), 500)) AS chunk_len
+FROM documents
+""",
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking (500-char windows, 400-char stride =
+    100-char overlap) — how a long document becomes training/RAG segments
+    without losing cross-boundary context. sequence() + explode is the
+    whole operator: per-row fan-out with zero shuffle, so at 100 TB it
+    pipelines inside the scan stage; chunk count scales with doc length,
+    never with corpus size."""
+    docs = load(spark, sf_dir, "documents")
+    starts = F.sequence(F.lit(1), F.length("text"), F.lit(400))
+    return (
+        docs.select("doc_id", "text", F.explode(starts).alias("chunk_start"))
+        .select(
+            "doc_id",
+            "chunk_start",
+            F.substring(F.col("text"), F.col("chunk_start"), 500).alias("chunk"),
+        )
+        .withColumn("chunk_len", F.length("chunk").cast("long"))
+    )
+
+
+@register(
+    "text_pii_flag",
+    oracle=f"""
+WITH dirty AS (
+  SELECT doc_id, source,
+         concat(substring(text, 1, 60),
+                CASE WHEN doc_id % 3 = 0
+                     THEN concat(' reach user', CAST(doc_id AS VARCHAR), '@mail.example')
+                     ELSE '' END,
+                CASE WHEN doc_id % 5 = 0
+                     THEN concat(' call 555-01', lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'), '-', CAST(1000 + doc_id % 9000 AS VARCHAR))
+                     ELSE '' END) AS t
+  FROM documents
+),
+flags AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9.-]+'))           AS n_emails,
+         len(regexp_extract_all(t, '[0-9]{{3}}-[0-9]{{4}}-[0-9]{{4}}'))  AS n_phones
+  FROM dirty
+)
+SELECT source,
+       count(*)                                             AS n_docs,
+       CAST(count(*) FILTER (n_emails + n_phones > 0) AS BIGINT) AS docs_with_pii,
+       CAST(sum(n_emails) AS BIGINT)                        AS total_emails,
+       CAST(sum(n_phones) AS BIGINT)                        AS total_phones,
+       {sql_round('count(*) FILTER (n_emails + n_phones > 0) / CAST(count(*) AS DOUBLE)', 6)} AS pii_rate
+FROM flags
+GROUP BY source
+""",
+)
+def text_pii_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection rates (the audit sibling of text_redact's masking):
+    count email/phone pattern hits per doc, roll up contamination rates
+    per source — the report a curation pipeline files before a corpus
+    ships. Synthetic PII is injected deterministically (the harness text
+    is clean soup); patterns stay in the Java/RE2-common regex subset.
+    Pure regexp_extract_all + one 20-group aggregate: scan-bound, no
+    Python, no second shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.substring("text", 1, 60),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" reach user"), F.col("doc_id").cast("string"), F.lit("@mail.example")
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call 555-01"),
+                F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+                F.lit("-"),
+                (F.col("doc_id") % 9000 + 1000).cast("string"),
+            ),
+        ).otherwise(""),
+    )
+    flags = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.regexp_extract_all(dirty, F.lit(r"[a-z0-9._]+@[a-z0-9.-]+"), 0)).alias(
+            "n_emails"
+        ),
+        F.size(
+            F.regexp_extract_all(dirty, F.lit(r"[0-9]{3}-[0-9]{4}-[0-9]{4}"), 0)
+        ).alias("n_phones"),
+    )
+    has_pii = (F.col("n_emails") + F.col("n_phones")) > 0
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(has_pii.cast("long")).alias("docs_with_pii"),
+        F.sum("n_emails").cast("long").alias("total_emails"),
+        F.sum("n_phones").cast("long").alias("total_phones"),
+        hround(F.sum(has_pii.cast("long")) / F.count(F.lit(1)).cast("double"), 6).alias(
+            "pii_rate"
+        ),
+    )
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+WITH urls AS (
+  SELECT doc_id,
+         concat(CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END,
+                '.example.org/docs/', CAST(doc_id % 50 AS VARCHAR),
+                CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+                '?utm_source=feed&id=', CAST(doc_id % 50 AS VARCHAR),
+                '&utm_campaign=c', CAST(doc_id % 7 AS VARCHAR)) AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id, url,
+         concat(lower(regexp_extract(url, '^([^/]+)/', 1)),
+                rtrim(regexp_extract(url, '^[^/]+(/[^?]*)', 1), '/'),
+                '?id=', regexp_extract(url, '[?&]id=([0-9]+)', 1)) AS canonical
+  FROM urls
+)
+SELECT canonical,
+       count(*)    AS n_urls,
+       min(doc_id) AS survivor_doc
+FROM canon
+GROUP BY canonical
+""",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup by canonicalization — the first pass of web-corpus
+    curation (before any content hashing): case-fold the host, strip the
+    trailing slash, drop tracking (utm_*) params, keep identity params.
+    Dirty URLs are synthesized deterministically per doc with host-case /
+    slash / tracking noise; canonicalization is pure regexp + string ops,
+    and the dedup is an exact groupBy on the canonical key (min-doc_id
+    survivor) — one map-side-combined shuffle whose width is |distinct
+    canonical URLs|, not |corpus|."""
+    docs = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".example.org/docs/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, "/").otherwise(""),
+        F.lit("?utm_source=feed&id="),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("&utm_campaign=c"),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    canonical = F.concat(
+        F.lower(F.regexp_extract("url", r"^([^/]+)/", 1)),
+        F.regexp_replace(F.regexp_extract("url", r"^[^/]+(/[^?]*)", 1), "/$", ""),
+        F.lit("?id="),
+        F.regexp_extract("url", r"[?&]id=([0-9]+)", 1),
+    )
+    return (
+        u.select("doc_id", canonical.alias("canonical"))
+        .groupBy("canonical")
+        .agg(F.count(F.lit(1)).alias("n_urls"), F.min("doc_id").alias("survivor_doc"))
+    )
+
+
+@register(
+    "token_bigram_pmi",
+    oracle=f"""
+WITH {TOKS_CTE},
+uni AS (
+  SELECT unnest(t) AS token FROM toks
+),
+uni_c AS (
+  SELECT token, count(*) AS c_w FROM uni GROUP BY token
+),
+tot AS (
+  SELECT count(*) AS t_uni FROM uni
+),
+bi AS (
+  SELECT unnest(list_transform(
+    generate_series(1, greatest(len(t) - 1, 0)),
+    i -> array_to_string(t[i:i+1], ' '))) AS bigram
+  FROM toks WHERE len(t) >= 2
+),
+bi_c AS (
+  SELECT bigram, count(*) AS c_ab FROM bi GROUP BY bigram
+),
+bt AS (
+  SELECT count(*) AS t_bi FROM bi
+)
+SELECT b.bigram, b.c_ab,
+       u1.c_w AS c_left, u2.c_w AS c_right,
+       {sql_round('''ln((CAST(b.c_ab AS DOUBLE) / bt.t_bi)
+           / ((CAST(u1.c_w AS DOUBLE) / tot.t_uni) * (CAST(u2.c_w AS DOUBLE) / tot.t_uni)))''', 6)} AS pmi
+FROM bi_c b
+JOIN uni_c u1 ON u1.token = split_part(b.bigram, ' ', 1)
+JOIN uni_c u2 ON u2.token = split_part(b.bigram, ' ', 2)
+CROSS JOIN tot CROSS JOIN bt
+WHERE b.c_ab >= 50
+""",
+)
+def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over corpus bigrams — the collocation
+    score that separates real phrases from chance co-occurrence (the
+    n-gram-LM sibling of text_ngram_freq). Two token-keyed aggregates
+    (unigram, bigram) plus two joins of the thresholded bigram head
+    against the unigram vocab — both joins BROADCAST (vocab is bounded by
+    language, not corpus: at 100 TB it is still ~10^6 rows), so the only
+    corpus-sized shuffles are the two map-side-combined counts."""
+    d = load(spark, sf_dir, "documents")
+    tok_df = d.select("doc_id", X.tokens(F.col("text")).alias("t")).repartition(
+        F.col("doc_id")
+    )
+    uni = tok_df.select(F.explode("t").alias("token"))
+    uni_c = uni.groupBy("token").agg(F.count(F.lit(1)).alias("c_w"))
+    t_uni = uni.agg(F.count(F.lit(1)).alias("t_uni"))
+    bi = tok_df.filter(F.size("t") >= 2).select(
+        F.explode(X.word_shingles(F.col("t"), 2)).alias("bigram")
+    )
+    bi_c = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_ab"))
+    t_bi = bi.agg(F.count(F.lit(1)).alias("t_bi"))
+    head = bi_c.filter(F.col("c_ab") >= 50).withColumns(
+        {
+            "tok_l": F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)),
+            "tok_r": F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)),
+        }
+    )
+    u1 = uni_c.select(F.col("token").alias("tok_l"), F.col("c_w").alias("c_left"))
+    u2 = uni_c.select(F.col("token").alias("tok_r"), F.col("c_w").alias("c_right"))
+    pmi = F.log(
+        (F.col("c_ab").cast("double") / F.col("t_bi"))
+        / (
+            (F.col("c_left").cast("double") / F.col("t_uni"))
+            * (F.col("c_right").cast("double") / F.col("t_uni"))
+        )
+    )
+    return (
+        head.join(F.broadcast(u1), "tok_l")
+        .join(F.broadcast(u2), "tok_r")
+        .crossJoin(F.broadcast(t_uni))
+        .crossJoin(F.broadcast(t_bi))
+        .select("bigram", "c_ab", "c_left", "c_right", hround(pmi, 6).alias("pmi"))
+    )
+
+
+@register(
+    "quality_unigram_logprob",
+    oracle=f"""
+WITH {TOKS_CTE},
+uni AS (
+  SELECT unnest(t) AS token FROM toks
+),
+model AS (
+  SELECT token, count(*) AS c_w FROM uni GROUP BY token
+),
+tot AS (
+  SELECT count(*) AS t_uni FROM uni
+),
+scored AS (
+  SELECT toks.doc_id, m.c_w, tot.t_uni
+  FROM toks, unnest(toks.t) AS u(token)
+  JOIN model m ON m.token = u.token
+  CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       {sql_round('avg(-ln(CAST(c_w AS DOUBLE) / t_uni))', 6)} AS nll
+FROM scored
+GROUP BY doc_id
+""",
+)
+def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM negative log-likelihood per document — the cheapest
+    perplexity-style quality proxy (documents full of rare tokens score
+    high NLL; boilerplate scores low). The LM is fit on the corpus itself
+    in one aggregate; scoring joins each token against the BROADCAST
+    vocab (language-bounded) and averages per doc — so the pipeline is
+    two corpus-sized map-side-combined shuffles (fit, score) and nothing
+    quadratic. The avg's summation order differs across engines by design
+    (ulps); 6dp rounding absorbs it."""
+    d = load(spark, sf_dir, "documents")
+    tok_df = d.select("doc_id", X.tokens(F.col("text")).alias("t")).repartition(
+        F.col("doc_id")
+    )
+    uni = tok_df.select("doc_id", F.explode("t").alias("token"))
+    model = uni.groupBy("token").agg(F.count(F.lit(1)).alias("c_w"))
+    t_uni = uni.agg(F.count(F.lit(1)).alias("t_uni"))
+    return (
+        uni.join(F.broadcast(model), "token")
+        .crossJoin(F.broadcast(t_uni))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            hround(F.avg(-F.log(F.col("c_w").cast("double") / F.col("t_uni"))), 6).alias(
+                "nll"
+            ),
+        )
+    )
+
+
+@register(
+    "search_bm25",
+    oracle=f"""
+WITH {TOKS_CTE},
+dl AS (
+  SELECT doc_id, len(t) AS dl FROM toks
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+),
+q(term) AS (VALUES ('spark'), ('join'), ('vector')),
+tf AS (
+  SELECT toks.doc_id, u.token AS term, count(*) AS tf
+  FROM toks, unnest(toks.t) AS u(token)
+  WHERE u.token IN (SELECT term FROM q)
+  GROUP BY toks.doc_id, u.token
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+)
+SELECT tf.doc_id,
+       CAST(count(*) AS BIGINT) AS n_terms_hit,
+       {sql_round('''sum(
+         ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl)))''', 6)} AS bm25
+FROM tf
+JOIN df USING (term)
+JOIN dl ON dl.doc_id = tf.doc_id
+CROSS JOIN stats
+GROUP BY tf.doc_id
+""",
+)
+def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 (k1=1.2, b=0.75) for a fixed keyword query — the
+    classical retrieval scorer (and the lexical half of hybrid RAG
+    retrieval next to sim_search_*). Every input to the score is an
+    aggregate this engine already materializes cheaply: tf (corpus
+    shuffle, pre-filtered to the query terms so it's |hits| wide, not
+    |tokens|), df and corpus stats (broadcast scalars). The per-doc score
+    is then one grouped sum — query cost scales with posting-list size,
+    exactly like an inverted index walk."""
+    d = load(spark, sf_dir, "documents")
+    terms = ["spark", "join", "vector"]
+    tok_df = d.select("doc_id", X.tokens(F.col("text")).alias("t")).repartition(
+        F.col("doc_id")
+    )
+    dl = tok_df.select("doc_id", F.size("t").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        tok_df.select("doc_id", F.explode("t").alias("term"))
+        .where(F.col("term").isin(*terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    contrib = idf * (F.col("tf") * 2.2) / (
+        F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            hround(F.sum(contrib), 6).alias("bm25"),
+        )
+    )
+
+
+@register(
+    "tfidf_topk_per_doc",
+    oracle=f"""
+WITH {TOKS_CTE},
+ex AS (
+  SELECT toks.doc_id, u.token FROM toks, unnest(toks.t) AS u(token)
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM ex GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM ex GROUP BY token
+),
+n AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM ex
+),
+weighted AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+         {sql_round('tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0)', 6)} AS tfidf
+  FROM tf JOIN df USING (token) CROSS JOIN n
+)
+SELECT doc_id, token, tf, tfidf, rnk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf DESC, token) AS BIGINT) AS rnk
+  FROM weighted
+) WHERE rnk <= 3
+""",
+)
+def tfidf_topk_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: top-3 TF-IDF terms per document (the tfidf
+    table narrowed to each doc's signature terms — what goes in a search
+    index or topic sketch). Ranking happens on the PRE-ROUNDED score so
+    cross-engine ulp noise in ln() can't flip an ordering: 6dp-identical
+    scores tie-break on the token. One extra window pass over the tf
+    table, partitioned by doc — no new corpus shuffle beyond tfidf's
+    own."""
+    d = load(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("token"))
+    tf = ex.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = ex.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n = ex.agg(F.count_distinct("doc_id").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    weighted = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "token", "tf", hround(F.col("tf") * idf, 6).alias("tfidf"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token"))
+    return (
+        weighted.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+    )
