@@ -547,3 +547,55 @@ def sim_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+def _cov_pairs(dims: int = 8):
+    return [(i, j) for i in range(dims) for j in range(dims) if i <= j]
+
+
+def _cov_oracle() -> str:
+    """36 covar_samp aggregates in one scan, stacked to long form — the
+    oracle string is generated, not hand-typed, so Spark and SQL always
+    agree on the pair list."""
+    selects = ",\n  ".join(
+        f"covar_samp(CAST(embedding[{i + 1}] AS DOUBLE), CAST(embedding[{j + 1}] AS DOUBLE)) AS c_{i}_{j}"
+        for i, j in _cov_pairs()
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS dim_i, {j} AS dim_j, "
+        f"CAST(floor(c_{i}_{j} * 1e8 + 0.5) / 1e8 AS DOUBLE) AS cov FROM agg"
+        for i, j in _cov_pairs()
+    )
+    return f"WITH agg AS (\n  SELECT\n  {selects}\n  FROM embeddings\n)\n{rows}"
+
+
+@register("embedding_covariance", oracle=_cov_oracle())
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance matrix of the leading 8 embedding dimensions (long-form
+    upper triangle) — the statistics a PCA/whitening stage consumes. All
+    36 covar_samp aggregates run in ONE pass over the corpus as a single
+    global two-phase aggregate (each is 5 scalars of partial state), then
+    a driver-free stack() reshapes the 1-row result to (i, j, cov) rows.
+    At 100 TB this is the canonical map-side-combine reduction: bytes
+    shuffled = 36 × partial-state, independent of corpus size. Full-width
+    d² would use the same shape (d=64 → 2080 aggregates) or the grouped
+    posexplode path if the aggregate count overflows codegen."""
+    e = load(spark, sf_dir, "embeddings")
+    pairs = _cov_pairs()
+    aggs = [
+        F.covar_samp(
+            F.col("embedding").getItem(i).cast("double"),
+            F.col("embedding").getItem(j).cast("double"),
+        ).alias(f"c_{i}_{j}")
+        for i, j in pairs
+    ]
+    one = e.agg(*aggs)
+    stack_args = ", ".join(f"{i}, {j}, c_{i}_{j}" for i, j in pairs)
+    long = one.select(
+        F.expr(f"stack({len(pairs)}, {stack_args}) AS (dim_i, dim_j, cov_raw)")
+    )
+    return long.select(
+        F.col("dim_i").cast("int").alias("dim_i"),
+        F.col("dim_j").cast("int").alias("dim_j"),
+        hround(F.col("cov_raw"), 8).alias("cov"),
+    )
