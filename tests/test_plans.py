@@ -174,3 +174,34 @@ def test_gaps_islands_single_window_ordering(spark):
     exchange, no extra sort between the two window computations."""
     plan = explain_str(_q("win_gaps_islands", spark))
     assert len(set(__import__("re").findall(r"\(\d+\) Exchange", plan))) == 1, plan
+
+
+def test_running_distinct_single_exchange(spark):
+    """The first-occurrence-flag rewrite pre-clusters on user_id, so
+    hash(user_id) satisfies both windows' distributions (subset rule):
+    one exchange total, not one per window."""
+    plan = explain_str(_q("win_running_distinct", spark))
+    assert len(set(__import__("re").findall(r"\(\d+\) Exchange", plan))) == 1, plan
+
+
+def test_embedding_covariance_is_one_pass(spark):
+    """All 36 covariances must come from a single scan + one two-phase
+    aggregate — never 36 scans or a posexplode shuffle."""
+    plan = explain_str(_q("embedding_covariance", spark))
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert "partial_covar_samp" in plan, plan
+
+
+def test_bm25_broadcasts_stats_and_df(spark):
+    """Corpus stats and the per-term df table are broadcast; the only
+    shuffled relation is the term-filtered postings."""
+    plan = explain_str(_q("search_bm25", spark))
+    assert "BroadcastExchange" in plan
+    assert "BroadcastNestedLoop" not in plan or "buildright" in plan.lower()
+
+
+def test_chunking_has_no_shuffle(spark):
+    """doc_chunk_overlap is per-row fan-out: the plan must contain zero
+    exchanges — it pipelines inside the scan stage."""
+    plan = explain_str(_q("doc_chunk_overlap", spark))
+    assert len(set(__import__("re").findall(r"\(\d+\) Exchange", plan))) == 0, plan

@@ -147,3 +147,95 @@ def test_hround_cross_engine_parity(spark, vals, n):
     assert len(got) == len(duck)
     for g, d in zip(got, duck):
         assert g == d and str(g) == str(d), (g, d, n)
+
+
+def test_chunk_overlap_covers_every_char(spark):
+    """Every character position of every doc falls in ≥1 chunk, and
+    consecutive chunks overlap by exactly 100 chars (stride 400 < width
+    500) except the tail."""
+    from pyspark.sql import functions as F
+
+    from mongodb_mysql_cdc_spark.registry import queries
+
+    chunks = queries()["doc_chunk_overlap"](spark, "/root/testdata/sf0.001")
+    agg = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.max(F.col("chunk_start") + F.col("chunk_len") - 1).alias("covered"),
+            F.min("chunk_start").alias("first_start"),
+            F.max(F.col("chunk_start")).alias("last_start"),
+            F.count(F.lit(1)).alias("n_chunks"),
+        )
+        .collect()
+    )
+    docs = {
+        r.doc_id: r.n_chars
+        for r in spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", F.length("text").alias("n_chars"))
+        .collect()
+    }
+    for r in agg:
+        assert r.first_start == 1
+        assert r.covered == docs[r.doc_id], (r.doc_id, r.covered, docs[r.doc_id])
+        # stride math: starts are 1, 401, 801, ... → last start < n_chars + 400
+        assert (r.last_start - 1) % 400 == 0
+        assert r.n_chunks == (docs[r.doc_id] + 399) // 400
+
+
+def test_merge_replicas_converges_to_single_feed_fold(spark):
+    """Replica merge is delivery-invariant: the LWW fold of the two
+    overlapping replicas must equal the fold of the clean single feed
+    (same keys, same winning images)."""
+    from pyspark.sql import functions as F
+
+    from mongodb_mysql_cdc_spark.registry import queries
+
+    sf = "/root/testdata/sf0.001"
+    merged = (
+        queries()["cdc_merge_replicas"](spark, sf)
+        .select("key", "last_ts", "last_event_type", "last_value", "last_k")
+    )
+    single = queries()["cdc_apply_batch"](spark, sf)
+    assert merged.exceptAll(single).count() == 0
+    assert single.exceptAll(merged).count() == 0
+
+
+def test_pagerank_mass_is_conserved(spark):
+    """With every node having in- and out-edges, total rank mass stays
+    (1-d) + d = 1 after each iteration (up to fp noise)."""
+    from pyspark.sql import functions as F
+
+    from mongodb_mysql_cdc_spark.registry import queries
+
+    ranks = queries()["graph_pagerank_iter"](spark, "/root/testdata/sf0.001")
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-6, total
+
+
+def test_ewma_is_between_min_and_max_of_frame(spark):
+    """A normalized weighted average can never leave the observed value
+    envelope; spot-check the invariant corpus-wide."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from mongodb_mysql_cdc_spark.catalog import load
+    from mongodb_mysql_cdc_spark.registry import queries
+
+    sf = "/root/testdata/sf0.001"
+    ew = queries()["ts_ewma"](spark, sf)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    ev = load(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.min("value").over(w).alias("lo"),
+        F.max("value").over(w).alias("hi"),
+    )
+    joined = ew.join(ev, ["user_id", "event_id"])
+    bad = joined.where(
+        (F.col("ewma") < F.col("lo") - 1e-6) | (F.col("ewma") > F.col("hi") + 1e-6)
+    ).count()
+    assert bad == 0
