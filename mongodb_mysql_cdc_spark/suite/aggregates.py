@@ -591,3 +591,57 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
+
+
+@register(
+    "agg_moments",
+    oracle=f"""
+WITH mu AS (
+  SELECT event_type, avg(value) AS mean_v FROM events GROUP BY event_type
+),
+cm AS (
+  SELECT e.event_type,
+         count(*)                          AS n,
+         any_value(m.mean_v)               AS mean_v,
+         avg(pow(e.value - m.mean_v, 2))   AS m2,
+         avg(pow(e.value - m.mean_v, 3))   AS m3,
+         avg(pow(e.value - m.mean_v, 4))   AS m4
+  FROM events e JOIN mu m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       {sql_round('mean_v', 6)}                  AS mean_v,
+       {sql_round('sqrt(m2)', 6)}                AS std_pop,
+       {sql_round('m3 / pow(m2, 1.5)', 6)}       AS skew_g1,
+       {sql_round('m4 / pow(m2, 2) - 3.0', 6)}   AS excess_kurtosis
+FROM cm
+""",
+)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Central-moment statistics (population skewness g1 / excess
+    kurtosis) computed from explicit two-pass moments rather than the
+    built-in skewness()/kurtosis() — engines disagree on bias correction
+    (sample vs population, g1 vs G1), so the formula is pinned once and
+    evaluated identically on both sides. Pass 1 is a 5-row mean table
+    (broadcast back); pass 2 is one map-side-combined aggregate of three
+    centered powers — two corpus scans, zero corpus-sized shuffles."""
+    ev = load(spark, sf_dir, "events")
+    mu = ev.groupBy("event_type").agg(F.avg("value").alias("mean_v"))
+    dev = ev.join(F.broadcast(mu), "event_type").withColumn(
+        "d", F.col("value") - F.col("mean_v")
+    )
+    cm = dev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.any_value("mean_v").alias("mean_v"),
+        F.avg(F.pow("d", F.lit(2))).alias("m2"),
+        F.avg(F.pow("d", F.lit(3))).alias("m3"),
+        F.avg(F.pow("d", F.lit(4))).alias("m4"),
+    )
+    return cm.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        hround(F.col("mean_v"), 6).alias("mean_v"),
+        hround(F.sqrt("m2"), 6).alias("std_pop"),
+        hround(F.col("m3") / F.pow("m2", F.lit(1.5)), 6).alias("skew_g1"),
+        hround(F.col("m4") / F.pow("m2", F.lit(2.0)) - 3.0, 6).alias("excess_kurtosis"),
+    )

@@ -273,3 +273,57 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"), "r")
         )
     return ranks.select("node", hround(F.col("r"), 10).alias("rank"))
+
+
+@register(
+    "event_seq_pattern",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id,
+       length(s)                                          AS seq_len,
+       CAST(len(regexp_extract_all(s, 's[cve]*p')) AS BIGINT) AS n_conversions,
+       (s LIKE '%s%p%')                                   AS ever_converted,
+       CAST(len(regexp_extract_all(s, 'ee+')) AS BIGINT)  AS error_bursts
+FROM seq
+""",
+)
+def event_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching (the MATCH_RECOGNIZE stand-in):
+    fold each user's stream into an ordered symbol string, then run
+    regular expressions over it — signup→…→purchase conversions with no
+    intervening signup/purchase, and repeated-error bursts. The fold is
+    collect_list(struct(ts, event_id, sym)) + array_sort + transform
+    (deterministic total order, no window pass); per-user strings are
+    session-sized (bounded by a user's events, never the corpus), so the
+    regex step is embarrassingly parallel after ONE shuffle on user_id."""
+    ev = load(spark, sf_dir, "events")
+    folded = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"), F.substring("event_type", 1, 1).alias("sym")
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("e")), lambda s: s["sym"]), ""
+            ).alias("s")
+        )
+    )
+    return folded.select(
+        "user_id",
+        F.length("s").cast("long").alias("seq_len"),
+        F.size(F.regexp_extract_all("s", F.lit("s[cve]*p"), 0)).cast("long").alias(
+            "n_conversions"
+        ),
+        F.col("s").like("%s%p%").alias("ever_converted"),
+        F.size(F.regexp_extract_all("s", F.lit("ee+"), 0)).cast("long").alias(
+            "error_bursts"
+        ),
+    )

@@ -519,3 +519,49 @@ def scan_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(out_dir)
         .filter(F.col("n_regionkey").isNotNull())
     )
+
+
+@register(
+    "scan_json_corrupt",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey, false AS is_corrupt FROM nation
+UNION ALL
+SELECT CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER), true
+FROM range(8)
+""",
+)
+def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode JSON ingest with corrupt-record routing — the DLQ
+    twin of scan_csv_malformed's drop semantics: bad lines survive as
+    rows with the raw text in _corrupt_record (here folded to a boolean
+    flag) instead of vanishing, so a landing job can count and quarantine
+    them. 8 corrupt lines (truncated JSON, bare text, wrong-type key) are
+    injected among the clean nation rows; the oracle is the clean table
+    plus exactly 8 flagged null rows."""
+    clean = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    out_dir = tempfile.mkdtemp(prefix="sparkcdc_badjson_")
+    clean.write.mode("overwrite").json(os.path.join(out_dir, "good"))
+    bad_lines = (
+        ['{"n_nationkey": "NaN-key", "n_name": "Broken", "n_regionkey": 1}'] * 3
+        + ['{"n_nationkey": 7, "n_name": "Trunca'] * 3
+        + ["this is not json at all"] * 2
+    )
+    with open(os.path.join(out_dir, "good", "corrupt.json"), "w") as f:
+        f.write("\n".join(bad_lines) + "\n")
+    schema = "n_nationkey INT, n_name STRING, n_regionkey INT, _corrupt_record STRING"
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(os.path.join(out_dir, "good"))
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    # PERMISSIVE keeps whatever fields DID parse on a corrupt line; a DLQ
+    # must not trust half-parsed rows, so data columns are nulled when
+    # the record is flagged (the raw line would ship to quarantine).
+    return parsed.select(
+        F.when(~bad, F.col("n_nationkey")).alias("n_nationkey"),
+        F.when(~bad, F.col("n_name")).alias("n_name"),
+        F.when(~bad, F.col("n_regionkey")).alias("n_regionkey"),
+        bad.alias("is_corrupt"),
+    )

@@ -24,6 +24,7 @@ TOKS_CTE = (
 )
 from mongodb_mysql_cdc_spark.operators.multimodal import (
     decode_media,
+    phash_bmp,
     synth_media,
     with_payload,
 )
@@ -305,3 +306,44 @@ def multimodal_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = synth_media(load(spark, sf_dir, "documents"))
     return resample_wav(media, factor=2).drop("resampled")
+
+
+@register(
+    "multimodal_phash",
+    oracle=f"""
+WITH bmp AS (
+  SELECT doc_id, 4 + doc_id % 8 AS w FROM documents WHERE doc_id % 2 = 1
+),
+px AS (
+  SELECT b.doc_id, b.w, t.k,
+         (b.doc_id * 7 + (t.k % 4) * 3 + (t.k // 4) * 13) % 256 AS v
+  FROM bmp b CROSS JOIN LATERAL (SELECT unnest(range(16)) AS k) t
+),
+m AS (
+  SELECT doc_id, avg(CAST(v AS DOUBLE)) AS mean_v FROM px GROUP BY doc_id
+)
+SELECT px.doc_id,
+       CAST(any_value(px.w) AS BIGINT)          AS width,
+       {sql_round('any_value(m.mean_v)', 6)}    AS grid_mean,
+       CAST(sum(CASE WHEN px.v > m.mean_v
+                     THEN CAST(1 AS BIGINT) << px.k ELSE 0 END) AS BIGINT) AS phash
+FROM px JOIN m USING (doc_id)
+GROUP BY px.doc_id
+""",
+)
+def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash over REAL image bytes (§2.10 multimodal +
+    dedup bridge): the 16-bit grid hash computed by parsing each BMP
+    container in phash_bmp is what buckets visually-identical images for
+    near-dup detection — the image twin of doc_fingerprint. The oracle
+    re-derives every bit analytically from the generator's pixel formula
+    (no byte handling), so a wrong data offset, row stride, or channel
+    pick flips bits and fails the hash compare. Per-row kernel work, no
+    shuffle; at 100 TB this pipelines inside the media scan."""
+    ph = phash_bmp(synth_media(load(spark, sf_dir, "documents")))
+    return ph.select(
+        "doc_id",
+        "width",
+        hround(F.col("grid_mean"), 6).alias("grid_mean"),
+        "phash",
+    )

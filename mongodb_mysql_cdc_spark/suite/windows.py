@@ -359,3 +359,41 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.sum(flag).over(w_run).alias("distinct_types_so_far"),
     )
+
+
+@register(
+    "win_rolling_median",
+    oracle=f"""
+SELECT user_id, event_id, ts,
+       {sql_round('median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)', 6)} AS rolling_median
+FROM events
+""",
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling median over a 21-row trailing frame — a window
+    aggregate Spark doesn't ship (no median() OVER): the frame is
+    materialized with collect_list() (deterministic frame order), sorted,
+    and the midpoint interpolated with HOFs — all JVM-side, ~21 doubles
+    per row, one shuffle on user_id. DuckDB's native windowed median
+    (quantile_cont 0.5) is the cross-check, so the interpolation rule
+    (avg of the two middles on even counts) is pinned by the oracle."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, Window.currentRow)
+    )
+    med = F.expr(
+        "CASE WHEN size(svals) % 2 = 1 THEN svals[CAST(size(svals) DIV 2 AS INT)] "
+        "ELSE (svals[CAST(size(svals) DIV 2 - 1 AS INT)]"
+        " + svals[CAST(size(svals) DIV 2 AS INT)]) / 2.0 END"
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.array_sort(F.collect_list("value").over(w)).alias("svals"),
+        )
+        .select("user_id", "event_id", "ts", hround(med, 6).alias("rolling_median"))
+    )
