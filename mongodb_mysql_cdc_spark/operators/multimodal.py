@@ -503,3 +503,67 @@ def phash_bmp(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "media_type", "payload").mapInPandas(
         kernel, PHASH_SCHEMA
     )
+
+
+AUDIO_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Signal features from REAL WAV bytes (RMS energy, peak amplitude,
+    strict zero-crossing count — the speech/music discriminators an audio
+    curation pass gates on): RIFF chunk-walk to the data chunk, int16
+    decode, numpy reductions. All integer partial sums stay below 2^53,
+    so RMS is fp-exact against an analytic recomputation. Crossing rule
+    pinned as product<0 (strict sign change; zeros break runs). Narrow
+    mapInPandas — no shuffle."""
+
+    def kernel(batches: Iterator["pd.DataFrame"]) -> Iterable["pd.DataFrame"]:
+        import struct
+
+        import numpy as np
+        import pandas as pd
+
+        def one(b: bytes):
+            if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                raise ValueError("not a WAV")
+            pos = 12
+            while pos + 8 <= len(b):
+                cid, sz = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+                if cid == b"data":
+                    v = np.frombuffer(b, dtype="<i2", offset=pos + 8, count=sz // 2)
+                    v64 = v.astype(np.int64)
+                    rms = float(np.sqrt(np.sum(v64 * v64) / len(v64)))
+                    zc = int(np.sum(v64[:-1] * v64[1:] < 0))
+                    return len(v64), rms, int(np.max(np.abs(v64))), zc
+                pos += 8 + sz + (sz & 1)
+            raise ValueError("no data chunk")
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_samples": [], "rms": [], "peak": [],
+                "zero_crossings": [],
+            }
+            for doc_id, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if mt != "audio/wav":
+                    continue
+                n, rms, peak, zc = one(bytes(payload))
+                out["doc_id"].append(int(doc_id))
+                out["n_samples"].append(n)
+                out["rms"].append(rms)
+                out["peak"].append(peak)
+                out["zero_crossings"].append(zc)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        kernel, AUDIO_FEAT_SCHEMA
+    )

@@ -23,6 +23,7 @@ TOKS_CTE = (
     "FROM documents)"
 )
 from mongodb_mysql_cdc_spark.operators.multimodal import (
+    audio_features,
     decode_media,
     phash_bmp,
     synth_media,
@@ -346,4 +347,51 @@ def multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "width",
         hround(F.col("grid_mean"), 6).alias("grid_mean"),
         "phash",
+    )
+
+
+@register(
+    "multimodal_audio_features",
+    oracle=f"""
+WITH wav AS (
+  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents WHERE doc_id % 2 = 0
+),
+samp AS (
+  SELECT w.doc_id, w.n, t.i,
+         (w.doc_id * 31 + t.i * 17) % 2048 - 1024 AS v
+  FROM wav w CROSS JOIN LATERAL (SELECT unnest(range(w.n)) AS i) t
+),
+lagged AS (
+  SELECT doc_id, n, v,
+         lead(v) OVER (PARTITION BY doc_id ORDER BY i) AS v_next
+  FROM samp
+),
+feat AS (
+  SELECT doc_id,
+         CAST(any_value(n) AS BIGINT)                      AS n_samples,
+         sqrt(sum(CAST(v AS DOUBLE) * v) / any_value(n))   AS rms,
+         CAST(max(abs(v)) AS BIGINT)                       AS peak,
+         CAST(sum(CASE WHEN v * v_next < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+  FROM lagged
+  GROUP BY doc_id
+)
+SELECT doc_id, n_samples, {sql_round('rms', 6)} AS rms, peak, zero_crossings
+FROM feat
+""",
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio curation features over REAL WAV bytes (§2.10): RMS energy,
+    peak, strict zero-crossing rate — computed by the audio_features
+    kernel from the decoded int16 stream and checked against a pure
+    analytic recomputation of the generator's sample formula (window
+    lead() for the crossings). A wrong chunk offset, endianness, or
+    sample width shifts every value — the same tripwire design as
+    multimodal_decode/phash."""
+    feats = audio_features(synth_media(load(spark, sf_dir, "documents")))
+    return feats.select(
+        "doc_id",
+        "n_samples",
+        hround(F.col("rms"), 6).alias("rms"),
+        "peak",
+        "zero_crossings",
     )

@@ -599,3 +599,117 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim_j").cast("int").alias("dim_j"),
         hround(F.col("cov_raw"), 8).alias("cov"),
     )
+
+
+_PCA_D = 8  # leading dims, matches embedding_covariance
+
+
+def _pca_oracle() -> str:
+    """Generated mirror of the Spark expression pipeline: full 8×8
+    covariance + mean in one aggregate, then THREE power-iteration layers
+    as chained 1-row CTEs (normalize once at the end), then the corpus
+    projection. Term order inside every sum is ascending j on both
+    engines, so the only cross-engine noise is libm ulps — absorbed by
+    the 4dp rounding of the final projection."""
+    d = _PCA_D
+    cov = ",\n    ".join(
+        f"covar_samp(CAST(embedding[{i + 1}] AS DOUBLE), CAST(embedding[{j + 1}] AS DOUBLE)) AS c_{i}_{j}"
+        for i in range(d)
+        for j in range(d)
+    )
+    mu = ",\n    ".join(f"avg(CAST(embedding[{i + 1}] AS DOUBLE)) AS mu_{i}" for i in range(d))
+    v0 = 1.0  # un-normalized uniform start; scale cancels in the final norm
+    it1 = ", ".join(
+        "(" + " + ".join(f"c_{i}_{j} * {v0}" for j in range(d)) + f") AS v1_{i}"
+        for i in range(d)
+    )
+    it2 = ", ".join(
+        "(" + " + ".join(f"c_{i}_{j} * v1_{j}" for j in range(d)) + f") AS v2_{i}"
+        for i in range(d)
+    )
+    it3 = ", ".join(
+        "(" + " + ".join(f"c_{i}_{j} * v2_{j}" for j in range(d)) + f") AS v3_{i}"
+        for i in range(d)
+    )
+    norm = "sqrt(" + " + ".join(f"v3_{i} * v3_{i}" for i in range(d)) + ")"
+    proj = " + ".join(
+        f"(CAST(e.embedding[{i + 1}] AS DOUBLE) - s.mu_{i}) * (s.v3_{i} / s.nrm)"
+        for i in range(d)
+    )
+    return f"""
+WITH stats AS (
+  SELECT
+    {cov},
+    {mu}
+  FROM embeddings
+),
+i1 AS (SELECT *, {it1} FROM stats),
+i2 AS (SELECT *, {it2} FROM i1),
+i3 AS (SELECT *, {it3} FROM i2),
+vec AS (SELECT *, {norm} AS nrm FROM i3)
+SELECT e.vec_id,
+       CAST(floor(({proj}) * 1e4 + 0.5) / 1e4 AS DOUBLE) AS pc1_score
+FROM embeddings e CROSS JOIN vec s
+"""
+
+
+@register("embedding_pca_project", oracle=_pca_oracle())
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-principal-component projection — PCA by power iteration with
+    the ENTIRE iteration inside the declarative plan: one 1-row aggregate
+    (full 8×8 covariance + means), then each iteration is a select layer
+    over the previous layer's columns (v_{k+1} = C·v_k, normalized once
+    at the end), then a broadcast of the 1-row eigenvector into the
+    corpus-wide centered dot product. No driver-side collect, no loop
+    state outside Catalyst — the 100 TB cost is ONE corpus scan for the
+    covariance and ONE for the projection; everything between is
+    64 doubles wide. The whitening/feature-reduction step a training
+    pipeline runs after embedding_covariance."""
+    d = _PCA_D
+    e = load(spark, sf_dir, "embeddings")
+    dbl = [F.col("embedding").getItem(i).cast("double") for i in range(d)]
+    stats = e.agg(
+        *[
+            F.covar_samp(dbl[i], dbl[j]).alias(f"c_{i}_{j}")
+            for i in range(d)
+            for j in range(d)
+        ],
+        *[F.avg(dbl[i]).alias(f"mu_{i}") for i in range(d)],
+    )
+    def matvec(prev: str, out: str, src):
+        return src.select(
+            "*",
+            *[
+                sum(
+                    [F.col(f"c_{i}_{j}") * F.col(f"{prev}_{j}") for j in range(1, d)],
+                    F.col(f"c_{i}_0") * F.col(f"{prev}_0"),
+                ).alias(f"{out}_{i}")
+                for i in range(d)
+            ],
+        )
+    i1 = stats.select(
+        "*",
+        *[
+            sum([F.col(f"c_{i}_{j}") * F.lit(1.0) for j in range(1, d)],
+                F.col(f"c_{i}_0") * F.lit(1.0)).alias(f"v1_{i}")
+            for i in range(d)
+        ],
+    )
+    i3 = matvec("v2", "v3", matvec("v1", "v2", i1))
+    vec = i3.select(
+        "*",
+        F.sqrt(
+            sum([F.col(f"v3_{i}") * F.col(f"v3_{i}") for i in range(1, d)],
+                F.col("v3_0") * F.col("v3_0"))
+        ).alias("nrm"),
+    )
+    proj = sum(
+        [
+            (dbl[i] - F.col(f"mu_{i}")) * (F.col(f"v3_{i}") / F.col("nrm"))
+            for i in range(1, d)
+        ],
+        (dbl[0] - F.col("mu_0")) * (F.col("v3_0") / F.col("nrm")),
+    )
+    return e.crossJoin(F.broadcast(vec)).select(
+        "vec_id", hround(proj, 4).alias("pc1_score")
+    )
