@@ -472,3 +472,75 @@ def dedup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("long").alias("edit_dist"),
         )
     )
+
+
+@register(
+    "dedup_chunk_sig",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+),
+chunks AS (
+  SELECT doc_id,
+         md5(substring(text, s.start, 500)) AS sig
+  FROM corpus
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(1, length(text), 400)) AS start) s
+),
+capped AS (
+  SELECT sig FROM chunks GROUP BY sig HAVING count(*) <= 20
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM chunks a
+  JOIN chunks b ON a.sig = b.sig AND a.doc_id < b.doc_id
+  WHERE a.sig IN (SELECT sig FROM capped)
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= 2
+""",
+)
+def dedup_chunk_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-fingerprint near-dup detection — the dedup that chunking
+    (doc_chunk_overlap) enables: re-crawled/copied documents share
+    aligned chunk hashes even when doc ids differ. A deterministic
+    re-crawl (every 5th doc cloned under a shifted id) is unioned in so
+    the operator has true positives at every SF. Same scale discipline
+    as dedup_ngram_jaccard: the join key is the chunk hash (equi-join,
+    never corpus×corpus) and hot fingerprints are df-capped (≤20
+    carriers) so boilerplate chunks cannot fan out quadratically; pairs
+    need ≥2 shared chunks. md5() is the cross-engine fingerprint (bit-
+    identical in Spark and DuckDB, unlike xxhash64)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    starts = F.sequence(F.lit(1), F.length("text"), F.lit(400))
+    chunks = corpus.select(
+        "doc_id", F.explode(starts).alias("start"), F.col("text")
+    ).select(
+        "doc_id", F.md5(F.substring(F.col("text"), F.col("start"), 500)).alias("sig")
+    )
+    capped = (
+        chunks.groupBy("sig")
+        .agg(F.count(F.lit(1)).alias("carriers"))
+        .filter(F.col("carriers") <= 20)
+        .select("sig")
+    )
+    # materialize the fingerprint stream across an exchange on the join
+    # key: both self-join branches then hang off the SAME shuffle subtree
+    # and Catalyst plans a ReusedExchange instead of exploding + md5-ing
+    # the corpus twice (the r2 minhash lesson)
+    safe = chunks.join(capped, "sig").repartition(F.col("sig"))
+    a = safe.select(F.col("sig"), F.col("doc_id").alias("doc_a"))
+    b = safe.select(F.col("sig"), F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "sig")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
