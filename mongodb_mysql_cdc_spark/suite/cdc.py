@@ -745,3 +745,27 @@ def cdc_merge_replicas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.value").alias("last_value"),
         F.col("w.k").alias("last_k"),
     )
+
+
+@register("cdc_snapshot_handoff", oracle=CDC_APPLY_ORACLE)
+def cdc_snapshot_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot→tail handoff (entry point A meeting entry point B):
+    fold the initial-snapshot envelopes (seq ≤ cutoff at the median) and
+    the post-resume-token tail (seq > cutoff) SEPARATELY, then merge the
+    two states — the result must be indistinguishable from folding the
+    whole feed at once (same oracle as cdc_apply_batch). This is the
+    correctness contract of every CDC deployment's bootstrap: LWW
+    reconcile is associative across the snapshot boundary, so an
+    arbitrary resume point never loses or duplicates state. Three
+    key-shuffles of bounded state (two folds + one merge) — at 100 TB
+    the snapshot fold runs once, ever."""
+    env = events_as_envelopes(spark, sf_dir)
+    cutoff = F.broadcast(
+        env.agg(F.expr("percentile_approx(seq, 0.5)").alias("cut"))
+    )
+    tagged = env.crossJoin(cutoff)
+    snapshot_state = reconcile(tagged.where(F.col("seq") <= F.col("cut")))
+    tail_state = reconcile(tagged.where(F.col("seq") > F.col("cut")))
+    from mongodb_mysql_cdc_spark.streaming.apply import current_state, merge_states
+
+    return current_state(merge_states(snapshot_state, tail_state))

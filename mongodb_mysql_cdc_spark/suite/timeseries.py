@@ -370,3 +370,47 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             hround(F.expr(num) / F.expr(den), 6).alias("ewma"),
         )
     )
+
+
+@register(
+    "ts_calendar_profile",
+    oracle=f"""
+WITH grid AS (
+  SELECT event_type,
+         dayofweek(ts) + 1 AS dow,
+         hour(ts)          AS hod,
+         count(*)          AS n,
+         avg(value)        AS avg_v
+  FROM events
+  GROUP BY ALL
+)
+SELECT event_type, CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
+       n, {sql_round('avg_v', 6)} AS avg_value,
+       CAST(row_number() OVER (PARTITION BY event_type
+                               ORDER BY n DESC, dow, hod) AS BIGINT) AS busy_rank
+FROM grid
+""",
+)
+def ts_calendar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar seasonality grid (day-of-week × hour-of-day per event
+    type) with a busiest-slot rank — the load-profile query capacity
+    planning runs on the replicated stream. One map-side-combined
+    aggregate to a bounded 5×7×24 grid, then a window over ≤168 rows per
+    type: corpus-scan-bound, grid-sized everything else."""
+    ev = load(spark, sf_dir, "events")
+    grid = ev.groupBy(
+        "event_type",
+        F.dayofweek("ts").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("avg_v"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), F.col("dow"), F.col("hod")
+    )
+    return grid.select(
+        "event_type",
+        "dow",
+        "hod",
+        "n",
+        hround(F.col("avg_v"), 6).alias("avg_value"),
+        F.row_number().over(w).cast("long").alias("busy_rank"),
+    )

@@ -42,3 +42,19 @@ def test_registry_oracle_names_subset(spark):
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) > 0
+
+
+def test_driver_window_is_the_first_fifty():
+    """The driver verifies the FIRST 50 names in queries() order — the
+    window rotation is round strategy, so a regression here silently
+    wastes a whole round of correctness evidence."""
+    from mongodb_mysql_cdc_spark import registry
+
+    q = list(registry.queries())
+    window = [n for n in registry._DRIVER_WINDOW if n in set(q)]
+    assert len(window) == 50, f"window resolves to {len(window)} names"
+    assert q[:50] == window
+    # and every windowed name with an oracle is genuinely checkable
+    oracles = registry.oracles()
+    no_oracle = [n for n in window if n not in oracles]
+    assert set(no_oracle) <= {"agg_approx_quantile"}, no_oracle
