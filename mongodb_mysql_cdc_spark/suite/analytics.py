@@ -260,11 +260,16 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     dir_edges = edges.select(c.alias("src"), s.alias("dst")).unionByName(
         edges.select(s.alias("src"), c.alias("dst"))
     )
-    nodes = dir_edges.select(F.col("src").alias("node")).distinct()
-    n_nodes = nodes.count()  # one scalar; the rank loop itself never collects
     deg = dir_edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Pregel keeps the graph resident across supersteps; the DataFrame
+    # equivalent is persisting the degree-annotated edge list. The node
+    # count then comes FROM the warmed cache (every node has out-edges by
+    # construction, so nodes == distinct src) — one derivation of the
+    # base-table join total, instead of one per iteration plus one for N.
+    contrib_edges = dir_edges.join(deg, "src").persist()
+    nodes = contrib_edges.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()  # one scalar; the rank loop itself never collects
     ranks = nodes.select("node", (F.lit(1.0) / n_nodes).alias("r"))
-    contrib_edges = dir_edges.join(deg, "src")
     for _ in range(3):
         ranks = (
             contrib_edges.join(ranks, contrib_edges.src == ranks.node)
