@@ -414,3 +414,51 @@ def ts_calendar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(F.col("avg_v"), 6).alias("avg_value"),
         F.row_number().over(w).cast("long").alias("busy_rank"),
     )
+
+
+@register(
+    "ts_twap",
+    oracle=f"""
+WITH seg AS (
+  SELECT user_id, ts, value,
+         date_trunc('hour', ts) AS bucket,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - epoch_us(ts)
+           AS dt_us
+  FROM events
+),
+capped AS (
+  SELECT user_id, bucket, value,
+         least(dt_us, 3600000000) AS w
+  FROM seg WHERE dt_us IS NOT NULL AND dt_us > 0
+)
+SELECT user_id, bucket,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       {sql_round('sum(value * w) / sum(w)', 6)} AS twap
+FROM capped
+GROUP BY user_id, bucket
+""",
+)
+def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) per user-hour: each observation is
+    weighted by how long it REMAINED the current value (interval to the
+    next event, capped at an hour so a silent stream can't dominate) —
+    the correct average for irregularly-sampled state, vs the
+    sample-weighted avg that over-counts bursts. One window pass for the
+    holding intervals (lead over the user timeline) + one grouped sum:
+    the same single-shuffle profile as every timeline op here."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    seg = ev.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("bucket"),
+        "value",
+        dt.alias("dt_us"),
+    )
+    capped = seg.where(F.col("dt_us").isNotNull() & (F.col("dt_us") > 0)).select(
+        "user_id", "bucket", "value", F.least("dt_us", F.lit(3_600_000_000)).alias("w")
+    )
+    return capped.groupBy("user_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        hround(F.sum(F.col("value") * F.col("w")) / F.sum("w"), 6).alias("twap"),
+    )
