@@ -596,3 +596,73 @@ def fn_map2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("attrs").getItem("size").cast("int").alias("size_i"),
         F.col("attrs").getItem("missing").isNotNull().alias("has_missing"),
     )
+
+
+@register(
+    "fn_string3",
+    oracle="""
+SELECT p_partkey,
+       translate(p_type, ' aeiou', '_')       AS type_consonants,
+       reverse(p_brand)                       AS brand_rev,
+       repeat(substring(p_name, 1, 2), 3)     AS name_echo,
+       ascii(p_name)                          AS first_code,
+       chr(65 + p_size % 26)                  AS size_letter,
+       left(p_name, 5)                        AS name_l5,
+       right(p_type, 4)                       AS type_r4,
+       CAST(levenshtein(p_brand, 'Brand#00') AS BIGINT) AS brand_dist
+FROM part
+""",
+)
+def fn_string3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third string family (§2.8 breadth): translate / reverse / repeat /
+    ascii-chr codec / left-right slicing / levenshtein — the remaining
+    built-ins the first two families didn't cover, all JVM codegen'd.
+    translate's delete semantics (unmatched 'to' chars drop) is a genuine
+    cross-dialect check: both engines must drop the five vowels+space."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.translate("p_type", " aeiou", "_").alias("type_consonants"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.substring("p_name", 1, 2), 3).alias("name_echo"),
+        F.ascii("p_name").alias("first_code"),
+        F.chr(F.lit(65) + F.col("p_size") % 26).alias("size_letter"),
+        F.substring("p_name", 1, 5).alias("name_l5"),
+        F.substring(F.col("p_type"), -4, 4).alias("type_r4"),
+        F.levenshtein("p_brand", F.lit("Brand#00")).cast("long").alias("brand_dist"),
+    )
+
+
+@register(
+    "agg_grouping_id",
+    oracle=f"""
+SELECT coalesce(l_returnflag, '<all>')  AS rf,
+       coalesce(l_linestatus, '<all>')  AS ls,
+       GROUPING(l_returnflag)           AS g_rf,
+       GROUPING(l_linestatus)           AS g_ls,
+       CAST(count(*) AS BIGINT)         AS n,
+       {sql_round('sum(l_quantity)')}   AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() flag columns over ROLLUP — how a consumer tells a real
+    NULL group from a subtotal row (the §2.4 rollup family's missing
+    introspection bit). Same single Expand + two-phase aggregate as
+    agg_rollup; the flags are free metadata from the Expand."""
+    li = load(spark, sf_dir, "lineitem")
+    rolled = li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_rf"),
+        F.grouping("l_linestatus").cast("long").alias("g_ls"),
+        F.count(F.lit(1)).alias("n"),
+        hround(F.sum("l_quantity")).alias("sum_qty"),
+    )
+    return rolled.select(
+        F.coalesce("l_returnflag", F.lit("<all>")).alias("rf"),
+        F.coalesce("l_linestatus", F.lit("<all>")).alias("ls"),
+        "g_rf",
+        "g_ls",
+        "n",
+        "sum_qty",
+    )
