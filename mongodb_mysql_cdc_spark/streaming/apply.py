@@ -28,7 +28,7 @@ import os
 import shutil
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -269,3 +269,125 @@ class CdcParquetSink:
         if st is None:
             raise RuntimeError("no state written yet")
         return current_state(st)
+
+
+def scd2_versions(envelopes: DataFrame) -> DataFrame:
+    """SCD2 version rows from one envelope bag: every non-delete envelope
+    opens an interval; the key's next envelope (delete included) closes
+    it. Same (key)-partitioned window the apply path shuffles by."""
+    w = Window.partitionBy("key").orderBy("ts", "seq")
+    versioned = envelopes.select(
+        "key", "ts", "seq", "op", F.col("after.value").alias("value")
+    ).withColumn("next_ts", F.lead("ts").over(w))
+    return versioned.filter(F.col("op") != OP_DELETE).select(
+        "key",
+        "seq",
+        "value",
+        F.col("ts").alias("valid_from"),
+        F.col("next_ts").alias("valid_to"),
+        F.col("next_ts").isNull().alias("is_current"),
+    )
+
+
+@dataclass
+class Scd2ParquetSink:
+    """foreachBatch sink maintaining the SCD2 HISTORY table incrementally
+    — the streaming twin of the batch ``cdc_scd2`` window (same oracle:
+    micro-batch folding must be invisible). Reuses CdcParquetSink's
+    bounded-commit protocol verbatim: hash(key) bucket partitioning,
+    touched-bucket partition pruning on read, two-phase dynamic partition
+    overwrite on write, batch-id commit log for idempotent replay.
+
+    Per batch: (1) the delta's own envelopes become version rows via the
+    same window the batch form uses; (2) each touched key's still-open
+    row in state is CLOSED with the key's first delta timestamp (delete
+    envelopes close without opening). Correct under the replay's
+    guarantee that per-key (ts, seq) never decreases across micro-batches
+    — the oplog's total order (SURVEY §1.1)."""
+
+    spark: SparkSession
+    state_dir: str
+    n_buckets: int = 16
+    _committed: set[int] = field(default_factory=set)
+
+    # -- identical commit/bucket plumbing to CdcParquetSink ---------------
+    @property
+    def _commit_log(self) -> str:
+        return os.path.join(self.state_dir, "_commits.json")
+
+    def _load_commits(self) -> set[int]:
+        if os.path.exists(self._commit_log):
+            with open(self._commit_log) as f:
+                return set(json.load(f))
+        return set()
+
+    def _save_commits(self) -> None:
+        with open(self._commit_log, "w") as f:
+            json.dump(sorted(self._committed), f)
+
+    def _bucket(self, df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "bucket", F.pmod(F.xxhash64("key"), F.lit(self.n_buckets))
+        )
+
+    def state(self) -> DataFrame | None:
+        path = os.path.join(self.state_dir, "state")
+        try:
+            return self.spark.read.parquet(path)
+        except Exception:
+            return None
+
+    # -- the SCD2 fold -----------------------------------------------------
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._committed = self._load_commits()
+        if batch_id in self._committed:
+            return
+        delta_rows = self._bucket(scd2_versions(batch_df))
+        first_ts = batch_df.groupBy("key").agg(
+            F.min(F.struct("ts", "seq")).getField("ts").alias("first_delta_ts")
+        )
+        old = self.state()
+        path = os.path.join(self.state_dir, "state")
+        tmp = os.path.join(self.state_dir, f"state_tmp_{batch_id}")
+        try:
+            if old is None:
+                new = delta_rows
+            else:
+                touched = [
+                    r["bucket"]
+                    for r in delta_rows.select("bucket").distinct().collect()
+                ]
+                old_t = old.filter(F.col("bucket").isin(touched))
+                closed = (
+                    old_t.join(F.broadcast(first_ts), "key", "left")
+                    .withColumn(
+                        "valid_to",
+                        F.when(
+                            F.col("is_current") & F.col("first_delta_ts").isNotNull(),
+                            F.col("first_delta_ts"),
+                        ).otherwise(F.col("valid_to")),
+                    )
+                    .withColumn("is_current", F.col("valid_to").isNull())
+                    .drop("first_delta_ts")
+                )
+                new = closed.unionByName(delta_rows)
+            new.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+            (
+                self.spark.read.parquet(tmp)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(path)
+            )
+            self._committed.add(batch_id)
+            self._save_commits()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    def history(self) -> DataFrame:
+        st = self.state()
+        if st is None:
+            raise RuntimeError("no state written yet")
+        return st.select(
+            "key", "seq", "value", "valid_from", "valid_to", "is_current"
+        )

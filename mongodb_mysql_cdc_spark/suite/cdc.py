@@ -769,3 +769,34 @@ def cdc_snapshot_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongodb_mysql_cdc_spark.streaming.apply import current_state, merge_states
 
     return current_state(merge_states(snapshot_state, tail_state))
+
+
+from mongodb_mysql_cdc_spark.suite.pipeline import SCD2_ORACLE  # noqa: E402
+
+
+@register("cdc_scd2_stream", oracle=SCD2_ORACLE)
+def cdc_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history maintained INCREMENTALLY by the streaming sink
+    (foreachBatch + Scd2ParquetSink's bucket-bounded commit protocol),
+    then read back — registered with the SAME oracle as the batch window
+    form, so the driver itself verifies the stream==batch invariant: a
+    micro-batched history must be indistinguishable from the one-shot
+    window over the whole feed. The oracle is pipeline.SCD2_ORACLE —
+    one source of truth for the SQL on both forms."""
+    from mongodb_mysql_cdc_spark.streaming.apply import Scd2ParquetSink
+
+    staged = stage_event_chunks(spark, sf_dir, n_chunks=5, dir_prefix="scd2")
+    sink = Scd2ParquetSink(spark, tempfile.mkdtemp(prefix="sparkcdc_scd2_"))
+    stream = envelopes_from_events(read_event_stream(spark, staged))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            stream.writeStream.foreachBatch(sink.apply_batch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sparkcdc_scd2ckpt_"))
+            .start()
+        )
+        run_to_completion(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return sink.history()

@@ -282,9 +282,7 @@ def quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "cdc_scd2",
-    oracle="""
+SCD2_ORACLE = """
 WITH env AS (
   SELECT user_id AS key, ts, event_id AS seq,
          CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op,
@@ -300,8 +298,10 @@ SELECT key, seq, value, ts AS valid_from, next_ts AS valid_to,
        (next_ts IS NULL) AS is_current
 FROM versioned
 WHERE op <> 'd'
-""",
-)
+"""
+
+
+@register("cdc_scd2", oracle=SCD2_ORACLE)
 def cdc_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Slowly-changing-dimension type 2 from the change stream: every
     non-delete envelope becomes a version row with a [valid_from,

@@ -162,3 +162,56 @@ def test_late_event_cannot_resurrect_deleted_key(spark):
     sink.apply_batch(env1, 0)
     sink.apply_batch(env2, 1)
     assert sink.current().count() == 0  # delete still wins
+
+
+def test_scd2_sink_is_bucket_bounded_and_matches_batch(spark, sf_dir):
+    """Scd2ParquetSink inherits both contracts: (1) an incremental
+    micro-batch rewrites only its delta's hash(key) buckets; (2) the
+    folded history equals the one-shot batch window (stream == batch)."""
+    import os
+
+    from mongodb_mysql_cdc_spark.streaming.apply import Scd2ParquetSink, scd2_versions
+
+    def bucket_files(root):
+        out = {}
+        state = os.path.join(root, "state")
+        for d in os.listdir(state):
+            if d.startswith("bucket="):
+                b = int(d.split("=", 1)[1])
+                out[b] = {
+                    f: os.path.getmtime(os.path.join(state, d, f))
+                    for f in os.listdir(os.path.join(state, d))
+                    if f.endswith(".parquet")
+                }
+        return out
+
+    env = envelopes_from_events(load(spark, sf_dir, "events"))
+    # split the feed at the per-key-monotonic replay boundary: global ts order
+    cut = env.agg(F.expr("percentile_approx(seq, 0.5)").alias("c")).collect()[0]["c"]
+    root = tempfile.mkdtemp(prefix="scd2_bucket_")
+    sink = Scd2ParquetSink(spark, root, n_buckets=8)
+    sink.apply_batch(env.filter(F.col("seq") <= cut), 0)
+    before = bucket_files(root)
+    assert len(before) > 1
+
+    one_key = env.orderBy("key").limit(1).select("key").collect()[0]["key"]
+    delta = env.filter((F.col("seq") > cut) & (F.col("key") == one_key))
+    touched = delta.select(
+        F.pmod(F.xxhash64("key"), F.lit(8)).alias("b")
+    ).collect()[0]["b"]
+    sink.apply_batch(delta, 1)
+    after = bucket_files(root)
+    assert set(after) == set(before)
+    for b in before:
+        if b == touched:
+            assert before[b] != after[b]
+        else:
+            assert before[b] == after[b]
+
+    # finish the feed for the untouched keys, then compare against the
+    # batch window over the whole feed
+    sink.apply_batch(env.filter((F.col("seq") > cut) & (F.col("key") != one_key)), 2)
+    cols = ["key", "seq", "value", "valid_from", "valid_to", "is_current"]
+    want = _rows(scd2_versions(env), cols)
+    got = _rows(sink.history(), cols)
+    assert got == want
