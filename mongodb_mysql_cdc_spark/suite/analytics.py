@@ -332,3 +332,101 @@ def event_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             "error_bursts"
         ),
     )
+
+
+@register(
+    "analytics_shipping_priority",
+    oracle=f"""
+SELECT l.l_orderkey,
+       {sql_round('sum(l.l_extendedprice * (1 - l.l_discount))')} AS revenue,
+       o.o_orderdate
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+""",
+)
+def analytics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 adapted to the harness schema (no o_shippriority column):
+    segment-filtered customers ⋈ date-filtered orders ⋈ shipdate-filtered
+    lineitem → revenue per order → top 10. The composite exhibit: three
+    pushed-down filters feed two shuffle joins whose smaller sides AQE
+    can demote to broadcast, the aggregate is map-side combined on
+    l_orderkey, and ORDER+LIMIT fuses to TakeOrderedAndProject — no full
+    sort at any scale. Tie-broken on the key for determinism."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            hround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "analytics_local_supplier_volume",
+    oracle=f"""
+SELECT n.n_name,
+       {sql_round('sum(l.l_extendedprice * (1 - l.l_discount))')} AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+""",
+)
+def analytics_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 adapted (no date window — the harness order dates span
+    one synthetic year): revenue customers generate through SAME-NATION
+    suppliers, by nation, restricted to one region. Six-table join where
+    the planner's job is ordering: region/nation broadcast (world-bounded
+    dims), supplier broadcast under AQE, and the local-supplier condition
+    (s_nationkey = c_nationkey) rides the supplier join as a second
+    equi-key instead of a post-filter — Catalyst keeps it in the hash
+    join. One corpus-sized shuffle pair (orders ⋈ lineitem); everything
+    else is dimension traffic."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            hround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mongodb_mysql_cdc_spark.catalog import load
+from mongodb_mysql_cdc_spark.functions.compat import hround, sql_round
 from mongodb_mysql_cdc_spark.registry import register
 from mongodb_mysql_cdc_spark.sources.cdc import (
     _JSON_OPTS,
@@ -800,3 +801,55 @@ def cdc_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return sink.history()
+
+
+@register(
+    "cdc_order_audit",
+    oracle=f"""
+WITH env AS (
+  SELECT user_id AS key, ts, event_id AS seq FROM events
+),
+flagged AS (
+  SELECT key, ts, seq,
+         lag(ts)  OVER (PARTITION BY key ORDER BY seq) AS prev_ts,
+         lag(seq) OVER (PARTITION BY key ORDER BY seq) AS prev_seq
+  FROM env
+)
+SELECT key,
+       CAST(count(*) AS BIGINT)                                   AS n_events,
+       CAST(count(*) FILTER (prev_ts IS NOT NULL AND ts < prev_ts) AS BIGINT)
+         AS ts_inversions,
+       CAST(max(seq) - min(seq) + 1 - count(*) AS BIGINT)         AS seq_gaps,
+       {sql_round('max(epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0', 3)}
+         AS max_gap_sec
+FROM flagged
+GROUP BY key
+""",
+)
+def cdc_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delivery-order audit over the change feed: per key, count
+    timestamp inversions against resume-token (seq) order, sequence-range
+    gaps (token holes = lost deliveries in a dense-token transport), and
+    the largest inter-event silence — the health dashboard a CDC operator
+    watches before trusting LWW folds. One window pass in (key, seq)
+    order + one grouped census: the apply path's own partitioning,
+    nothing extra at scale."""
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"), "ts", F.col("event_id").alias("seq")
+    )
+    w = Window.partitionBy("key").orderBy("seq")
+    flagged = ev.select(
+        "key",
+        "ts",
+        "seq",
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.lag("seq").over(w).alias("prev_seq"),
+    )
+    inv = (F.col("prev_ts").isNotNull() & (F.col("ts") < F.col("prev_ts"))).cast("long")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))
+    return flagged.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(inv).alias("ts_inversions"),
+        (F.max("seq") - F.min("seq") + 1 - F.count(F.lit(1))).alias("seq_gaps"),
+        hround(F.max(gap_us) / 1_000_000.0, 3).alias("max_gap_sec"),
+    )
