@@ -86,6 +86,14 @@ _DRIVER_WINDOW = [
     "stream_session_stateful",
 ]
 
+# Queued for the round-5 window (registered after this round's 50 slots
+# filled; each is strict-checker green, driver-unseen): agg_moments,
+# win_rolling_median, event_seq_pattern, multimodal_phash,
+# multimodal_audio_features, scan_json_corrupt, embedding_pca_project,
+# dedup_chunk_sig, cdc_snapshot_handoff, ts_calendar_profile, ts_twap,
+# fn_string3, agg_grouping_id, cdc_scd2_stream, cdc_order_audit,
+# analytics_shipping_priority, analytics_local_supplier_volume.
+
 
 def _window_order(names: dict[str, QueryFn] | dict[str, str]) -> list[str]:
     front = [n for n in _DRIVER_WINDOW if n in names]
