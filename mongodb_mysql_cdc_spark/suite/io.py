@@ -565,3 +565,52 @@ def scan_json_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(~bad, F.col("n_regionkey")).alias("n_regionkey"),
         bad.alias("is_corrupt"),
     )
+
+
+@register(
+    "maintenance_zorder",
+    oracle="""
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE user_id BETWEEN 40 AND 80 AND value BETWEEN 25.0 AND 75.0
+""",
+)
+def maintenance_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering — the multi-dimensional cousin of
+    maintenance_cluster's single-key sort: interleave the bits of the two
+    filter dimensions (user_id, bucketed value) into one sort key, range-
+    partition + sort the table by it, rewrite. Rows close in BOTH
+    dimensions land in the same row groups, so a 2-D range predicate
+    prunes on min/max stats where a 1-D sort only prunes its own column.
+    The Morton code is 16 rounds of JVM-side shiftleft/or — no UDF. The
+    oracle is the predicate on the ORIGINAL table: the layout rewrite
+    must be lossless, which is the correctness half of a layout op (the
+    pruning half is physical and benchmarked, not hashed)."""
+    ev = load(spark, sf_dir, "events")
+    a = F.pmod(F.col("user_id"), F.lit(1 << 16)).cast("long")
+    b = F.pmod(F.floor(F.col("value") * 100).cast("long"), F.lit(1 << 16))
+    morton = F.lit(0).cast("long")
+    for i in range(16):
+        bit_a = F.shiftright(a, i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(b, i).bitwiseAND(F.lit(1))
+        morton = (
+            morton
+            .bitwiseOR(F.shiftleft(bit_a, 2 * i))
+            .bitwiseOR(F.shiftleft(bit_b, 2 * i + 1))
+        )
+    out = os.path.join(tempfile.mkdtemp(prefix="sparkcdc_zorder_"), "events")
+    (
+        ev.withColumn("zkey", morton)
+        .repartitionByRange(8, "zkey")
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .where(
+            F.col("user_id").between(40, 80) & F.col("value").between(25.0, 75.0)
+        )
+        .select("event_id", "user_id", "event_type", "value")
+    )

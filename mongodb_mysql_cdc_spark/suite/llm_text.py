@@ -954,3 +954,55 @@ def tfidf_topk_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 3)
     )
+
+
+@register(
+    "quality_winsorize",
+    oracle=f"""
+WITH bounds AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS p05,
+         quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY event_type
+),
+clipped AS (
+  SELECT e.event_type,
+         greatest(b.p05, least(b.p95, e.value)) AS v,
+         CASE WHEN e.value < b.p05 OR e.value > b.p95 THEN 1 ELSE 0 END AS was_clipped
+  FROM events e JOIN bounds b USING (event_type)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT)            AS n,
+       CAST(sum(was_clipped) AS BIGINT)    AS n_clipped,
+       {sql_round('avg(v)', 6)}            AS mean_winsorized,
+       {sql_round('stddev_samp(v)', 6)}    AS std_winsorized
+FROM clipped
+GROUP BY event_type
+""",
+)
+def quality_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized statistics (clip at p05/p95 per group before
+    aggregating) — the outlier-robust preprocessing an ML feature
+    pipeline applies before normalization, complementing anomaly_mad's
+    detection with correction. Exact per-group percentile (5-row bounds
+    table) broadcast back over the stream, then one clipped aggregate —
+    the two-pass broadcast-stats shape every robust statistic here
+    uses."""
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    clipped = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.greatest("p05", F.least("p95", F.col("value"))).alias("v"),
+        ((F.col("value") < F.col("p05")) | (F.col("value") > F.col("p95")))
+        .cast("long")
+        .alias("was_clipped"),
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("was_clipped").alias("n_clipped"),
+        hround(F.avg("v"), 6).alias("mean_winsorized"),
+        hround(F.stddev_samp("v"), 6).alias("std_winsorized"),
+    )
