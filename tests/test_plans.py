@@ -205,3 +205,20 @@ def test_chunking_has_no_shuffle(spark):
     exchanges — it pipelines inside the scan stage."""
     plan = explain_str(_q("doc_chunk_overlap", spark))
     assert len(set(__import__("re").findall(r"\(\d+\) Exchange", plan))) == 0, plan
+
+
+def test_shipping_priority_fuses_topk_and_pushes_filters(spark):
+    """The TPC-H Q3 composite: ORDER+LIMIT must fuse (no corpus sort) and
+    the three dimension filters must reach the scans."""
+    plan = explain_str(_q("analytics_shipping_priority", spark))
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [" in plan
+
+
+def test_local_supplier_volume_broadcasts_world_dims(spark):
+    """The TPC-H Q5 composite: nation/region ride broadcast joins; the
+    local-supplier equality stays inside a hash join (never a filter
+    after a cartesian)."""
+    plan = explain_str(_q("analytics_local_supplier_volume", spark))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

@@ -239,3 +239,39 @@ def test_ewma_is_between_min_and_max_of_frame(spark):
         (F.col("ewma") < F.col("lo") - 1e-6) | (F.col("ewma") > F.col("hi") + 1e-6)
     ).count()
     assert bad == 0
+
+
+def test_scd2_intervals_partition_each_key_timeline(spark):
+    """Per key, SCD2 version intervals must chain exactly: sorted by
+    valid_from, each row's valid_to equals the next event's start (or the
+    delete that closed it), intervals never overlap, and at most one row
+    is open. Checked over every key at sf0.001."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from mongodb_mysql_cdc_spark.registry import queries
+
+    hist = queries()["cdc_scd2"](spark, "/root/testdata/sf0.001")
+    w = Window.partitionBy("key").orderBy("valid_from", "seq")
+    chained = hist.select(
+        "key",
+        "valid_from",
+        "valid_to",
+        "is_current",
+        F.lead("valid_from").over(w).alias("next_from"),
+    )
+    # closed intervals end at or before the next version's start (a delete
+    # between them closes earlier); open intervals must be last
+    bad_overlap = chained.where(
+        F.col("valid_to").isNotNull() & F.col("next_from").isNotNull()
+        & (F.col("valid_to") > F.col("next_from"))
+    ).count()
+    assert bad_overlap == 0
+    open_not_last = chained.where(
+        F.col("is_current") & F.col("next_from").isNotNull()
+    ).count()
+    assert open_not_last == 0
+    multi_open = (
+        hist.where("is_current").groupBy("key").count().where("count > 1").count()
+    )
+    assert multi_open == 0
