@@ -666,3 +666,86 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_qty",
     )
+
+
+@register(
+    "fn_explode_outer",
+    oracle="""
+WITH src AS (
+  SELECT p_partkey,
+         CASE WHEN p_size % 5 = 0 THEN []
+              ELSE string_split(p_type, ' ') END AS words
+  FROM part
+)
+SELECT s.p_partkey, t.word, t.pos
+FROM src s
+LEFT JOIN LATERAL (
+  SELECT unnest(s.words) AS word,
+         generate_subscripts(s.words, 1) - 1 AS pos
+) t ON true
+""",
+)
+def fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode_outer null semantics (§2.8 explode family's missing
+    half): rows whose array is EMPTY must survive as a single null row —
+    plain explode silently drops them, which in a curation pipeline means
+    silently losing every document with no extractable field. DuckDB has
+    no outer unnest; the oracle builds it from LEFT JOIN LATERAL, so the
+    check pins the exact null-row contract across two different
+    implementations of the semantics."""
+    p = load(spark, sf_dir, "part")
+    src = p.select(
+        "p_partkey",
+        F.when(F.col("p_size") % 5 == 0, F.array().cast("array<string>"))
+        .otherwise(F.split("p_type", " "))
+        .alias("words"),
+    )
+    return src.select(
+        "p_partkey", F.posexplode_outer("words").alias("pos", "word")
+    ).select("p_partkey", "word", F.col("pos").cast("long").alias("pos"))
+
+
+@register(
+    "fn_array_hof2",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+)
+SELECT vec_id,
+       len(list_filter(e, x -> x > 0.0)) > 0                 AS any_pos,
+       len(list_filter(e, x -> abs(x) < 10.0)) = len(e)      AS all_small,
+       CAST(len(list_filter(e, x -> x > 0.0)) AS BIGINT)     AS n_pos,
+       {sql_round('list_reduce(list_transform(list_zip(e[1:8], e[2:9]), p -> p[1] * p[2]), (a, b) -> a + b)', 6)}
+         AS head_autocorr
+FROM v
+""",
+)
+def fn_array_hof2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second higher-order-function family (§2.8): exists / forall /
+    filter-count / zip_with — the predicates-and-pairing half of the HOF
+    surface (fn_array covered transform/slice/aggregate). zip_with over
+    the shifted head is a lag-1 autocorrelation numerator: the idiom for
+    elementwise window math WITHOUT exploding the array. DuckDB spells
+    exists/forall as list_filter cardinality and zip_with as
+    list_zip+transform — two dialects, one algebra, value-checked."""
+    e = load(spark, sf_dir, "embeddings")
+    v = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    head = F.slice("e", 1, 8)
+    shifted = F.slice("e", 2, 8)
+    return v.select(
+        "vec_id",
+        F.exists("e", lambda x: x > 0.0).alias("any_pos"),
+        F.forall("e", lambda x: F.abs(x) < 10.0).alias("all_small"),
+        F.size(F.filter("e", lambda x: x > 0.0)).cast("long").alias("n_pos"),
+        hround(
+            F.aggregate(
+                F.zip_with(head, shifted, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("head_autocorr"),
+    )
