@@ -215,3 +215,51 @@ def test_scd2_sink_is_bucket_bounded_and_matches_batch(spark, sf_dir):
     want = _rows(scd2_versions(env), cols)
     got = _rows(sink.history(), cols)
     assert got == want
+
+
+def test_checkpoint_restart_resumes_without_reprocessing(spark, sf_dir):
+    """Kill the stream mid-feed and restart from the SAME checkpoint: the
+    WAL must resume at the next unread chunk (no re-delivery of committed
+    batches — their ids reappear only as idempotent no-ops), and the
+    final state must equal the one-shot batch fold. This is the
+    resume-token recovery contract of §3-B, exercised end-to-end through
+    the real foreachBatch sink."""
+    import time
+
+    from mongodb_mysql_cdc_spark.streaming.apply import CdcParquetSink, cdc_apply_batch
+
+    staged = stage_event_chunks(spark, sf_dir, n_chunks=6, dir_prefix="restart")
+    ckpt = tempfile.mkdtemp(prefix="sparkcdc_restart_ckpt_")
+    root = tempfile.mkdtemp(prefix="sparkcdc_restart_state_")
+    sink = CdcParquetSink(spark, root, n_buckets=4)
+    stream = envelopes_from_events(read_event_stream(spark, staged))
+
+    q1 = (
+        stream.writeStream.foreachBatch(sink.apply_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    # stop after ≥2 batches committed, mid-feed
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline and len(sink._load_commits()) < 2:
+        time.sleep(0.2)
+    q1.stop()
+    q1.awaitTermination(60)
+    committed_before = sink._load_commits()
+    assert 2 <= len(committed_before) < 6
+
+    # restart from the same checkpoint: must drain the REMAINING chunks
+    sink2 = CdcParquetSink(spark, root, n_buckets=4)
+    q2 = (
+        stream.writeStream.foreachBatch(sink2.apply_batch)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    run_to_completion(q2)
+    committed_after = sink2._load_commits()
+    assert committed_after >= committed_before
+    assert max(committed_after) == 5  # all 6 chunks (batch ids 0..5) landed
+
+    env = envelopes_from_events(load(spark, sf_dir, "events"))
+    cols = ["key", "last_ts", "last_event_type", "last_value"]
+    assert _rows(sink2.current(), cols) == _rows(cdc_apply_batch(env), cols)
