@@ -90,3 +90,42 @@ def except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = li.filter(F.col("l_returnflag") == "A").select("l_orderkey")
     r = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
     return a.exceptAll(r)
+
+
+@register(
+    "union_schema_evolve",
+    oracle="""
+SELECT o_orderkey AS id, o_totalprice AS amount,
+       o_orderpriority AS priority, CAST(NULL AS VARCHAR) AS segment
+FROM orders WHERE o_orderkey % 100 = 0
+UNION ALL BY NAME
+SELECT c_custkey AS id, c_acctbal AS amount,
+       CAST(NULL AS VARCHAR) AS priority, c_mktsegment AS segment
+FROM customer WHERE c_custkey % 50 = 0
+""",
+)
+def union_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving union (unionByName with allowMissingColumns) — how
+    two producer generations' outputs stack when one added a column: the
+    missing side null-fills BY NAME, never by position (the silent-
+    corruption mode of plain UNION when column orders drift). DuckDB
+    spells the same contract UNION ALL BY NAME. Narrow, no shuffle."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 100 == 0)
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_totalprice").alias("amount"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+    c = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 50 == 0)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.col("c_acctbal").alias("amount"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    return o.unionByName(c, allowMissingColumns=True)
