@@ -8,7 +8,7 @@ against these same functions — closing the parity triangle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mongodb_mysql_cdc_spark.catalog import load
@@ -401,3 +401,45 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = with_watermark(read_event_stream(spark, staged), "1 hour")
     agg = sliding_counts(stream).select("win_start", "win_end", "event_type", "n")
     return drain_to_memory_table(spark, agg, "slide", "complete")
+
+
+@register(
+    "stream_topk",
+    oracle="""
+WITH wc AS (
+  SELECT date_trunc('hour', ts) AS win_start, event_type, count(*) AS n
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT win_start, event_type, n, rnk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY win_start
+                                    ORDER BY n DESC, event_type) AS BIGINT) AS rnk
+  FROM wc
+) WHERE rnk <= 3
+""",
+)
+def stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE windowed heavy hitters: per tumbling hour, the top-3 event
+    types by count. Ranking windows are unsupported INSIDE a streaming
+    aggregation, so the shape is the production one: the stream maintains
+    the windowed counts (complete mode — counts keep updating until the
+    feed ends), and the rank-prune runs as a batch read OVER the drained
+    sink table (in deployment: the serving query over the sink). Same
+    oracle as the equivalent one-shot batch window — stream/batch parity
+    for the composed pipeline, tie-broken on event_type."""
+    from mongodb_mysql_cdc_spark.streaming.replay import (
+        drain_to_memory_table,
+        read_event_stream,
+        stage_event_chunks,
+    )
+    from mongodb_mysql_cdc_spark.streaming.windows import tumbling_counts, with_watermark
+
+    staged = stage_event_chunks(spark, sf_dir, n_chunks=4, dir_prefix="topk")
+    stream = with_watermark(read_event_stream(spark, staged), "1 hour")
+    agg = tumbling_counts(stream).select("win_start", "event_type", "n")
+    counts = drain_to_memory_table(spark, agg, "topkwin", "complete")
+    w = Window.partitionBy("win_start").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+    )
