@@ -645,3 +645,59 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(F.col("m3") / F.pow("m2", F.lit(1.5)), 6).alias("skew_g1"),
         hround(F.col("m4") / F.pow("m2", F.lit(2.0)) - 3.0, 6).alias("excess_kurtosis"),
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle=f"""
+WITH tot AS (
+  SELECT l_returnflag, sum(l_quantity) AS total_w
+  FROM lineitem GROUP BY l_returnflag
+),
+cum AS (
+  SELECT l_returnflag, l_extendedprice,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+                               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_w
+  FROM lineitem
+)
+SELECT c.l_returnflag,
+       {sql_round('min(c.l_extendedprice)')} AS weighted_median_price,
+       {sql_round('any_value(t.total_w)', 1)} AS total_weight
+FROM cum c JOIN tot t USING (l_returnflag)
+WHERE c.cum_w >= t.total_w / 2.0
+GROUP BY c.l_returnflag
+""",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (by quantity) — an aggregate NEITHER engine ships:
+    the smallest price whose cumulative weight crosses half the group
+    total. The RANGE frame (not ROWS) is the correctness subtlety: with
+    duplicate prices a ROWS running sum is order-nondeterministic inside
+    the tie run, while RANGE accumulates every peer at once, so the
+    crossing price is well-defined on both engines. One window + one
+    5-row broadcast join — the same two-pass shape as every robust
+    statistic here."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    tot = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("total_w"))
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(w).alias("cum_w"),
+    )
+    return (
+        cum.join(F.broadcast(tot), "l_returnflag")
+        .where(F.col("cum_w") >= F.col("total_w") / 2.0)
+        .groupBy("l_returnflag")
+        .agg(
+            hround(F.min("l_extendedprice")).alias("weighted_median_price"),
+            hround(F.any_value("total_w"), 1).alias("total_weight"),
+        )
+    )
