@@ -462,3 +462,74 @@ def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_segments"),
         hround(F.sum(F.col("value") * F.col("w")) / F.sum("w"), 6).alias("twap"),
     )
+
+
+@register(
+    "anomaly_cusum",
+    oracle=f"""
+WITH ordered AS (
+  SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+),
+folded AS (
+  -- DuckDB quirk (found by divergence test): list_reduce evaluates the
+  -- result-struct fields SEQUENTIALLY into the accumulator, so a later
+  -- field that re-reads acc.s sees the UPDATED value. The fold is
+  -- therefore written with 'm' first and never re-deriving 's'
+  -- (greatest(acc.m, acc.s + x - k) == greatest(acc.m, s_new) given
+  -- m >= 0 -- the inner max(0,·) is redundant under the running max).
+  SELECT user_id, len(vals) AS n,
+         list_reduce(
+           list_prepend({{'m': 0.0, 's': 0.0}},
+                        list_transform(vals, x -> {{'m': x, 's': x}})),
+           (acc, e) -> {{'m': greatest(acc.m, acc.s + e.s - 55.0),
+                         's': greatest(0.0, acc.s + e.s - 55.0)}}
+         ) AS st
+  FROM ordered
+)
+SELECT user_id, CAST(n AS BIGINT) AS n,
+       {sql_round('st.s', 6)} AS final_cusum,
+       {sql_round('st.m', 6)} AS max_cusum,
+       st.m > 200.0 AS alarmed
+FROM folded
+""",
+)
+def anomaly_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change detection (upward shifts vs reference 55, alarm at
+    200) — the third anomaly family member (zscore: global outliers,
+    MAD: robust outliers, CUSUM: sustained SHIFTS). The recursion
+    S_n = max(0, S_{{n-1}} + x_n - k) is inherently sequential — no
+    window frame expresses it — so it runs as a higher-order fold over
+    each user's time-ordered value list with a (state, running-max)
+    struct accumulator: JVM-side in Spark, list_reduce in DuckDB (which
+    seeds from the first element, hence the prepended zero-state
+    sentinel). Per-user lists are history-bounded; one shuffle."""
+    ev = load(spark, sf_dir, "events")
+    ordered = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id", F.col("value").cast("double").alias("v")).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.transform(F.array_sort(F.collect_list("e")), lambda s: s["v"]).alias("vals")
+        )
+    )
+    fold = F.aggregate(
+        F.col("vals"),
+        F.struct(F.lit(0.0).alias("m"), F.lit(0.0).alias("s")),
+        lambda acc, x: F.struct(
+            F.greatest(acc["m"], acc["s"] + x - 55.0).alias("m"),
+            F.greatest(F.lit(0.0), acc["s"] + x - 55.0).alias("s"),
+        ),
+    )
+    return (
+        ordered.select("user_id", F.size("vals").cast("long").alias("n"), fold.alias("st"))
+        .select(
+            "user_id",
+            "n",
+            hround(F.col("st.s"), 6).alias("final_cusum"),
+            hround(F.col("st.m"), 6).alias("max_cusum"),
+            (F.col("st.m") > 200.0).alias("alarmed"),
+        )
+    )
