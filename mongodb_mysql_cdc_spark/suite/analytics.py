@@ -430,3 +430,49 @@ def analytics_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFra
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+@register(
+    "dq_benford",
+    oracle=f"""
+WITH digits AS (
+  SELECT CAST(floor(o_totalprice / pow(10, floor(log10(o_totalprice)))) AS BIGINT) AS d
+  FROM orders WHERE o_totalprice > 0
+),
+obs AS (
+  SELECT d, count(*) AS n FROM digits GROUP BY d
+),
+tot AS (SELECT sum(n) AS total FROM obs)
+SELECT d,
+       CAST(n AS BIGINT)                                   AS n,
+       {sql_round('n / CAST(total AS DOUBLE)', 6)}         AS observed_p,
+       {sql_round('log10(1.0 + 1.0 / d)', 6)}              AS benford_p,
+       {sql_round('''(n / CAST(total AS DOUBLE) - log10(1.0 + 1.0 / d))
+                     * (n / CAST(total AS DOUBLE) - log10(1.0 + 1.0 / d))
+                     / log10(1.0 + 1.0 / d)''', 8)}        AS chi2_term
+FROM obs CROSS JOIN tot
+""",
+)
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit — the fraud/synthetic-data
+    forensic a DQ pass runs on monetary columns: observed leading-digit
+    frequencies vs log10(1+1/d), with per-digit χ² contributions (the
+    harness's uniform synthetic prices SHOULD flunk Benford — the test is
+    that both engines flunk identically). First digit extracted
+    arithmetically (floor(x/10^floor(log10 x)) — no string round trip),
+    one 9-row aggregate + broadcast total."""
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    d = F.floor(
+        F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("long")
+    obs = o.select(d.alias("d")).groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("total"))
+    obs_p = F.col("n") / F.col("total").cast("double")
+    ben_p = F.log10(1.0 + 1.0 / F.col("d"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "d",
+        F.col("n").cast("long").alias("n"),
+        hround(obs_p, 6).alias("observed_p"),
+        hround(ben_p, 6).alias("benford_p"),
+        hround((obs_p - ben_p) * (obs_p - ben_p) / ben_p, 8).alias("chi2_term"),
+    )
