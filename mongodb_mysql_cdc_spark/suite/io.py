@@ -614,3 +614,50 @@ def maintenance_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "user_id", "event_type", "value")
     )
+
+
+@register(
+    "scan_python_datasource",
+    oracle="""
+SELECT i AS seq,
+       i % 50 AS key,
+       CASE WHEN i % 10 = 0 THEN 'd' WHEN i % 10 = 1 THEN 'c' ELSE 'u' END AS op,
+       (i * 31 % 997) / 10.0 AS value,
+       CAST(to_timestamp(1704067200 + i) AS TIMESTAMP) AS ts
+FROM (SELECT unnest(generate_series(0, 999)) AS i)
+""",
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource API (§2.1's pluggable-connector seam,
+    exercised for real): a registered pure-Python source whose reader
+    fans out over 4 InputPartitions, each generating its oplog slice ON
+    AN EXECUTOR. The oracle regenerates every row from the shared
+    arithmetic formula — so a partition-math bug (dropped/duplicated
+    index ranges) or a type mapping bug in the Python→Arrow bridge is a
+    value diff, not just a row count. This is the template the
+    MongoChangeStreamSource stub upgrades into when a real endpoint
+    exists."""
+    from mongodb_mysql_cdc_spark.sources.pyds import (
+        HAVE_PYDS,
+        make_synthetic_oplog_source,
+    )
+
+    if not HAVE_PYDS:  # pragma: no cover
+        raise RuntimeError("Python DataSource API requires Spark >= 4.0")
+    try:
+        spark.dataSource.register(make_synthetic_oplog_source())
+    except Exception:
+        pass  # already registered in this session — idempotent
+    raw = (
+        spark.read.format("synthetic_oplog")
+        .option("partitions", "4")
+        .option("rows_per_partition", "250")
+        .load()
+    )
+    return raw.select(
+        "seq",
+        "key",
+        "op",
+        "value",
+        F.timestamp_seconds("ts_sec").alias("ts"),
+    )

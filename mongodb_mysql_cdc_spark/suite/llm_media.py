@@ -395,3 +395,51 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak",
         "zero_crossings",
     )
+
+
+@register(
+    "udf_arrow",
+    oracle=f"""
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       {sql_round('list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)', 4)} AS sq_norm,
+       CAST(list_reduce(list_transform(embedding, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END), (a, b) -> a + b) AS BIGINT) AS n_pos
+FROM embeddings
+""",
+)
+def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInArrow tier — the LAST rung of the Python-surface ladder
+    (row UDF < pandas_udf < applyInPandas < mapInPandas < mapInArrow):
+    the kernel receives raw pyarrow RecordBatches with NO pandas
+    conversion, the cheapest possible Python crossing (list-typed columns
+    stay Arrow ListArrays; pandas would box them to object ndarrays).
+    Work: per-vector squared norm + positive count via numpy over the
+    flattened child buffer + offset diffs — zero per-row Python. The
+    oracle recomputes both through DuckDB list HOFs."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column("vec_id")
+            emb = batch.column("embedding")
+            # ListArray internals: one flat child buffer + offsets — the
+            # whole batch reduces with two vectorized numpy passes.
+            flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            offs = np.asarray(emb.offsets)
+            sq = np.add.reduceat(flat * flat, offs[:-1])
+            npos = np.add.reduceat((flat > 0).astype(np.int64), offs[:-1])
+            dims = np.diff(offs).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(dims), pa.array(sq), pa.array(npos)],
+                names=["vec_id", "dim", "sq_norm", "n_pos"],
+            )
+
+    out = e.mapInArrow(
+        kernel, "vec_id long, dim long, sq_norm double, n_pos long"
+    )
+    return out.select(
+        "vec_id", "dim", hround(F.col("sq_norm"), 4).alias("sq_norm"), "n_pos"
+    )
