@@ -76,3 +76,65 @@ def make_synthetic_oplog_source():
             return SyntheticOplogReader(self.options)
 
     return SyntheticOplogDataSource
+
+
+def make_synthetic_oplog_stream_source(total_rows: int = 1000, batch_rows: int = 200):
+    """Streaming twin: a self-contained DataSource whose
+    SimpleDataSourceStreamReader serves the SAME deterministic oplog in
+    offset-tracked micro-batches (read → (rows, nextOffset); Spark
+    checkpoints the offsets — the resume-token contract, again, but
+    through the API a pure-Python connector actually implements). Emits
+    ``batch_rows`` per trigger until ``total_rows``, then reports no new
+    data. Same by-value pickling rule as the batch factory."""
+    from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+    epoch = EPOCH_2024
+
+    class SyntheticOplogStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self.total = int(options.get("total_rows", total_rows))
+            self.batch = int(options.get("batch_rows", batch_rows))
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def _rows(self, lo, hi):
+            # a LIST, not a generator: the runtime pickles the prefetched
+            # rows into its offset cache for readBetweenOffsets replay
+            out = []
+            for seq in range(lo, hi):
+                key = seq % 50
+                if seq % 10 == 0:
+                    op = "d"
+                elif seq % 10 == 1:
+                    op = "c"
+                else:
+                    op = "u"
+                out.append((seq, key, op, (seq * 31 % 997) / 10.0, epoch + seq))
+            return out
+
+        def read(self, start):
+            lo = start["pos"]
+            hi = min(lo + self.batch, self.total)
+            # iter() over a concrete list: the runtime requires an
+            # iterator here but pickles the underlying prefetched rows
+            return iter(self._rows(lo, hi)), {"pos": hi}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(self._rows(start["pos"], end["pos"]))
+
+        def commit(self, end):
+            pass  # offsets live in Spark's checkpoint WAL
+
+    class SyntheticOplogStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthetic_oplog_stream"
+
+        def schema(self):
+            return OPLOG_SCHEMA
+
+        def simpleStreamReader(self, schema):
+            return SyntheticOplogStreamReader(self.options)
+
+    return SyntheticOplogStreamSource

@@ -661,3 +661,48 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.timestamp_seconds("ts_sec").alias("ts"),
     )
+
+
+@register(
+    "stream_python_datasource",
+    oracle="""
+SELECT i AS seq,
+       i % 50 AS key,
+       CASE WHEN i % 10 = 0 THEN 'd' WHEN i % 10 = 1 THEN 'c' ELSE 'u' END AS op,
+       (i * 31 % 997) / 10.0 AS value,
+       CAST(to_timestamp(1704067200 + i) AS TIMESTAMP) AS ts
+FROM (SELECT unnest(generate_series(0, 999)) AS i)
+""",
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING Python DataSource API — the pure-Python connector
+    seam's live half: a SimpleDataSourceStreamReader serves the oplog in
+    offset-tracked micro-batches (read(start) → (rows, nextOffset));
+    Spark's checkpoint WAL owns the offsets, which IS the resume-token
+    mechanism a Mongo change-stream connector implements. Drained through
+    an append-mode memory sink; the oracle regenerates all 1000 rows, so
+    an offset bug (skipped/replayed range at a batch boundary) is a value
+    diff. Pairs with scan_python_datasource exactly as stream_source
+    pairs with snapshot_load."""
+    from mongodb_mysql_cdc_spark.sources.pyds import (
+        HAVE_PYDS,
+        make_synthetic_oplog_stream_source,
+    )
+    from mongodb_mysql_cdc_spark.streaming.replay import drain_to_memory_table
+
+    if not HAVE_PYDS:  # pragma: no cover
+        raise RuntimeError("Python DataSource API requires Spark >= 4.0")
+    try:
+        spark.dataSource.register(make_synthetic_oplog_stream_source())
+    except Exception:
+        pass  # already registered in this session — idempotent
+    raw = (
+        spark.readStream.format("synthetic_oplog_stream")
+        .option("total_rows", "1000")
+        .option("batch_rows", "200")
+        .load()
+    )
+    typed = raw.select(
+        "seq", "key", "op", "value", F.timestamp_seconds("ts_sec").alias("ts")
+    )
+    return drain_to_memory_table(spark, typed, "pydsstream", "append")
