@@ -853,3 +853,61 @@ def cdc_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("seq") - F.min("seq") + 1 - F.count(F.lit(1))).alias("seq_gaps"),
         hround(F.max(gap_us) / 1_000_000.0, 3).alias("max_gap_sec"),
     )
+
+
+@register(
+    "cdc_apply_python_source",
+    oracle="""
+WITH feed AS (
+  SELECT i AS seq, i % 50 AS key,
+         CASE WHEN i % 10 = 0 THEN 'd' WHEN i % 10 = 1 THEN 'c' ELSE 'u' END AS op,
+         (i * 31 % 997) / 10.0 AS value,
+         CAST(to_timestamp(1704067200 + i) AS TIMESTAMP) AS ts
+  FROM (SELECT unnest(generate_series(0, 999)) AS i)
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY key ORDER BY ts DESC, seq DESC) AS rn
+    FROM feed
+  ) WHERE rn = 1
+)
+SELECT key, seq AS last_seq, value AS last_value, ts AS last_ts
+FROM latest WHERE op <> 'd'
+""",
+)
+def cdc_apply_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition that closes the connector loop: the LWW apply fold
+    running over the Python DataSource connector's feed — proof the
+    adapter seam takes a REAL pluggable source end-to-end (swap
+    synthetic_oplog for a Mongo connector class and nothing downstream
+    changes). Every key's final image survives unless its last write is a
+    tombstone; one max_by shuffle, source scan is partition-parallel."""
+    from mongodb_mysql_cdc_spark.sources.pyds import (
+        HAVE_PYDS,
+        make_synthetic_oplog_source,
+    )
+
+    if not HAVE_PYDS:  # pragma: no cover
+        raise RuntimeError("Python DataSource API requires Spark >= 4.0")
+    try:
+        spark.dataSource.register(make_synthetic_oplog_source())
+    except Exception:
+        pass
+    feed = (
+        spark.read.format("synthetic_oplog")
+        .option("partitions", "4")
+        .option("rows_per_partition", "250")
+        .load()
+        .select(
+            "seq", "key", "op", "value", F.timestamp_seconds("ts_sec").alias("ts")
+        )
+    )
+    latest = feed.groupBy("key").agg(
+        F.expr("max_by(struct(op, seq, value, ts), struct(ts, seq))").alias("w")
+    )
+    return latest.filter(F.col("w.op") != "d").select(
+        "key",
+        F.col("w.seq").alias("last_seq"),
+        F.col("w.value").alias("last_value"),
+        F.col("w.ts").alias("last_ts"),
+    )

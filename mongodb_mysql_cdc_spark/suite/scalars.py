@@ -749,3 +749,32 @@ def fn_array_hof2(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("head_autocorr"),
     )
+
+
+@register(
+    "fn_try_safe",
+    oracle="""
+SELECT p_partkey,
+       TRY_CAST(p_type AS INTEGER)                          AS type_as_int,
+       TRY_CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INTEGER) AS brand_num,
+       p_retailprice / nullif(CAST(p_size % 5 AS DOUBLE), 0.0)     AS price_per_bucket,
+       (string_split(p_name, ' '))[20]                      AS word20
+FROM part
+""",
+)
+def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family (§2.8): try_cast / try_divide /
+    try_element_at — NULL instead of job-killing exceptions, which is the
+    difference between one malformed row and a dead 100 TB batch under
+    ANSI mode. DuckDB's natural semantics (TRY_CAST, /0→NULL via nullif,
+    OOB list index→NULL) pin the exact NULL contract."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_type").try_cast("int").alias("type_as_int"),
+        F.regexp_extract("p_brand", "([0-9]+)", 1).try_cast("int").alias("brand_num"),
+        F.try_divide("p_retailprice", (F.col("p_size") % 5).cast("double")).alias(
+            "price_per_bucket"
+        ),
+        F.try_element_at(F.split("p_name", " "), F.lit(20)).alias("word20"),
+    )
