@@ -27,6 +27,7 @@ _MODULES = (
     "subqueries",
     "analytics",
     "timeseries",
+    "modern_sql",
 )
 
 

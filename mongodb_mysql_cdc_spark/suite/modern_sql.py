@@ -1,0 +1,193 @@
+"""Spark 4 modern-SQL surface: recursive CTEs, the VARIANT type, SQL
+UDFs, and collations — the features that separate a Spark-4-native
+engine from a 3.x-era port. Each is checked against DuckDB's equivalent
+construct (recursive CTE) or an inlined-semantics oracle (VARIANT /
+SQL UDF / collation), so the mechanism under test is Spark's, while the
+meaning is pinned cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mongodb_mysql_cdc_spark.catalog import load
+from mongodb_mysql_cdc_spark.functions.compat import hround, sql_round
+from mongodb_mysql_cdc_spark.registry import register
+
+# Synthetic hierarchy over customers: node n's parent is n DIV 2 (a binary
+# tree rooted at 1; node 0 is excluded to keep the tree single-rooted).
+# Both engines build the SAME closure over custkey < 512 (depth ≤ 8).
+_RCTE_SQL = """
+WITH RECURSIVE chain (custkey, root, depth) AS (
+  SELECT c_custkey, c_custkey, 0
+  FROM {customer} WHERE c_custkey = 1
+  UNION ALL
+  SELECT c.c_custkey, chain.root, chain.depth + 1
+  FROM {customer} c
+  JOIN chain ON c.c_custkey / 2 = chain.custkey
+  WHERE c.c_custkey > 1 AND c.c_custkey < 512
+)
+SELECT depth,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(min(custkey) AS BIGINT) AS min_key,
+       CAST(max(custkey) AS BIGINT) AS max_key
+FROM chain
+GROUP BY depth
+"""
+
+
+@register(
+    "sql_recursive_cte",
+    # DuckDB / on integers is FLOAT division — // is its integer form
+    oracle=_RCTE_SQL.format(
+        customer="(SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM customer)"
+    ).replace("c.c_custkey / 2", "c.c_custkey // 2"),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4's recursive CTE support) — transitive
+    closure over a synthetic parent = key DIV 2 hierarchy on customer:
+    per-depth census of the reachable tree. One SQL text, one dialect
+    swap: integer division is DIV in Spark and // in DuckDB (plain / is
+    float division in BOTH, which silently drops odd keys — caught by
+    the hash compare, fixed by the swap). Each recursion step
+    is one self-join against the frontier — on a cluster, the same
+    iterative-join profile as graph_pagerank_iter, but driven by the
+    engine's fixpoint operator instead of a driver loop."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("c_custkey")
+    )
+    c.createOrReplaceTempView("rcte_customer")
+    # Spark's integer / on BIGINT yields DOUBLE; DIV is the exact form.
+    sql = _RCTE_SQL.format(customer="rcte_customer").replace(
+        "c.c_custkey / 2", "c.c_custkey DIV 2"
+    )
+    return spark.sql(sql)
+
+
+@register(
+    "fn_variant",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT)   AS k_typed,
+       json_extract_string(props, '$.k')            AS k_text,
+       CAST(json_extract(props, '$.missing') AS BIGINT) AS absent,
+       CAST(json_valid(props) AS BOOLEAN)           AS parses
+FROM events
+""",
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIANT type (Spark 4's semi-structured column format — the
+    Mongo-document analogue Spark actually ships): parse once into the
+    binary variant encoding, then typed variant_get extraction paths.
+    Functionally equivalent to fn_json's string round trip, but the
+    column STAYS variant-encoded between accesses (one parse, many
+    reads — at 100 TB the difference between a scan-bound and a
+    parse-bound pipeline). Oracle reads the same paths via DuckDB's JSON
+    type."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select("event_id", F.parse_json("props").alias("v"))
+    return v.select(
+        "event_id",
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k_typed"),
+        F.expr("variant_get(v, '$.k', 'string')").alias("k_text"),
+        F.expr("variant_get(v, '$.missing', 'bigint')").alias("absent"),
+        F.expr("v IS NOT NULL").alias("parses"),
+    )
+
+
+@register(
+    "fn_sql_udf",
+    oracle=f"""
+SELECT l_orderkey, l_linenumber,
+       {sql_round('l_extendedprice * (1 - l_discount)')} AS net_price,
+       {sql_round('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS charged,
+       CASE WHEN l_quantity >= 40 THEN 'bulk'
+            WHEN l_quantity >= 15 THEN 'mid' ELSE 'small' END AS qty_band
+FROM lineitem
+""",
+)
+def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UDFs (CREATE FUNCTION ... RETURN expr — Spark 4): the
+    reference's per-row pricing helpers as catalog functions instead of
+    copy-pasted expressions. Because the body is SQL, Catalyst INLINES it
+    — the plan is identical to writing the expression by hand (checked by
+    the oracle, which does exactly that), so abstraction costs zero at
+    any scale — unlike a Python UDF with the same signature."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charged(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d) * (1 + t)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION qty_band(q DOUBLE) RETURNS STRING "
+        "RETURN CASE WHEN q >= 40 THEN 'bulk' WHEN q >= 15 THEN 'mid' ELSE 'small' END"
+    )
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("sqludf_lineitem")
+    return spark.sql(
+        f"""
+SELECT l_orderkey, l_linenumber,
+       {sql_round('net_price(l_extendedprice, l_discount)')} AS net_price,
+       {sql_round('charged(l_extendedprice, l_discount, l_tax)')} AS charged,
+       qty_band(l_quantity) AS qty_band
+FROM sqludf_lineitem
+"""
+    )
+
+
+@register(
+    "fn_collation",
+    oracle="""
+WITH mixed AS (
+  SELECT p_partkey,
+         CASE WHEN p_partkey % 3 = 0 THEN upper(p_brand)
+              WHEN p_partkey % 3 = 1 THEN p_brand
+              ELSE lower(p_brand) END AS brand_mixed
+  FROM part
+)
+SELECT lower(brand_mixed) AS brand_ci,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT brand_mixed) AS BIGINT) AS n_case_variants
+FROM mixed
+GROUP BY lower(brand_mixed)
+""",
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collations): group a mixed-case
+    brand column under UTF8_LCASE so 'BRAND#12' / 'Brand#12' / 'brand#12'
+    collapse WITHOUT rewriting the data through lower() — the collation
+    travels with the type, and comparisons/aggregations anywhere
+    downstream inherit it (at scale: no double-materialized case-folded
+    copy of every string column). The oracle pins the semantics with
+    explicit lower(); the output key is case-folded on both sides so the
+    hash compare sees identical bytes."""
+    p = load(spark, sf_dir, "part")
+    mixed = p.select(
+        "p_partkey",
+        F.when(F.col("p_partkey") % 3 == 0, F.upper("p_brand"))
+        .when(F.col("p_partkey") % 3 == 1, F.col("p_brand"))
+        .otherwise(F.lower("p_brand"))
+        .alias("brand_mixed"),
+    )
+    ci = mixed.select(
+        F.expr("brand_mixed COLLATE UTF8_LCASE").alias("brand_ci"),
+        F.col("brand_mixed"),
+    )
+    return (
+        ci.groupBy("brand_ci")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.expr("brand_mixed COLLATE UTF8_BINARY")).alias(
+                "n_case_variants"
+            ),
+        )
+        .select(
+            F.lower(F.col("brand_ci").cast("string")).alias("brand_ci"),
+            "n",
+            "n_case_variants",
+        )
+    )
