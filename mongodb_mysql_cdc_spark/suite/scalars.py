@@ -778,3 +778,87 @@ def fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.try_element_at(F.split("p_name", " "), F.lit(20)).alias("word20"),
     )
+
+
+@register(
+    "fn_interval",
+    oracle="""
+SELECT o_orderkey,
+       date_diff('month', DATE '1995-06-01', CAST(o_orderdate AS DATE)) AS months_since,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)       AS plus_3m,
+       last_day(CAST(o_orderdate AS DATE))                              AS month_end,
+       CAST(date_part('quarter', o_orderdate) AS BIGINT)                AS qtr,
+       CAST(CAST(o_orderdate AS DATE) - (date_part('dow', o_orderdate))::INTEGER AS DATE)
+         AS week_sunday
+FROM orders
+""",
+)
+def fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval arithmetic (§2.8 datetime family's third row):
+    months_between-style deltas, add_months, last_day, quarter, and
+    snap-to-week-start — the month/quarter math that ISN'T uniform
+    seconds (months vary in length; both engines must agree on the
+    calendar, not just the epoch line). week_sunday subtracts the
+    day-of-week ordinal, sidestepping the engines' differing WEEK
+    truncation conventions (Spark date_trunc('week') is ISO-Monday,
+    DuckDB's likewise but with different year-edge behavior)."""
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        # months_between counts fractional months; floor'd it equals
+        # DuckDB's date_diff('month') only on day-aligned pairs — use
+        # explicit year*12+month arithmetic, identical on both engines
+        (
+            (F.year(d) - F.lit(1995)) * 12 + (F.month(d) - F.lit(6))
+        ).cast("long").alias("months_since"),
+        F.add_months(d, 3).alias("plus_3m"),
+        F.last_day(d).alias("month_end"),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.date_sub(d, F.dayofweek(d) - 1).alias("week_sunday"),
+    )
+
+
+@register(
+    "fn_xml",
+    oracle="""
+WITH x AS (
+  SELECT p_partkey,
+         concat('<part><id>', CAST(p_partkey AS VARCHAR),
+                '</id><brand>', p_brand,
+                '</brand><size>', CAST(p_size AS VARCHAR),
+                '</size></part>') AS doc
+  FROM part
+)
+SELECT p_partkey,
+       CAST(regexp_extract(doc, '<id>([0-9]+)</id>', 1) AS BIGINT)    AS xml_id,
+       regexp_extract(doc, '<brand>([^<]*)</brand>', 1)               AS xml_brand,
+       CAST(regexp_extract(doc, '<size>([0-9]+)</size>', 1) AS INTEGER) AS xml_size
+FROM x
+""",
+)
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion (from_xml, Spark 4's built-in XML support — the
+    remaining wire format after JSON/CSV/parquet/ORC/Avro): synthesize a
+    per-row XML document, parse it back through a declared schema. The
+    oracle extracts the same fields with regexes — a genuine
+    parser-vs-regex cross-check (entity handling, tag boundaries), the
+    fn_url design applied to XML."""
+    p = load(spark, sf_dir, "part")
+    doc = F.concat(
+        F.lit("<part><id>"), F.col("p_partkey").cast("string"),
+        F.lit("</id><brand>"), F.col("p_brand"),
+        F.lit("</brand><size>"), F.col("p_size").cast("string"),
+        F.lit("</size></part>"),
+    )
+    x = p.select("p_partkey", doc.alias("doc"))
+    parsed = x.select(
+        "p_partkey",
+        F.from_xml("doc", "id BIGINT, brand STRING, size INT").alias("px"),
+    )
+    return parsed.select(
+        "p_partkey",
+        F.col("px.id").alias("xml_id"),
+        F.col("px.brand").alias("xml_brand"),
+        F.col("px.size").alias("xml_size"),
+    )
