@@ -222,3 +222,13 @@ def test_local_supplier_volume_broadcasts_world_dims(spark):
     plan = explain_str(_q("analytics_local_supplier_volume", spark))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_sql_udf_is_inlined_not_python(spark):
+    """CREATE FUNCTION ... RETURN expr must inline into codegen'd
+    expressions — any Python-eval node would mean the 'zero-cost
+    abstraction' claim is false."""
+    plan = explain_str(_q("fn_sql_udf", spark))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # formatted mode marks codegen stages with a leading '*'
+    assert "* Project" in plan
