@@ -86,13 +86,12 @@ _DRIVER_WINDOW = [
     "stream_session_stateful",
 ]
 
-# Queued for the round-5 window (registered after this round's 50 slots
-# filled; each is strict-checker green, driver-unseen): agg_moments,
-# win_rolling_median, event_seq_pattern, multimodal_phash,
-# multimodal_audio_features, scan_json_corrupt, embedding_pca_project,
-# dedup_chunk_sig, cdc_snapshot_handoff, ts_calendar_profile, ts_twap,
-# fn_string3, agg_grouping_id, cdc_scd2_stream, cdc_order_audit,
-# analytics_shipping_priority, analytics_local_supplier_volume.
+# Queued for the round-5 window: EVERY query registered after this
+# round's 50 slots filled (driver-unseen, each strict-checker green) —
+# enumerate them with `python tools/coverage_report.py` (rows whose
+# driver_green_round is empty and in_current_window is false). As of
+# end-of-round-4 that is 34 queries: the wave 2-12 additions from
+# agg_moments through fn_xml (see README coverage rows r4 wave 2+).
 
 
 def _window_order(names: dict[str, QueryFn] | dict[str, str]) -> list[str]:
