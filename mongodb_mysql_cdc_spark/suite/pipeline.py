@@ -401,3 +401,118 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
     )
     return d.select("doc_id", "lang", "source", split.alias("split"))
+
+
+@register(
+    "corpus_prepare_e2e",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, lang, text, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+-- stage 1: exact dedup (min-doc_id survivor per content hash)
+hashed AS (
+  SELECT *, md5(text) AS h FROM toks
+),
+survivors AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+    FROM hashed
+  ) WHERE rn = 1
+),
+-- stage 2: quality gate (token count)
+quality AS (
+  SELECT * FROM survivors WHERE len(t) >= 20
+),
+-- stage 3: decontamination (drop docs sharing any 5-gram with doc_id<25)
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(t) - 4, 0)),
+    i -> array_to_string(t[i:i+4], ' '))) AS sh
+  FROM toks
+),
+bench AS (
+  SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id < 25
+),
+contaminated AS (
+  SELECT DISTINCT s.doc_id
+  FROM sh s, unnest(s.sh) AS u(g)
+  JOIN bench b ON b.g = u.g
+  WHERE s.doc_id >= 25
+),
+clean AS (
+  SELECT q.* FROM quality q
+  WHERE q.doc_id >= 25 AND q.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+-- stage 4: greedy packing into 1024-token bins per lang
+packed AS (
+  SELECT doc_id, lang, len(t) AS n_tokens,
+         CAST((sum(len(t)) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - len(t)) // 1024 AS BIGINT) AS bin_id
+  FROM clean
+)
+SELECT lang, bin_id,
+       CAST(count(*) AS BIGINT)      AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+       CAST(min(doc_id) AS BIGINT)   AS first_doc
+FROM packed
+GROUP BY lang, bin_id
+""",
+)
+def corpus_prepare_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CAPSTONE composition: the full training-data preparation
+    pipeline as ONE dataflow — exact dedup (min-id survivor) → quality
+    gate (≥20 tokens) → benchmark decontamination (5-gram overlap vs the
+    doc_id<25 eval stand-in, broadcast anti-join) → greedy 1024-token
+    packing per language → per-bin census. Every stage is the registry's
+    standalone operator re-composed (same constants, same algebra), so
+    this query certifies the stages COMPOSE: one tokenize feeds dedup,
+    decon, and packing without re-scanning, the only corpus shuffles are
+    the dedup hash and the final lang window, and the benchmark side
+    stays broadcast. The oracle mirrors all four stages as chained CTEs
+    — a wrong interaction anywhere (e.g. packing before dedup) flips the
+    hash."""
+    d = load(spark, sf_dir, "documents")
+    tok_df = d.select(
+        "doc_id", "lang", "text", X.tokens(F.col("text")).alias("t")
+    ).repartition(F.col("doc_id"))
+    w_dup = Window.partitionBy("h").orderBy("doc_id")
+    survivors = (
+        tok_df.withColumn("h", F.md5("text"))
+        .withColumn("rn", F.row_number().over(w_dup))
+        .filter(F.col("rn") == 1)
+    )
+    quality = survivors.filter(F.size("t") >= 20)
+    sh = tok_df.select(
+        "doc_id",
+        F.array_distinct(X.word_shingles(F.col("t"), _DECON_N)).alias("sh"),
+    )
+    bench = (
+        sh.filter(F.col("doc_id") < _BENCH_MAX_ID)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    contaminated = (
+        sh.filter(F.col("doc_id") >= _BENCH_MAX_ID)
+        .select("doc_id", F.explode("sh").alias("g"))
+        .join(F.broadcast(bench), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = quality.filter(F.col("doc_id") >= _BENCH_MAX_ID).join(
+        contaminated, "doc_id", "left_anti"
+    )
+    counted = clean.select("doc_id", "lang", F.size("t").cast("long").alias("n_tokens"))
+    w_pack = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w_pack) - F.col("n_tokens")
+    packed = counted.withColumn("bin_id", F.floor(start / 1024).cast("long"))
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
