@@ -263,7 +263,9 @@ def test_aqe_splits_skewed_join_partitions(spark):
             F.col("id").alias("k"), (F.col("id") * 2).alias("v")
         )
         j = left.join(right, "k")
-        assert j.count() == 200_000
+        # collect() (not count()) — the final AQE plan materializes on
+        # THIS dataframe's execution, and count() builds a different one
+        assert len(j.collect()) == 200_000
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert "skew=true" in plan, plan
         assert "skewed" in plan, plan
