@@ -275,3 +275,45 @@ def test_scd2_intervals_partition_each_key_timeline(spark):
         hist.where("is_current").groupBy("key").count().where("count > 1").count()
     )
     assert multi_open == 0
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+@given(bag=envelope_bags())
+def test_fold_differential_vs_duckdb(spark, bag):
+    """DIFFERENTIAL fuzzing: the LWW fold on hypothesis-generated
+    envelope bags must match an independent DuckDB implementation
+    (row_number over (ts DESC, seq DESC)) — the strict checker's
+    cross-engine compare, but over adversarial generated data (colliding
+    timestamps, delete-only keys, single-row bags) instead of the fixed
+    harness tables."""
+    import duckdb
+    import pandas as pd
+
+    rows, _ = bag
+    df = spark.createDataFrame(rows, ENV_FIELDS)
+    got = sorted(
+        (r.key, r.ts, r.value)
+        for r in cdc_apply_batch(df)
+        .select("key", F.col("last_ts").alias("ts"), F.col("last_value").alias("value"))
+        .collect()
+    )
+    flat = pd.DataFrame(
+        [(k, op, ts, seq, a[1]) for (k, op, ts, seq, a) in rows],
+        columns=["key", "op", "ts", "seq", "value"],
+    )
+    con = duckdb.connect()
+    con.register("env", flat)
+    want = sorted(
+        (k, ts, v)
+        for (k, ts, v) in con.sql(
+            """
+            SELECT key, ts, value FROM (
+              SELECT *, row_number() OVER (PARTITION BY key
+                                           ORDER BY ts DESC, seq DESC) AS rn
+              FROM env
+            ) WHERE rn = 1 AND op <> 'd'
+            """
+        ).fetchall()
+    )
+    assert got == want
