@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mongodb_mysql_cdc_spark.catalog import SCHEMAS, load
+from mongodb_mysql_cdc_spark.functions.compat import hround, sql_round
 from mongodb_mysql_cdc_spark.registry import register
 
 
@@ -706,3 +707,48 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seq", "key", "op", "value", F.timestamp_seconds("ts_sec").alias("ts")
     )
     return drain_to_memory_table(spark, typed, "pydsstream", "append")
+
+
+@register(
+    "scan_observe_metrics",
+    oracle=f"""
+SELECT CAST(count(*) AS BIGINT)                 AS n_rows,
+       {sql_round('sum(o_totalprice)')}          AS total_revenue,
+       CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_filled,
+       {sql_round('avg(o_totalprice)', 4)}       AS avg_price
+FROM orders
+""",
+)
+def scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Observation API (df.observe) — pipeline telemetry computed ON
+    THE SAME PASS as the real work, not a second scan: production jobs
+    attach row-count/revenue/filter-hit metrics to the scan and read them
+    from the listener after the action. Here the observed values are
+    re-emitted as a 1-row DataFrame so the oracle (an independent
+    aggregation) verifies the observation channel end-to-end — if
+    observe() dropped or double-counted rows under task retries, the
+    hash would flip."""
+    from pyspark.sql import Observation
+
+    o = load(spark, sf_dir, "orders")
+    obs = Observation("orders_scan")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_totalprice").alias("total_revenue"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_filled"),
+        F.avg("o_totalprice").alias("avg_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the action
+    m = obs.get
+    row = [(int(m["n_rows"]), float(m["total_revenue"]), int(m["n_filled"]),
+            float(m["avg_price"]))]
+    out = spark.createDataFrame(
+        row, "n_rows long, total_revenue double, n_filled long, avg_price double"
+    )
+    return out.select(
+        "n_rows",
+        hround(F.col("total_revenue")).alias("total_revenue"),
+        "n_filled",
+        hround(F.col("avg_price"), 4).alias("avg_price"),
+    )
