@@ -713,3 +713,92 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.crossJoin(F.broadcast(vec)).select(
         "vec_id", hround(proj, 4).alias("pc1_score")
     )
+
+
+_LR_D = 8       # leading dims, matching the PCA exhibit
+_LR_RATE = 0.5  # gradient step size
+_LR_STEPS = 3
+
+
+def _logreg_oracle() -> str:
+    """Generated CTE chain mirroring the Spark dataflow exactly: each
+    gradient step is one full-corpus aggregate of sigmoid residuals
+    against the broadcast coefficient row, starting from w=0. Same
+    ascending-dim sum order both sides; 4dp rounding on the emitted
+    scores absorbs libm sigmoid ulps."""
+    d = _LR_D
+    feats = ", ".join(
+        f"CAST(embedding[{i + 1}] AS DOUBLE) AS x{i}" for i in range(d)
+    )
+    ctes = [
+        f"data AS (SELECT vec_id, {feats},"
+        " CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END AS y FROM embeddings)",
+        "w0 AS (SELECT " + ", ".join(f"0.0 AS w{i}" for i in range(d)) + ")",
+    ]
+    for s in range(1, _LR_STEPS + 1):
+        dot = " + ".join(f"w.w{i} * d.x{i}" for i in range(d))
+        grads = ", ".join(
+            f"any_value(w.w{i}) - {_LR_RATE} * avg((1.0 / (1.0 + exp(-({dot}))) - d.y) * d.x{i}) AS w{i}"
+            for i in range(d)
+        )
+        ctes.append(f"w{s} AS (SELECT {grads} FROM data d CROSS JOIN w{s - 1} w)")
+    dot_final = " + ".join(f"w.w{i} * d.x{i}" for i in range(d))
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT d.vec_id, d.y,
+       CAST(floor((1.0 / (1.0 + exp(-({dot_final})))) * 1e4 + 0.5) / 1e4 AS DOUBLE) AS p_hat
+FROM data d CROSS JOIN w{_LR_STEPS} w
+"""
+    )
+
+
+@register("ml_logreg_gd", oracle=_logreg_oracle())
+def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression trained by 3 full-batch gradient steps with
+    the WHOLE training loop inside the declarative plan (the PCA power-
+    iteration pattern applied to supervised learning): each step is one
+    corpus aggregate of sigmoid residual gradients against the 1-row
+    broadcast coefficient frame, and the next step's coefficients are
+    that aggregate's columns — no collect, no mllib, nothing the oracle
+    can't mirror CTE-for-CTE. At 100 TB each step is exactly one
+    map-side-combined scan (the textbook distributed-GD cost), and the
+    coefficient state is 8 doubles. Scores are emitted for every vector
+    (the judge of convergence is the oracle's identical chain)."""
+    d = _LR_D
+    e = load(spark, sf_dir, "embeddings")
+    data = e.select(
+        "vec_id",
+        *[F.col("embedding").getItem(i).cast("double").alias(f"x{i}") for i in range(d)],
+        F.when(F.col("label") == 1, 1.0).otherwise(0.0).alias("y"),
+    )
+    w = None  # 1-row coefficient frame; None means all-zero start
+    for _ in range(_LR_STEPS):
+        if w is None:
+            dot = F.lit(0.0)
+            joined = data
+        else:
+            joined = data.crossJoin(F.broadcast(w))
+            dot = sum(
+                [F.col(f"w{i}") * F.col(f"x{i}") for i in range(1, d)],
+                F.col("w0") * F.col("x0"),
+            )
+        resid = 1.0 / (1.0 + F.exp(-dot)) - F.col("y")
+        grads = [
+            F.avg(resid * F.col(f"x{i}")).alias(f"g{i}") for i in range(d)
+        ]
+        g = joined.agg(*grads)
+        if w is None:
+            w = g.select(*[(F.lit(0.0) - _LR_RATE * F.col(f"g{i}")).alias(f"w{i}") for i in range(d)])
+        else:
+            w = g.crossJoin(F.broadcast(w)).select(
+                *[(F.col(f"w{i}") - _LR_RATE * F.col(f"g{i}")).alias(f"w{i}") for i in range(d)]
+            )
+    dot_final = sum(
+        [F.col(f"w{i}") * F.col(f"x{i}") for i in range(1, d)],
+        F.col("w0") * F.col("x0"),
+    )
+    return data.crossJoin(F.broadcast(w)).select(
+        "vec_id",
+        "y",
+        hround(1.0 / (1.0 + F.exp(-dot_final)), 4).alias("p_hat"),
+    )
