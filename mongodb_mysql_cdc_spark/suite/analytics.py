@@ -10,7 +10,7 @@ stream, no driver collection.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mongodb_mysql_cdc_spark.catalog import load
@@ -475,4 +475,80 @@ def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(obs_p, 6).alias("observed_p"),
         hround(ben_p, 6).alias("benford_p"),
         hround((obs_p - ben_p) * (obs_p - ben_p) / ben_p, 8).alias("chi2_term"),
+    )
+
+
+@register(
+    "analytics_rfm",
+    oracle=f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_orderdate)             AS last_order,
+         count(*)                     AS frequency,
+         sum(o_totalprice)            AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, last_order, frequency, monetary,
+         ntile(5) OVER (ORDER BY last_order, o_custkey) AS r_score,
+         ntile(5) OVER (ORDER BY frequency, o_custkey)  AS f_score,
+         ntile(5) OVER (ORDER BY monetary, o_custkey)   AS m_score
+  FROM per_cust
+)
+SELECT o_custkey,
+       CAST(frequency AS BIGINT)       AS frequency,
+       {sql_round('monetary')}         AS monetary,
+       CAST(r_score AS BIGINT)         AS r_score,
+       CAST(f_score AS BIGINT)         AS f_score,
+       CAST(m_score AS BIGINT)         AS m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champion'
+            WHEN r_score >= 4 AND f_score >= 3                 THEN 'loyal'
+            WHEN r_score <= 2 AND m_score >= 4                 THEN 'at_risk_big'
+            WHEN r_score <= 2                                  THEN 'hibernating'
+            ELSE 'regular' END AS segment
+FROM scored
+""",
+)
+def analytics_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quintiles + rule
+    bands) — the canonical warehouse customer-value query over the
+    replicated orders table. One per-customer aggregate, then three
+    ntile windows over the |customers|-sized frame (unique-key
+    tie-breaks keep quintile edges deterministic cross-engine), then a
+    pure CASE banding. The global ntile windows are single-partition by
+    definition — at 100 TB you shard the quintiles per region/market
+    (the same query with a partitionBy) rather than ranking the planet
+    in one ordering."""
+    o = load(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    wr = Window.orderBy("last_order", "o_custkey")
+    wf = Window.orderBy("frequency", "o_custkey")
+    wm = Window.orderBy("monetary", "o_custkey")
+    scored = per.select(
+        "o_custkey",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(wr).alias("r_score"),
+        F.ntile(5).over(wf).alias("f_score"),
+        F.ntile(5).over(wm).alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4), "champion")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 3), "loyal")
+        .when((F.col("r_score") <= 2) & (F.col("m_score") >= 4), "at_risk_big")
+        .when(F.col("r_score") <= 2, "hibernating")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "o_custkey",
+        F.col("frequency").cast("long").alias("frequency"),
+        hround(F.col("monetary")).alias("monetary"),
+        F.col("r_score").cast("long").alias("r_score"),
+        F.col("f_score").cast("long").alias("f_score"),
+        F.col("m_score").cast("long").alias("m_score"),
+        seg.alias("segment"),
     )

@@ -862,3 +862,50 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("px.brand").alias("xml_brand"),
         F.col("px.size").alias("xml_size"),
     )
+
+
+@register(
+    "fn_haversine",
+    oracle=f"""
+WITH pts AS (
+  SELECT s_suppkey,
+         (s_nationkey * 7.3) - 80.0   AS lat,
+         (s_suppkey % 360) - 180.0    AS lon
+  FROM supplier
+)
+SELECT s_suppkey,
+       {sql_round('lat', 4)} AS lat,
+       {sql_round('lon', 4)} AS lon,
+       {sql_round('''2 * 6371.0 * asin(sqrt(
+           pow(sin(radians(lat - 48.8566) / 2), 2)
+           + cos(radians(48.8566)) * cos(radians(lat))
+             * pow(sin(radians(lon - 2.3522) / 2), 2)))''', 3)} AS km_to_paris
+FROM pts
+""",
+)
+def fn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle (haversine) distance — the geo primitive for
+    proximity filters and geo-bucketed joins, composed from pure trig
+    built-ins (radians/sin/cos/asin/sqrt — all codegen'd, no UDF, no geo
+    library). Coordinates are synthesized deterministically from supplier
+    keys; distances to a fixed anchor are rounded to 3dp (trig libm ulps)
+    and checked against DuckDB's identical formula."""
+    s = load(spark, sf_dir, "supplier")
+    lat = (F.col("s_nationkey") * 7.3) - 80.0
+    lon = (F.col("s_suppkey") % 360) - 180.0
+    p = s.select("s_suppkey", lat.alias("lat"), lon.alias("lon"))
+    alat, alon = 48.8566, 2.3522  # the fixed anchor (Paris)
+    km = 2 * 6371.0 * F.asin(
+        F.sqrt(
+            F.pow(F.sin(F.radians(F.col("lat") - alat) / 2), 2)
+            + F.cos(F.radians(F.lit(alat)))
+            * F.cos(F.radians(F.col("lat")))
+            * F.pow(F.sin(F.radians(F.col("lon") - alon) / 2), 2)
+        )
+    )
+    return p.select(
+        "s_suppkey",
+        hround(F.col("lat"), 4).alias("lat"),
+        hround(F.col("lon"), 4).alias("lon"),
+        hround(km, 3).alias("km_to_paris"),
+    )
