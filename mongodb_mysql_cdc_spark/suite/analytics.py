@@ -552,3 +552,76 @@ def analytics_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m_score").cast("long").alias("m_score"),
         seg.alias("segment"),
     )
+
+
+@register(
+    "analytics_market_basket",
+    oracle=f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey % 200 AS item
+  FROM lineitem
+),
+n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM baskets),
+item_supp AS (
+  SELECT item, count(*) AS c FROM baskets GROUP BY item
+),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS c_ab
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+  GROUP BY a.item, b.item
+  HAVING count(*) >= 3
+)
+SELECT p.item_a, p.item_b, CAST(p.c_ab AS BIGINT) AS c_ab,
+       {sql_round('p.c_ab / CAST(n.n AS DOUBLE)', 6)}            AS support,
+       {sql_round('p.c_ab / CAST(sa.c AS DOUBLE)', 6)}           AS confidence,
+       {sql_round('(p.c_ab * CAST(n.n AS DOUBLE)) / (sa.c * CAST(sb.c AS DOUBLE))', 6)} AS lift
+FROM pairs p
+JOIN item_supp sa ON sa.item = p.item_a
+JOIN item_supp sb ON sb.item = p.item_b
+CROSS JOIN n_orders n
+""",
+)
+def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (support / confidence / lift over
+    within-order item pairs) — the classic co-occurrence miner. Scale
+    discipline mirrors the dedup family: items are bucketed (mod-200
+    catalog groups), pairs come from an ORDER-KEYED equi-self-join
+    (baskets are order-bounded, so the blow-up is per-basket-squared,
+    never catalog-squared), the pair head is support-thresholded, and
+    the item-support joins are broadcast (catalog-bounded). Lift > 1 =
+    genuinely associated, not just popular."""
+    li = load(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        "l_orderkey", (F.col("l_partkey") % 200).alias("item")
+    ).distinct().repartition(F.col("l_orderkey"))
+    n_orders = baskets.agg(F.count_distinct("l_orderkey").alias("n"))
+    item_supp = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    a = baskets.select("l_orderkey", F.col("item").alias("item_a"))
+    b = baskets.select("l_orderkey", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 3)
+    )
+    sa = item_supp.select(F.col("item").alias("item_a"), F.col("c").alias("c_a"))
+    sb = item_supp.select(F.col("item").alias("item_b"), F.col("c").alias("c_b"))
+    return (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("c_ab").cast("long").alias("c_ab"),
+            hround(F.col("c_ab") / F.col("n").cast("double"), 6).alias("support"),
+            hround(F.col("c_ab") / F.col("c_a").cast("double"), 6).alias("confidence"),
+            hround(
+                (F.col("c_ab") * F.col("n").cast("double"))
+                / (F.col("c_a") * F.col("c_b").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
