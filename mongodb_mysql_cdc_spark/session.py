@@ -57,6 +57,8 @@ def tune_for_harness(spark: SparkSession) -> SparkSession:
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         # events.ts is parquet TIMESTAMP(NANOS) — read as long, see catalog.load
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        # custom Python DataSource filter pushdown (scan_python_datasource_pushdown)
+        ("spark.sql.python.filterPushdown.enabled", "true"),
     ):
         try:
             spark.conf.set(k, v)

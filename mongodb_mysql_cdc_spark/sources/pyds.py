@@ -138,3 +138,76 @@ def make_synthetic_oplog_stream_source(total_rows: int = 1000, batch_rows: int =
             return SyntheticOplogStreamReader(self.options)
 
     return SyntheticOplogStreamSource
+
+
+def make_pushdown_oplog_source():
+    """Batch source with FILTER PUSHDOWN (DataSourceReader.pushFilters,
+    Spark 4.1): seq-range predicates are accepted, recorded, and used to
+    PRUNE input partitions before any row is generated — the custom-
+    connector equivalent of parquet row-group skipping. Unsupported
+    filters are returned to Spark for post-scan evaluation, so semantics
+    never depend on what the source happens to handle. Same by-value
+    pickling rule as the other factories."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        GreaterThanOrEqual,
+        InputPartition,
+        LessThan,
+    )
+
+    epoch = EPOCH_2024
+
+    class PushdownOplogReader(DataSourceReader):
+        def __init__(self, options):
+            self.n_parts = int(options.get("partitions", 4))
+            self.rows_per_part = int(options.get("rows_per_partition", 250))
+            self.seq_lo = 0
+            self.seq_hi = self.n_parts * self.rows_per_part
+
+        def pushFilters(self, filters):
+            for f in filters:
+                if isinstance(f, GreaterThanOrEqual) and f.attribute == ("seq",):
+                    self.seq_lo = max(self.seq_lo, int(f.value))
+                elif isinstance(f, LessThan) and f.attribute == ("seq",):
+                    self.seq_hi = min(self.seq_hi, int(f.value))
+                else:
+                    yield f  # unhandled → Spark evaluates it post-scan
+
+        def partitions(self):
+            # prune whole partitions whose seq range misses the bounds
+            parts = []
+            for i in range(self.n_parts):
+                lo, hi = i * self.rows_per_part, (i + 1) * self.rows_per_part
+                if hi > self.seq_lo and lo < self.seq_hi:
+                    parts.append(InputPartition((i, self.seq_lo, self.seq_hi)))
+            return parts or [InputPartition((0, 0, 0))]  # empty scan
+
+        def read(self, partition):
+            i, seq_lo, seq_hi = partition.value
+            base = i * self.rows_per_part
+            for j in range(self.rows_per_part):
+                seq = base + j
+                if not (seq_lo <= seq < seq_hi):
+                    continue  # residual within the surviving partition
+                key = seq % 50
+                if seq % 10 == 0:
+                    op = "d"
+                elif seq % 10 == 1:
+                    op = "c"
+                else:
+                    op = "u"
+                yield (seq, key, op, (seq * 31 % 997) / 10.0, epoch + seq)
+
+    class PushdownOplogDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthetic_oplog_pushdown"
+
+        def schema(self):
+            return OPLOG_SCHEMA
+
+        def reader(self, schema):
+            return PushdownOplogReader(self.options)
+
+    return PushdownOplogDataSource

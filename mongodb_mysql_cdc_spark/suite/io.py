@@ -752,3 +752,48 @@ def scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_filled",
         hround(F.col("avg_price"), 4).alias("avg_price"),
     )
+
+
+@register(
+    "scan_python_datasource_pushdown",
+    oracle="""
+SELECT i AS seq,
+       i % 50 AS key,
+       CASE WHEN i % 10 = 0 THEN 'd' WHEN i % 10 = 1 THEN 'c' ELSE 'u' END AS op,
+       (i * 31 % 997) / 10.0 AS value
+FROM (SELECT unnest(generate_series(0, 999)) AS i)
+WHERE i >= 380 AND i < 640 AND i % 10 <> 0
+""",
+)
+def scan_python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter pushdown through the Python DataSource API: the seq-range
+    predicate reaches the reader (pushFilters), which PRUNES partitions
+    1 and 4 of 4 entirely and applies the residual range inside the
+    survivors — connector-side data skipping, the custom-source
+    equivalent of parquet row-group stats. The op<>'d' predicate is
+    deliberately NOT handled by the source (returned to Spark), proving
+    mixed handled/unhandled filter sets stay correct. The oracle applies
+    both predicates to the regenerated feed. A pytest asserts the
+    partition count actually shrank."""
+    from mongodb_mysql_cdc_spark.sources.pyds import (
+        HAVE_PYDS,
+        make_pushdown_oplog_source,
+    )
+
+    if not HAVE_PYDS:  # pragma: no cover
+        raise RuntimeError("Python DataSource API requires Spark >= 4.0")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(make_pushdown_oplog_source())
+    except Exception:
+        pass
+    raw = (
+        spark.read.format("synthetic_oplog_pushdown")
+        .option("partitions", "4")
+        .option("rows_per_partition", "250")
+        .load()
+    )
+    return (
+        raw.where((F.col("seq") >= 380) & (F.col("seq") < 640) & (F.col("op") != "d"))
+        .select("seq", "key", "op", "value")
+    )

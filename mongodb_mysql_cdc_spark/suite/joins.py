@@ -539,3 +539,72 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("delta_sec"),
     )
+
+
+@register(
+    "join_temporal_scd2",
+    oracle=f"""
+WITH env AS (
+  SELECT user_id AS key, ts, event_id AS seq,
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+         value
+  FROM events
+),
+hist AS (
+  SELECT key, ts AS valid_from, seq, value,
+         lead(ts) OVER (PARTITION BY key ORDER BY ts, seq) AS valid_to
+  FROM env
+),
+versions AS (
+  SELECT * FROM hist WHERE NOT EXISTS (SELECT 1 FROM env e
+    WHERE e.key = hist.key AND e.ts = hist.valid_from AND e.seq = hist.seq AND e.op = 'd')
+),
+clicks AS (
+  SELECT user_id AS key, event_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.key, c.event_id, c.ts,
+       v.seq AS state_seq,
+       {sql_round('v.value', 4)} AS state_value
+FROM clicks c
+JOIN versions v
+  ON v.key = c.key
+ AND v.valid_from <= c.ts
+ AND (v.valid_to IS NULL OR c.ts < v.valid_to)
+ AND NOT (v.valid_from = c.ts AND v.seq > c.event_id)
+""",
+)
+def join_temporal_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (point-in-time) join against the SCD2 history: enrich
+    each click with the state VERSION that was valid at click time —
+    the query pattern that justifies keeping history next to current
+    state (auditing "what did we believe about the user when they
+    clicked"). Because SCD2 intervals partition each key's timeline,
+    the interval predicate rides an EQUI-join on key (hash join + a
+    residual range filter — never a band/cartesian): per key the
+    intervals are disjoint, so each click matches ≤1 version. Boundary
+    ties (a state change and a click at the same micro-second) resolve
+    by transport order: the version only covers the click if it was
+    sequenced before it."""
+    from mongodb_mysql_cdc_spark.sources.cdc import events_as_envelopes
+    from mongodb_mysql_cdc_spark.streaming.apply import scd2_versions
+
+    env = events_as_envelopes(spark, sf_dir)
+    hist = scd2_versions(env)
+    clicks = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("key"), "event_id", "ts")
+    )
+    cond = (
+        (hist.key == clicks.key)
+        & (hist.valid_from <= clicks.ts)
+        & (hist.valid_to.isNull() | (clicks.ts < hist.valid_to))
+        & ~((hist.valid_from == clicks.ts) & (hist.seq > clicks.event_id))
+    )
+    return clicks.join(hist, cond).select(
+        clicks.key,
+        "event_id",
+        clicks.ts,
+        F.col("seq").alias("state_seq"),
+        hround(F.col("value"), 4).alias("state_value"),
+    )

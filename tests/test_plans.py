@@ -273,3 +273,30 @@ def test_aqe_splits_skewed_join_partitions(spark):
         for k, v in saved.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_python_source_pushdown_prunes_partitions(spark):
+    """The pushFilters contract, observed: a seq-range predicate must
+    shrink the custom source's partition list (2 of 4 pruned here) —
+    connector-side data skipping, not just post-scan filtering."""
+    from mongodb_mysql_cdc_spark.sources.pyds import make_pushdown_oplog_source
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    cls = make_pushdown_oplog_source()
+    reader = cls(options={"partitions": "4", "rows_per_partition": "250"}).reader(None)
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
+
+    residual = list(
+        reader.pushFilters(
+            [
+                GreaterThanOrEqual(("seq",), 380),
+                LessThan(("seq",), 640),
+                EqualTo(("op",), "u"),  # unsupported → must come back
+            ]
+        )
+    )
+    assert residual == [EqualTo(("op",), "u")]
+    parts = reader.partitions()
+    assert len(parts) == 2, [p.value for p in parts]  # partitions 1 and 2 survive
+    survivors = sorted(p.value[0] for p in parts)
+    assert survivors == [1, 2]
