@@ -711,3 +711,33 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             hround(F.any_value("total_w"), 1).alias("total_weight"),
         )
     )
+
+
+@register("agg_hll_sketch")  # sketch estimates — rows-only (like approx_distinct)
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL datasketches (hll_sketch_agg / hll_union_agg /
+    hll_sketch_estimate — Spark's Apache DataSketches bindings): per
+    event_type distinct-user estimates computed two ways — directly over
+    the whole stream, and by UNIONING per-day partial sketches — plus
+    the exact count. Mergeability is THE 100 TB property: partial
+    sketches are tiny, shippable, and re-aggregatable across shards/
+    days without rescanning (agg_incremental_merge's contract, now for
+    cardinality). The sketch is deterministic for fixed data, so
+    merged == direct exactly; rows-only here (DuckDB has no matching
+    sketch), with tests/test_rows_only.py pinning merged==direct and
+    the estimate within 5% of exact."""
+    ev = load(spark, sf_dir, "events")
+    direct = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("direct_est"),
+        F.count_distinct("user_id").alias("exact"),
+    )
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("merged_est"),
+        F.count(F.lit(1)).alias("n_partials"),
+    )
+    return direct.join(merged, "event_type").select(
+        "event_type", "exact", "direct_est", "merged_est", "n_partials"
+    )

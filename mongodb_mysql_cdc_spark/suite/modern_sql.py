@@ -191,3 +191,34 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_case_variants",
         )
     )
+
+
+@register(
+    "sql_parameterized",
+    oracle=f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       {sql_round('sum(o_totalprice)')} AS revenue
+FROM orders
+WHERE o_totalprice >= 50000.0 AND o_orderstatus = 'O'
+GROUP BY o_orderpriority
+""",
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (spark.sql(..., args=...)): named parameters
+    bind as LITERALS in the parse tree — injection-safe templating with
+    zero string concatenation, and the plan is identical to inlining the
+    constants (so parameter reuse hits the plan cache at scale). The
+    oracle IS the inlined form."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("param_orders")
+    return spark.sql(
+        f"""
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       {{rounded}} AS revenue
+FROM param_orders
+WHERE o_totalprice >= :min_price AND o_orderstatus = :status
+GROUP BY o_orderpriority
+""".format(rounded=sql_round("sum(o_totalprice)")),
+        args={"min_price": 50000.0, "status": "O"},
+    )

@@ -66,3 +66,16 @@ def test_avro_roundtrip_or_documented_gate(spark, sf_dir):
     else:
         with pytest.raises(RuntimeError, match="spark-avro"):
             sink_avro_roundtrip(spark, sf_dir)
+
+
+def test_hll_sketch_merge_equals_direct(spark):
+    """Sketch mergeability: unioning per-day partial HLL sketches must
+    give EXACTLY the direct whole-stream sketch estimate (deterministic
+    sketch, same data), and both must land within 5% of exact."""
+    from mongodb_mysql_cdc_spark.registry import queries
+
+    rows = queries()["agg_hll_sketch"](spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert r.merged_est == r.direct_est, (r.event_type, r.merged_est, r.direct_est)
+        assert abs(r.direct_est - r.exact) / r.exact < 0.05
