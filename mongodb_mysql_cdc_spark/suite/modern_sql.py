@@ -222,3 +222,61 @@ GROUP BY o_orderpriority
 """.format(rounded=sql_round("sum(o_totalprice)")),
         args={"min_price": 50000.0, "status": "O"},
     )
+
+
+@register(
+    "fn_timezone",
+    oracle="""
+SELECT event_id,
+       CAST(timezone('America/New_York', ts AT TIME ZONE 'UTC') AS TIMESTAMP) AS ts_nyc,
+       CAST(timezone('Asia/Tokyo',       ts AT TIME ZONE 'UTC') AS TIMESTAMP) AS ts_tokyo,
+       CAST(date_part('hour', timezone('America/New_York', ts AT TIME ZONE 'UTC')) AS BIGINT) AS nyc_hour
+FROM events
+""",
+)
+def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-timezone conversion (convert_timezone) — the DST-aware wall
+    clock math a global events table needs (NYC offset changes mid-year;
+    a fixed-offset shift silently breaks half the year). Both engines
+    resolve against the IANA tzdb, so the check also pins that the two
+    runtimes agree on the zone rules for the harness's date range."""
+    ev = load(spark, sf_dir, "events")
+    nyc = F.convert_timezone(F.lit("UTC"), F.lit("America/New_York"), F.col("ts"))
+    tokyo = F.convert_timezone(F.lit("UTC"), F.lit("Asia/Tokyo"), F.col("ts"))
+    return ev.select(
+        "event_id",
+        nyc.alias("ts_nyc"),
+        tokyo.alias("ts_tokyo"),
+        F.hour(nyc).cast("long").alias("nyc_hour"),
+    )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n,
+       {sql_round('sum(l_extendedprice * (1 - l_discount))')} AS revenue
+FROM lineitem
+WHERE l_quantity >= 10
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (|> — Spark 4's linear query composition): the
+    same logical plan as the nested SELECT, written as a top-to-bottom
+    dataflow. Parses to IDENTICAL plans (the oracle is the classic
+    spelling), so the feature is pure ergonomics — included because a
+    'complete modern-Spark surface' claim is checkable only if the new
+    grammar actually runs here."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("pipe_lineitem")
+    return spark.sql(
+        f"""
+FROM pipe_lineitem
+|> WHERE l_quantity >= 10
+|> AGGREGATE count(*) AS n,
+             {sql_round('sum(l_extendedprice * (1 - l_discount))')} AS revenue
+   GROUP BY l_returnflag, l_linestatus
+|> SELECT l_returnflag, l_linestatus, n, revenue
+"""
+    )
