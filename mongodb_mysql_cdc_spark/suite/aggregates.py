@@ -741,3 +741,55 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return direct.join(merged, "event_type").select(
         "event_type", "exact", "direct_est", "merged_est", "n_partials"
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_direct,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_merged
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counting via bitmap aggregates
+    (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
+    bitmap_or_agg) — the precise sibling of agg_hll_sketch: per-shard
+    bitmaps OR-merge losslessly, so exact cardinality re-aggregates
+    across days/shards without a re-scan (what count(DISTINCT) can never
+    do incrementally). Computed twice — directly, and by OR-merging
+    per-day partial bitmaps — and the oracle pins BOTH to DuckDB's plain
+    count(DISTINCT): the bitmap machinery must be invisible in the
+    answer. Bitmap state is |buckets| × 4 KB per group — bounded,
+    shippable, exact."""
+    ev = load(spark, sf_dir, "events")
+    direct = (
+        ev.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+            F.col("user_id"),
+        )
+        .groupBy("event_type", "bkt")
+        .agg(F.expr("bitmap_count(bitmap_construct_agg(bitmap_bit_position(user_id)))").alias("c"))
+        .groupBy("event_type")
+        .agg(F.sum("c").cast("long").alias("n_direct"))
+    )
+    daily = (
+        ev.select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+            "user_id",
+        )
+        .groupBy("event_type", "day", "bkt")
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm"))
+    )
+    merged = (
+        daily.groupBy("event_type", "bkt")
+        .agg(F.expr("bitmap_count(bitmap_or_agg(bm))").alias("c"))
+        .groupBy("event_type")
+        .agg(F.sum("c").cast("long").alias("n_merged"))
+    )
+    return direct.join(merged, "event_type")

@@ -533,3 +533,53 @@ def anomaly_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("st.m") > 200.0).alias("alarmed"),
         )
     )
+
+
+@register(
+    "ml_quantile_normalize",
+    oracle=f"""
+WITH ranked AS (
+  SELECT event_type, value,
+         percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id) AS u
+  FROM events
+),
+bucketed AS (
+  SELECT event_type, CAST(least(floor(u * 10), 9) AS BIGINT) AS decile,
+         u, value
+  FROM ranked
+)
+SELECT event_type, decile,
+       CAST(count(*) AS BIGINT)      AS n,
+       {sql_round('min(value)', 4)}  AS lo,
+       {sql_round('max(value)', 4)}  AS hi,
+       {sql_round('avg(u)', 6)}      AS mean_u
+FROM bucketed
+GROUP BY event_type, decile
+""",
+)
+def ml_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (rank) normalization — the feature transform that maps
+    any distribution onto uniform [0,1] (rank / N-1), then a per-decile
+    census proving the flattening: every (type, decile) bucket holds
+    ~n/10 rows REGARDLESS of the raw value distribution — the invariant
+    is visible in the output, not just asserted. One ranking window per
+    group (unique event_id tiebreak keeps cross-engine rank order
+    deterministic) + one grouped census; at 100 TB the rank window
+    shards per feature group exactly like every windowed op here."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type", "value", F.percent_rank().over(w).alias("u")
+    )
+    bucketed = ranked.select(
+        "event_type",
+        "value",
+        "u",
+        F.least(F.floor(F.col("u") * 10), F.lit(9)).cast("long").alias("decile"),
+    )
+    return bucketed.groupBy("event_type", "decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        hround(F.min("value"), 4).alias("lo"),
+        hround(F.max("value"), 4).alias("hi"),
+        hround(F.avg("u"), 6).alias("mean_u"),
+    )
