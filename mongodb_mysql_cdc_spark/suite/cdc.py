@@ -911,3 +911,54 @@ def cdc_apply_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.value").alias("last_value"),
         F.col("w.ts").alias("last_ts"),
     )
+
+
+@register(
+    "cdc_warehouse_report",
+    oracle=f"""
+WITH env AS (
+  SELECT user_id AS key, ts, event_id AS seq, {_OP_SQL} AS op,
+         event_type, value
+  FROM events
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY key ORDER BY ts DESC, seq DESC) AS rn
+    FROM env
+  ) WHERE rn = 1
+),
+state AS (
+  SELECT key, event_type AS last_event_type, value AS last_value
+  FROM latest WHERE op <> 'd'
+),
+tot AS (SELECT count(*) AS n_total FROM state)
+SELECT s.last_event_type,
+       CAST(count(*) AS BIGINT)                       AS n_users,
+       {sql_round('avg(s.last_value)', 4)}            AS avg_last_value,
+       {sql_round('count(*) / CAST(t.n_total AS DOUBLE)', 6)} AS share
+FROM state s CROSS JOIN tot t
+GROUP BY s.last_event_type, t.n_total
+""",
+)
+def cdc_warehouse_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sink-side serving query COMPOSED over the apply fold: fold the
+    change feed to current state (the replicated MySQL table), then run
+    the warehouse rollup a consumer would run against that table — state
+    distribution by last event type with population shares. Exists to
+    certify the fold's output is directly consumable by the analytics
+    layer (one dataflow, no intermediate materialization needed): fold
+    shuffle on key, rollup shuffle on the 4-value type column, share via
+    broadcast scalar."""
+    state = cdc_apply_batch(events_as_envelopes(spark, sf_dir))
+    tot = state.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        state.crossJoin(F.broadcast(tot))
+        .groupBy("last_event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            hround(F.avg("last_value"), 4).alias("avg_last_value"),
+            hround(F.count(F.lit(1)) / F.any_value("n_total").cast("double"), 6).alias(
+                "share"
+            ),
+        )
+    )
