@@ -962,3 +962,36 @@ def cdc_warehouse_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "cdc_op_mix_hourly",
+    oracle=f"""
+WITH env AS (
+  SELECT date_trunc('hour', ts) AS hr, {_OP_SQL} AS op FROM events
+),
+census AS (
+  SELECT hr, op, count(*) AS n FROM env GROUP BY hr, op
+)
+SELECT hr, op, CAST(n AS BIGINT) AS n,
+       {sql_round('n / CAST(sum(n) OVER (PARTITION BY hr) AS DOUBLE)', 6)} AS hr_share
+FROM census
+""",
+)
+def cdc_op_mix_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed composition monitoring: insert/update/delete mix per
+    hour with within-hour shares — the dashboard that catches a producer
+    bug (sudden delete storms, vanished updates) before the fold ever
+    sees it. One grouped census + a tiny window over the hour×op grid
+    (≤ 72 rows at any scale: the grid is time-bounded, not
+    corpus-bounded)."""
+    ev = load(spark, sf_dir, "events")
+    env = ev.select(F.date_trunc("hour", "ts").alias("hr"), op_for_event_type().alias("op"))
+    census = env.groupBy("hr", "op").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("hr")
+    return census.select(
+        "hr",
+        "op",
+        F.col("n").cast("long").alias("n"),
+        hround(F.col("n") / F.sum("n").over(w).cast("double"), 6).alias("hr_share"),
+    )

@@ -397,3 +397,38 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "event_id", "ts", hround(med, 6).alias("rolling_median"))
     )
+
+
+@register(
+    "win_ratio_to_report",
+    oracle=f"""
+SELECT l_returnflag, l_orderkey, l_linenumber,
+       {sql_round('l_extendedprice / sum(l_extendedprice) OVER (PARTITION BY l_returnflag)', 8)}
+         AS share_of_flag,
+       {sql_round('l_extendedprice / sum(l_extendedprice) OVER ()', 8)}
+         AS share_of_total
+FROM lineitem
+""",
+)
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ratio_to_report (share-of-group / share-of-total) — the classic
+    reporting window Oracle/Teradata ship as a named function, composed
+    here as value / sum() OVER (unframed partition). The unpartitioned
+    total is a single-partition window — fine for a report's final
+    projection; at scale the same ratio comes from a broadcast scalar
+    (the pattern cdc_warehouse_report uses) when it feeds further joins.
+    8dp rounding: the group sums differ by summation order."""
+    li = load(spark, sf_dir, "lineitem")
+    w_flag = Window.partitionBy("l_returnflag")
+    w_all = Window.partitionBy()
+    return li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        hround(F.col("l_extendedprice") / F.sum("l_extendedprice").over(w_flag), 8).alias(
+            "share_of_flag"
+        ),
+        hround(F.col("l_extendedprice") / F.sum("l_extendedprice").over(w_all), 8).alias(
+            "share_of_total"
+        ),
+    )
