@@ -909,3 +909,48 @@ def fn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(F.col("lon"), 4).alias("lon"),
         hround(km, 3).alias("km_to_paris"),
     )
+
+
+@register(
+    "fn_str_to_map",
+    oracle="""
+WITH kv AS (
+  SELECT p_partkey,
+         concat('brand:', p_brand, ';size:', CAST(p_size AS VARCHAR),
+                ';type:', p_type) AS s
+  FROM part
+)
+SELECT p_partkey,
+       (map_extract(m, 'brand'))[1] AS brand,
+       CAST((map_extract(m, 'size'))[1] AS INTEGER) AS size_i,
+       (map_extract(m, 'type'))[1]  AS type_v,
+       cardinality(m)               AS n_kv
+FROM (
+  SELECT p_partkey,
+         map(list_transform(string_split(s, ';'), x -> string_split(x, ':')[1]),
+             list_transform(string_split(s, ';'), x -> string_split(x, ':')[2])) AS m
+  FROM kv
+)
+""",
+)
+def fn_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """str_to_map — the key=value wire-format parser (connection strings,
+    tags, k8s labels): one call in Spark; DuckDB composes the same map
+    from split pairs, so the check pins delimiter/ordering semantics
+    across a built-in vs a from-parts construction. Colon splits take
+    the FIRST colon only in both spellings (values here are colon-free
+    by construction)."""
+    p = load(spark, sf_dir, "part")
+    s = F.concat(
+        F.lit("brand:"), F.col("p_brand"),
+        F.lit(";size:"), F.col("p_size").cast("string"),
+        F.lit(";type:"), F.col("p_type"),
+    )
+    m = F.expr("str_to_map(s, ';', ':')")
+    return p.select("p_partkey", s.alias("s")).select(
+        "p_partkey",
+        m.getItem("brand").alias("brand"),
+        m.getItem("size").cast("int").alias("size_i"),
+        m.getItem("type").alias("type_v"),
+        F.size(m).alias("n_kv"),
+    )
