@@ -544,3 +544,70 @@ def dedup_chunk_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
+
+
+@register(
+    "er_match_score",
+    oracle=f"""
+WITH crm AS (
+  SELECT c_custkey AS crm_id, c_nationkey, c_mktsegment, c_acctbal,
+         CASE WHEN c_custkey % 4 = 0 THEN replace(c_name, '0', 'O')
+              WHEN c_custkey % 4 = 1 THEN upper(c_name)
+              ELSE c_name END AS dirty_name
+  FROM customer WHERE c_custkey % 10 = 3
+),
+scored AS (
+  SELECT m.crm_id, c.c_custkey AS master_id,
+         CAST(floor((
+           0.5 * (1.0 - levenshtein(lower(m.dirty_name), lower(c.c_name))
+                  / CAST(greatest(length(m.dirty_name), length(c.c_name)) AS DOUBLE))
+           + 0.3 * (CASE WHEN m.c_mktsegment = c.c_mktsegment THEN 1.0 ELSE 0.0 END)
+           + 0.2 * (CASE WHEN abs(m.c_acctbal - c.c_acctbal) < 0.005 THEN 1.0 ELSE 0.0 END)
+         ) * 1e6 + 0.5) / 1e6 AS DOUBLE) AS score
+  FROM crm m JOIN customer c ON m.c_nationkey = c.c_nationkey
+)
+SELECT crm_id, master_id, score, CAST(rnk AS BIGINT) AS rnk FROM (
+  SELECT *, row_number() OVER (PARTITION BY crm_id
+                               ORDER BY score DESC, master_id) AS rnk
+  FROM scored
+) WHERE rnk <= 1
+""",
+)
+def er_match_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution match scoring — the MDM linkage step that takes
+    dedup from 'same bytes' to 'same entity': a synthetically-corrupted
+    CRM import (char swaps, case damage) is matched back to the master
+    table with a weighted score (normalized edit similarity + segment +
+    balance agreement), best match per import row. The join is BLOCKED
+    on nation (the dedup_levenshtein discipline: blocks bound the pair
+    space at any scale), scoring is pure JVM expressions, and the rank
+    prune is per-import-row (WindowGroupLimit). Score pre-rounded to 6dp
+    before ranking so cross-engine division ulps can't flip an order."""
+    c = load(spark, sf_dir, "customer")
+    crm = c.where(F.col("c_custkey") % 10 == 3).select(
+        F.col("c_custkey").alias("crm_id"),
+        F.col("c_nationkey").alias("n_key"),
+        F.col("c_mktsegment").alias("m_seg"),
+        F.col("c_acctbal").alias("m_bal"),
+        F.when(F.col("c_custkey") % 4 == 0, F.replace(F.col("c_name"), F.lit("0"), F.lit("O")))
+        .when(F.col("c_custkey") % 4 == 1, F.upper("c_name"))
+        .otherwise(F.col("c_name"))
+        .alias("dirty_name"),
+    )
+    lev = F.levenshtein(F.lower("dirty_name"), F.lower("c_name"))
+    maxlen = F.greatest(F.length("dirty_name"), F.length("c_name")).cast("double")
+    score = (
+        0.5 * (1.0 - lev / maxlen)
+        + 0.3 * (F.col("m_seg") == F.col("c_mktsegment")).cast("double")
+        + 0.2 * (F.abs(F.col("m_bal") - F.col("c_acctbal")) < 0.005).cast("double")
+    )
+    scored = crm.join(c, crm.n_key == c.c_nationkey).select(
+        "crm_id",
+        F.col("c_custkey").alias("master_id"),
+        hround(score, 6).alias("score"),
+    )
+    w = Window.partitionBy("crm_id").orderBy(F.col("score").desc(), F.col("master_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 1)
+    )
