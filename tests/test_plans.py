@@ -300,3 +300,12 @@ def test_python_source_pushdown_prunes_partitions(spark):
     assert len(parts) == 2, [p.value for p in parts]  # partitions 1 and 2 survive
     survivors = sorted(p.value[0] for p in parts)
     assert survivors == [1, 2]
+
+
+def test_temporal_and_er_joins_are_hash_not_bnl(spark):
+    """join_temporal_scd2's interval predicate and er_match_score's fuzzy
+    score both ride EQUI-join keys (key / block key) — the plans must be
+    hash/sort-merge joins with residual filters, never nested loops."""
+    for name in ("join_temporal_scd2", "er_match_score"):
+        plan = explain_str(_q(name, spark))
+        assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan, name
