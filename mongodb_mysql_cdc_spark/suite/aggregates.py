@@ -793,3 +793,35 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").cast("long").alias("n_merged"))
     )
     return direct.join(merged, "event_type")
+
+
+@register(
+    "agg_product",
+    oracle=f"""
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       {sql_round('product(1.0 + l_discount / 10.0)', 4)} AS compounded,
+       {sql_round('exp(sum(ln(1.0 + l_discount / 10.0)))', 4)} AS compounded_logspace
+FROM lineitem
+WHERE l_linenumber = 1 AND l_orderkey % 50 = 0
+GROUP BY l_returnflag
+""",
+)
+def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT aggregate (compounding factors — chained returns, survival
+    probabilities): Spark has no product(), so both the log-space form
+    (exp∘sum∘ln — the numerically safe spelling at scale, and fully
+    map-side combinable) are computed and pinned against DuckDB's native
+    product() PLUS DuckDB's own log-space spelling. Positive domain by
+    construction; the group is thinned so the product stays inside
+    double range (~300 factors/group)."""
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 50 == 0)
+    )
+    factor = 1.0 + F.col("l_discount") / 10.0
+    logspace = F.exp(F.sum(F.log(factor)))
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        hround(logspace, 4).alias("compounded"),
+        hround(logspace, 4).alias("compounded_logspace"),
+    )

@@ -583,3 +583,56 @@ def ml_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(F.max("value"), 4).alias("hi"),
         hround(F.avg("u"), 6).alias("mean_u"),
     )
+
+
+@register(
+    "ts_seasonal_residual",
+    oracle=f"""
+WITH base AS (
+  SELECT event_id, value,
+         hour(ts)            AS hod,
+         dayofweek(ts) + 1   AS dow
+  FROM events
+),
+hod_m AS (SELECT hod, avg(value) AS m_hod FROM base GROUP BY hod),
+dow_m AS (SELECT dow, avg(value) AS m_dow FROM base GROUP BY dow),
+grand AS (SELECT avg(value) AS m_all FROM base)
+SELECT b.event_id, b.hod, b.dow,
+       {sql_round('b.value - h.m_hod - d.m_dow + g.m_all', 6)} AS residual
+FROM base b
+JOIN hod_m h USING (hod)
+JOIN dow_m d USING (dow)
+CROSS JOIN grand g
+""",
+)
+def ts_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition residuals (value − hour-of-day
+    mean − day-of-week mean + grand mean) — the de-seasonalized signal
+    anomaly detectors should run on instead of the raw stream (a Friday-
+    evening spike is seasonality, not an incident). Three bounded mean
+    tables (24 / 7 / 1 rows) broadcast back over one corpus scan — the
+    canonical broadcast-stats shape, composing directly with
+    anomaly_zscore/mad/cusum downstream."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "value",
+        F.hour("ts").alias("hod"),
+        F.dayofweek("ts").alias("dow"),
+    )
+    hod_m = base.groupBy("hod").agg(F.avg("value").alias("m_hod"))
+    dow_m = base.groupBy("dow").agg(F.avg("value").alias("m_dow"))
+    grand = base.agg(F.avg("value").alias("m_all"))
+    return (
+        base.join(F.broadcast(hod_m), "hod")
+        .join(F.broadcast(dow_m), "dow")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "event_id",
+            "hod",
+            F.col("dow").cast("long").alias("dow"),
+            hround(
+                F.col("value") - F.col("m_hod") - F.col("m_dow") + F.col("m_all"), 6
+            ).alias("residual"),
+        )
+    )
