@@ -625,3 +625,59 @@ def analytics_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "dq_table_diff",
+    oracle=f"""
+WITH altered AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 250 = 0 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus
+  FROM orders
+)
+SELECT a.o_orderkey, 'o_totalprice' AS col_name,
+       CAST(o.o_totalprice AS VARCHAR) AS old_val,
+       CAST(a.o_totalprice AS VARCHAR) AS new_val
+FROM orders o JOIN altered a USING (o_orderkey)
+WHERE o.o_totalprice <> a.o_totalprice
+UNION ALL
+SELECT a.o_orderkey, 'o_orderstatus',
+       o.o_orderstatus, a.o_orderstatus
+FROM orders o JOIN altered a USING (o_orderkey)
+WHERE o.o_orderstatus <> a.o_orderstatus
+""",
+)
+def dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-level table diff (the CDC-validation regression report: which
+    keys changed in which columns, old vs new) between a snapshot and a
+    synthetically-altered replica. ONE keyed join + per-column compare
+    stacked to long form — versus the naive per-column join loop that
+    re-shuffles per column. At 100 TB both sides bucket on the key and
+    the diff is a co-located join; the output is change-bounded, not
+    table-bounded."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    altered = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 100 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("n_totalprice"),
+        F.when(F.col("o_orderkey") % 250 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("n_orderstatus"),
+    )
+    j = o.join(altered, "o_orderkey")
+    stacked = j.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2,"
+            " 'o_totalprice', CAST(o_totalprice AS STRING), CAST(n_totalprice AS STRING),"
+            " 'o_orderstatus', o_orderstatus, n_orderstatus)"
+            " AS (col_name, old_val, new_val)"
+        ),
+    )
+    return stacked.where(F.col("old_val") != F.col("new_val"))
