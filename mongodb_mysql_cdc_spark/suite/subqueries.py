@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mongodb_mysql_cdc_spark.catalog import load
+from mongodb_mysql_cdc_spark.functions.compat import hround, sql_round
 from mongodb_mysql_cdc_spark.registry import register
 
 
@@ -211,4 +212,39 @@ def subquery_not_in_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _sq_part_nn
         WHERE p_partkey NOT IN (SELECT pk FROM _sq_bulk_nullable WHERE pk IS NOT NULL)
         """
+    )
+
+
+@register(
+    "subquery_any_all",
+    oracle=f"""
+SELECT o_orderkey, o_custkey, {sql_round('o_totalprice')} AS o_totalprice
+FROM orders
+WHERE o_totalprice > ALL (SELECT avg(o_totalprice) FROM orders GROUP BY o_orderpriority)
+   OR o_totalprice < ANY (SELECT min(o_totalprice) * 1.1 FROM orders GROUP BY o_orderstatus)
+""",
+)
+def subquery_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified comparisons (> ALL / < ANY) — the subquery dialect
+    Spark SQL does NOT parse: rewritten to their scalar-aggregate
+    equivalents (x > ALL(S) ⇔ x > max(S); x < ANY(S) ⇔ x < max(S)),
+    which is also exactly what a quantifier-aware optimizer lowers them
+    to. The oracle runs DuckDB's NATIVE ALL/ANY — a genuine two-dialect
+    semantics check, and the Spark plan is two broadcast scalar
+    subqueries instead of a quantified nested loop."""
+    o = load(spark, sf_dir, "orders")
+    all_max = o.groupBy("o_orderpriority").agg(
+        F.avg("o_totalprice").alias("a")
+    ).agg(F.max("a").alias("all_max"))
+    any_max = o.groupBy("o_orderstatus").agg(
+        (F.min("o_totalprice") * 1.1).alias("m")
+    ).agg(F.max("m").alias("any_max"))
+    return (
+        o.crossJoin(F.broadcast(all_max))
+        .crossJoin(F.broadcast(any_max))
+        .where(
+            (F.col("o_totalprice") > F.col("all_max"))
+            | (F.col("o_totalprice") < F.col("any_max"))
+        )
+        .select("o_orderkey", "o_custkey", hround(F.col("o_totalprice")).alias("o_totalprice"))
     )
