@@ -954,3 +954,24 @@ def fn_str_to_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.getItem("type").alias("type_v"),
         F.size(m).alias("n_kv"),
     )
+
+
+@register(
+    "fn_aes_roundtrip",
+    oracle="SELECT doc_id, substring(text, 1, 64) AS recovered FROM documents",
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AES encrypt→decrypt round trip (aes_encrypt/aes_decrypt — the
+    column-level encryption surface for PII-bearing replicas): ECB mode
+    keeps the pair deterministic (GCM's random IV would break both the
+    round trip comparison and any dedup on ciphertext — which is also
+    why real deployments that need equality-preserving encryption accept
+    ECB's leakage or use deterministic SIV). The oracle only sees the
+    recovered plaintext: if either direction corrupted a byte, the
+    identity fails."""
+    docs = load(spark, sf_dir, "documents")
+    key = F.lit("0123456789abcdef")  # 16-byte demo key
+    clear = F.substring("text", 1, 64)
+    cipher = F.aes_encrypt(clear.cast("binary"), key.cast("binary"), F.lit("ECB"))
+    recovered = F.aes_decrypt(cipher, key.cast("binary"), F.lit("ECB")).cast("string")
+    return docs.select("doc_id", recovered.alias("recovered"))
