@@ -975,3 +975,29 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     cipher = F.aes_encrypt(clear.cast("binary"), key.cast("binary"), F.lit("ECB"))
     recovered = F.aes_decrypt(cipher, key.cast("binary"), F.lit("ECB")).cast("string")
     return docs.select("doc_id", recovered.alias("recovered"))
+
+
+@register(
+    "fn_levenshtein_threshold",
+    oracle="""
+SELECT p_partkey,
+       CAST(levenshtein(p_brand, 'Brand#13') AS BIGINT) AS lev_full,
+       CAST(CASE WHEN levenshtein(p_brand, 'Brand#13') <= 2
+                 THEN levenshtein(p_brand, 'Brand#13') ELSE -1 END AS BIGINT) AS lev_capped
+FROM part
+""",
+)
+def fn_levenshtein_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded edit distance (3-arg levenshtein — Spark's banded-DP
+    early exit): distances beyond the cap return -1 WITHOUT filling the
+    full DP matrix, which is the difference between O(n·k) and O(n²) per
+    comparison in an ER candidate loop (er_match_score's scoring would
+    use exactly this cap in production). DuckDB has no threshold form —
+    the oracle reproduces the CONTRACT (full distance, capped to -1)
+    rather than the algorithm, which is the point of the check."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", F.lit("Brand#13")).cast("long").alias("lev_full"),
+        F.levenshtein("p_brand", F.lit("Brand#13"), 2).cast("long").alias("lev_capped"),
+    )

@@ -636,3 +636,49 @@ def ts_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("residual"),
         )
     )
+
+
+@register(
+    "ts_derivative",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_id, ts, value,
+         lag(value) OVER w AS prev_v,
+         lag(ts)    OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, ts,
+       {sql_round('(value - prev_v) / ((epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0)', 6)}
+         AS dv_dt
+FROM seq
+WHERE prev_ts IS NOT NULL AND epoch_us(ts) > epoch_us(prev_ts)
+""",
+)
+def ts_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate of change (dv/dt per user timeline — the derivative that
+    turns a gauge stream into a rate stream, counters into throughput):
+    one lag window on the apply path's own (user, time) ordering,
+    zero-interval samples excluded (no 0-division row). Composes with
+    ts_ewma/anomaly_* downstream exactly like the other timeline ops —
+    one shuffle, frame state = one row."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_v"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    dt_s = (F.unix_micros("ts") - F.unix_micros("prev_ts")) / 1_000_000.0
+    return seq.where(
+        F.col("prev_ts").isNotNull()
+        & (F.unix_micros("ts") > F.unix_micros("prev_ts"))
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        hround((F.col("value") - F.col("prev_v")) / dt_s, 6).alias("dv_dt"),
+    )
