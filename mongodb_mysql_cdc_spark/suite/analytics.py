@@ -681,3 +681,46 @@ def dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return stacked.where(F.col("old_val") != F.col("new_val"))
+
+
+@register(
+    "analytics_pareto",
+    oracle=f"""
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         percent_rank() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey) AS pr
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {sql_round('sum(o_totalprice)')} AS total_revenue,
+       {sql_round('sum(CASE WHEN pr <= 0.1 THEN o_totalprice ELSE 0 END)')} AS top_decile_revenue,
+       {sql_round('''sum(CASE WHEN pr <= 0.1 THEN o_totalprice ELSE 0 END)
+                     / sum(o_totalprice)''', 6)} AS top_decile_share
+FROM ranked
+GROUP BY o_orderpriority
+""",
+)
+def analytics_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration (the 80/20 report): what share of each
+    priority band's revenue the top decile of orders captures — the
+    revenue-concentration KPI behind account tiering. One ranking window
+    per band (unique-key tiebreak) + one conditional rollup; at 100 TB
+    the window shards by band exactly like analytics_rfm's quintiles."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pr"),
+    )
+    top = F.when(F.col("pr") <= 0.1, F.col("o_totalprice")).otherwise(0.0)
+    return ranked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        hround(F.sum("o_totalprice")).alias("total_revenue"),
+        hround(F.sum(top)).alias("top_decile_revenue"),
+        hround(F.sum(top) / F.sum("o_totalprice"), 6).alias("top_decile_share"),
+    )

@@ -682,3 +682,62 @@ def ts_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         hround((F.col("value") - F.col("prev_v")) / dt_s, 6).alias("dv_dt"),
     )
+
+
+@register(
+    "ts_max_drawdown",
+    oracle=f"""
+WITH curve AS (
+  SELECT user_id, ts, event_id,
+         sum(value - 50.0) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS equity
+  FROM events
+),
+peaks AS (
+  SELECT user_id, equity,
+         max(equity) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM curve
+)
+SELECT user_id,
+       {sql_round('max(peak - equity)', 6)} AS max_drawdown,
+       {sql_round('max(peak)', 6)}          AS high_water_mark,
+       {sql_round('min(equity)', 6)}        AS trough
+FROM peaks
+GROUP BY user_id
+""",
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown (peak-to-trough loss of a cumulative curve) —
+    the canonical risk statistic, and a genuinely sequential one: it
+    needs the running equity, its running maximum, AND the max gap
+    between them — three nested cumulative views in ONE window pass
+    (both cumulative windows share the same (user, ts) sort, so
+    Catalyst plans a single exchange+sort like win_running_distinct).
+    The synthetic equity curve is the centered-value cumsum per user."""
+    ev = load(spark, sf_dir, "events").repartition("user_id")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(F.col("value") - 50.0).over(w).alias("equity"),
+    )
+    peaks = curve.select(
+        "user_id",
+        "equity",
+        F.max("equity").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("peak"),
+    )
+    return peaks.groupBy("user_id").agg(
+        hround(F.max(F.col("peak") - F.col("equity")), 6).alias("max_drawdown"),
+        hround(F.max("peak"), 6).alias("high_water_mark"),
+        hround(F.min("equity"), 6).alias("trough"),
+    )
