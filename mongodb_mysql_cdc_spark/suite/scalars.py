@@ -1001,3 +1001,31 @@ def fn_levenshtein_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein("p_brand", F.lit("Brand#13")).cast("long").alias("lev_full"),
         F.levenshtein("p_brand", F.lit("Brand#13"), 2).cast("long").alias("lev_capped"),
     )
+
+
+@register(
+    "fn_encoding",
+    oracle="""
+SELECT p_partkey,
+       to_base64(encode(p_brand))                         AS b64,
+       decode(from_base64(to_base64(encode(p_name))))     AS b64_roundtrip,
+       lower(hex(encode(p_type)))                         AS hex_type
+FROM part
+""",
+)
+def fn_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire encodings (base64 / hex — attachment payloads, binary keys
+    in JSON envelopes): encode, round-trip, and hex-dump string columns.
+    Spark's base64() pads and chunks per RFC 2045, DuckDB's to_base64
+    per RFC 4648 — identical output for these lengths (<57 bytes, no
+    line breaks), which is exactly the compatibility surface worth
+    pinning; hex case differs (upper vs lower) and is folded."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.base64(F.col("p_brand").cast("binary")).alias("b64"),
+        F.unbase64(F.base64(F.col("p_name").cast("binary"))).cast("string").alias(
+            "b64_roundtrip"
+        ),
+        F.lower(F.hex(F.col("p_type").cast("binary"))).alias("hex_type"),
+    )
