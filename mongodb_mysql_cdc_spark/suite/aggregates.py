@@ -825,3 +825,37 @@ def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(logspace, 4).alias("compounded"),
         hround(logspace, 4).alias("compounded_logspace"),
     )
+
+
+@register(
+    "agg_corr_matrix",
+    oracle=f"""
+SELECT
+  {sql_round('corr(l_extendedprice, l_quantity)', 6)}  AS price_qty,
+  {sql_round('corr(l_extendedprice, l_discount)', 6)}  AS price_disc,
+  {sql_round('corr(l_extendedprice, l_tax)', 6)}       AS price_tax,
+  {sql_round('corr(l_quantity, l_discount)', 6)}       AS qty_disc,
+  {sql_round('corr(l_quantity, l_tax)', 6)}            AS qty_tax,
+  {sql_round('corr(l_discount, l_tax)', 6)}            AS disc_tax
+FROM lineitem
+""",
+)
+def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the fact table's numeric
+    columns (the feature-screening pass before any model touches the
+    data): all 6 pairs in ONE map-side-combined scan — the
+    embedding_covariance design on relational columns. Near-zero
+    correlations here are themselves the check: synthetic independence
+    must survive both engines' summation orders (6dp)."""
+    li = load(spark, sf_dir, "lineitem")
+    pairs = [
+        ("l_extendedprice", "l_quantity", "price_qty"),
+        ("l_extendedprice", "l_discount", "price_disc"),
+        ("l_extendedprice", "l_tax", "price_tax"),
+        ("l_quantity", "l_discount", "qty_disc"),
+        ("l_quantity", "l_tax", "qty_tax"),
+        ("l_discount", "l_tax", "disc_tax"),
+    ]
+    return li.agg(
+        *[hround(F.corr(a, b), 6).alias(n) for a, b, n in pairs]
+    )

@@ -741,3 +741,37 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(F.max("peak"), 6).alias("high_water_mark"),
         hround(F.min("equity"), 6).alias("trough"),
     )
+
+
+@register(
+    "ts_autocorr",
+    oracle=f"""
+WITH lagged AS (
+  SELECT event_type, value,
+         lag(value) OVER (PARTITION BY event_type, user_id
+                          ORDER BY ts, event_id) AS prev_v
+  FROM events
+)
+SELECT event_type,
+       CAST(count(prev_v) AS BIGINT) AS n_pairs,
+       {sql_round('corr(value, prev_v)', 6)} AS lag1_autocorr
+FROM lagged
+GROUP BY event_type
+""",
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation per event type (memory vs white noise — the
+    first diagnostic before fitting any temporal model; ~0 here because
+    the harness stream IS white noise, and that null result must agree
+    across engines): one lag window on the per-user timeline, then a
+    corr aggregate pairing each value with its predecessor. Window +
+    map-combined agg; no extra shuffle beyond the timeline sort."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_type", "value", F.lag("value").over(w).alias("prev_v")
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count("prev_v").alias("n_pairs"),
+        hround(F.corr("value", "prev_v"), 6).alias("lag1_autocorr"),
+    )
