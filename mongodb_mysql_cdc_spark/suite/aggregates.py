@@ -859,3 +859,44 @@ def agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         *[hround(F.corr(a, b), 6).alias(n) for a, b, n in pairs]
     )
+
+
+@register(
+    "agg_entropy_diversity",
+    oracle=f"""
+WITH cnt AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY user_id, event_type
+),
+tot AS (
+  SELECT user_id, sum(c) AS n FROM cnt GROUP BY user_id
+)
+SELECT c.user_id,
+       CAST(any_value(t.n) AS BIGINT) AS n_events,
+       CAST(count(*) AS BIGINT)       AS n_types,
+       {sql_round('-sum((c.c / CAST(t.n AS DOUBLE)) * ln(c.c / CAST(t.n AS DOUBLE)))', 6)}
+         AS type_entropy
+FROM cnt c JOIN tot t USING (user_id)
+GROUP BY c.user_id
+""",
+)
+def agg_entropy_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral diversity via Shannon entropy of each user's event-type
+    distribution (bot screening: single-type automatons score 0, uniform
+    explorers score ln 5) — the categorical sibling of text_entropy's
+    token entropy. Two map-combined aggregates on (user, type) and
+    (user); the per-user type histogram is bounded by |types|, so at
+    100 TB this is scan + two small shuffles, nothing row-expanding."""
+    ev = load(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c") / F.col("n").cast("double")
+    return (
+        cnt.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.any_value("n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).alias("n_types"),
+            hround(-F.sum(p * F.log(p)), 6).alias("type_entropy"),
+        )
+    )

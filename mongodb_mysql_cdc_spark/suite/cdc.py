@@ -995,3 +995,53 @@ def cdc_op_mix_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         hround(F.col("n") / F.sum("n").over(w).cast("double"), 6).alias("hr_share"),
     )
+
+
+@register(
+    "cdc_keys_churn",
+    oracle="""
+WITH spans AS (
+  SELECT user_id AS key,
+         min(date_trunc('hour', ts)) AS first_hr,
+         max(date_trunc('hour', ts)) AS last_hr
+  FROM events GROUP BY user_id
+),
+hours AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS hr FROM events
+),
+active AS (
+  SELECT DISTINCT date_trunc('hour', ts) AS hr, user_id AS key FROM events
+)
+SELECT h.hr,
+       CAST(count(a.key) AS BIGINT)                                   AS n_active,
+       CAST(count(*) FILTER (s.first_hr = h.hr) AS BIGINT)            AS n_new,
+       CAST(count(*) FILTER (s.last_hr = h.hr AND s.first_hr <> h.hr) AS BIGINT)
+         AS n_last_seen
+FROM hours h
+JOIN active a ON a.hr = h.hr
+JOIN spans s ON s.key = a.key
+GROUP BY h.hr
+""",
+)
+def cdc_keys_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key lifecycle census per hour — new keys (first-ever delivery),
+    active keys, and last-seen keys (the churn signal a capacity planner
+    watches on a replicated keyspace). Span table = one (key) aggregate,
+    broadcast back over the hourly activity census; the per-hour grid is
+    time-bounded. All joins are key- or hour-keyed equi-joins."""
+    ev = load(spark, sf_dir, "events")
+    hr = F.date_trunc("hour", "ts")
+    spans = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.min(hr).alias("first_hr"), F.max(hr).alias("last_hr")
+    )
+    active = ev.select(hr.alias("hr"), F.col("user_id").alias("key")).distinct()
+    j = active.join(spans, "key")
+    return j.groupBy("hr").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum((F.col("first_hr") == F.col("hr")).cast("long")).alias("n_new"),
+        F.sum(
+            ((F.col("last_hr") == F.col("hr")) & (F.col("first_hr") != F.col("hr"))).cast(
+                "long"
+            )
+        ).alias("n_last_seen"),
+    )
