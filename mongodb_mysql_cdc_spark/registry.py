@@ -45,53 +45,54 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 
 
 # The driver verifies the FIRST 50 names in queries() order per round
-# (CORRECTNESS_r01.json = registry positions 1-50 exactly).  Rounds 1-3
-# produced green driver rows for 147 distinct queries; the 30 registered
-# queries below carry only builder/judge strict-checker evidence so far.
-# This round-4 window front-loads those 30 (cheap scalar/agg/join
-# families first, the stateful-stream query last so a time-capped driver
-# run can't starve the cheap ones — the ordering trick from r2/r3) and
-# fills the remaining slots with round-4 additions as they land.
+# (CORRECTNESS_r01.json = registry positions 1-50 exactly).  Rounds 1-4
+# produced green driver rows for 196 distinct queries; the true
+# driver-unseen backlog at round-5 start was 70 (union of
+# CORRECTNESS_r01-r04 keys vs queries() — regenerate with
+# `python tools/coverage_report.py --backlog`), plus agg_approx_quantile
+# to RE-verify (its round-4 row errored: array<double> output crashed
+# the driver's pandas canonicalizer; fixed to four scalar columns).
+# This round-5 window = that re-verify + the 49 highest-value unseen
+# queries, cheap scalar/agg/sql families first and streaming queries
+# last so a time-capped driver run can't starve the cheap ones (the
+# ordering trick from r2-r4). The 21 deferred names are the round-6
+# queue — see coverage_report.py --backlog; new registrations are
+# FROZEN until that queue clears (adding breadth now would shrink the
+# driver-verified fraction of the engine).
 _DRIVER_WINDOW = [
-    # §2.8/§2.4 scalar + aggregate extensions (cheapest)
-    "fn_url", "agg_approx_quantile", "agg_incremental_merge",
-    "agg_percentile_exact", "agg_regression",
-    # §2.5 window extensions
-    "win_gaps_islands",
-    # §2.3/§2.1 join + scan extensions
-    "join_asof_forward", "join_partition_pruned_dynamic",
-    "scan_partition_pruned", "subquery_not_in_null",
-    # §2.9 CDC extensions (batch forms)
-    "cdc_dead_letter", "cdc_tombstone_gc",
-    # time-series suite (§2.11)
-    "ts_gapfill", "ts_ohlc_downsample", "anomaly_zscore",
-    "ts_interpolate_linear",
-    # §2.10 text + quality extensions
-    "text_entropy", "token_oov_rate", "quality_ensemble",
-    # §2.10 dedup / similarity extensions
-    "dedup_levenshtein", "kmeans_refine", "embedding_quantize",
-    "sim_search_rerank", "udf_grouped_agg",
-    # §2.10 multimodal (real WAV/BMP kernels — moderate cost)
-    "multimodal_resize", "multimodal_resample",
-    # §2.10 curation
-    "sample_stratified", "sample_per_group", "dataset_split",
-    # round-4 additions (driver-unseen by construction)
-    "fn_array2", "fn_map2", "agg_count_if", "agg_percentile_disc",
-    "win_running_distinct", "dq_profile", "anomaly_mad", "ts_ewma",
-    "join_asof_nearest", "cdc_merge_replicas", "scan_csv_malformed",
-    "doc_chunk_overlap", "dedup_url_canonical", "text_pii_flag",
-    "token_bigram_pmi", "quality_unigram_logprob", "search_bm25",
-    "tfidf_topk_per_doc", "embedding_covariance", "graph_pagerank_iter",
-    # stateful stream LAST — most expensive per query
-    "stream_session_stateful",
+    # re-verify (round-4 red, now scalar-column safe)
+    "agg_approx_quantile",
+    # §2.4 aggregate extensions (cheapest)
+    "agg_moments", "agg_weighted_median", "agg_corr_matrix",
+    "agg_entropy_diversity", "agg_hll_sketch", "agg_bitmap_distinct",
+    # §2.5/§2.7/§2.2 window + set + subquery/sql surface
+    "win_rolling_median", "union_schema_evolve", "subquery_any_all",
+    "sql_recursive_cte", "fn_variant", "fn_sql_udf", "fn_collation",
+    # §2.3 temporal join + sequence analytics
+    "join_temporal_scd2", "event_seq_pattern",
+    # analytics + data-quality census
+    "analytics_shipping_priority", "analytics_local_supplier_volume",
+    "analytics_rfm", "analytics_market_basket", "analytics_pareto",
+    "dq_benford", "dq_table_diff",
+    # §2.11 time-series wave 2 + anomaly + ml preprocessing
+    "ts_calendar_profile", "ts_twap", "ts_seasonal_residual",
+    "ts_derivative", "ts_max_drawdown", "ts_autocorr", "anomaly_cusum",
+    "ml_quantile_normalize", "quality_winsorize",
+    # §2.10 dedup / ER / multimodal / UDF surface
+    "dedup_chunk_sig", "er_match_score", "multimodal_phash",
+    "multimodal_audio_features", "udf_arrow",
+    # §2.9 CDC census (batch forms)
+    "cdc_order_audit", "cdc_warehouse_report", "cdc_op_mix_hourly",
+    "cdc_keys_churn",
+    # iterative in-plan ML
+    "embedding_pca_project", "ml_logreg_gd",
+    # Spark-4 Python DataSource surface
+    "scan_python_datasource", "scan_python_datasource_pushdown",
+    "cdc_apply_python_source",
+    # capstone + streaming LAST — most expensive per query
+    "corpus_prepare_e2e", "cdc_snapshot_handoff", "cdc_scd2_stream",
+    "stream_python_datasource",
 ]
-
-# Queued for the round-5 window: EVERY query registered after this
-# round's 50 slots filled (driver-unseen, each strict-checker green) —
-# enumerate them with `python tools/coverage_report.py` (rows whose
-# driver_green_round is empty and in_current_window is false). As of
-# end-of-round-4 that is 34 queries: the wave 2-12 additions from
-# agg_moments through fn_xml (see README coverage rows r4 wave 2+).
 
 
 def _window_order(names: dict[str, QueryFn] | dict[str, str]) -> list[str]:

@@ -333,12 +333,20 @@ def agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style sketch) beside the exact percentile —
     the 100 TB path where exact quantiles would sort every group. The
     accuracy parameter bounds sketch memory; rows-only check (sketch
-    internals differ across engines) with the exact column as the sanity
-    anchor, pinned by tests/test_rows_only.py."""
+    internals differ across engines) with the exact columns as the sanity
+    anchor. Round-4 driver lesson: the two percentiles are unpacked into
+    four SCALAR columns — array-typed output crashes the driver's pandas
+    canonicalizer (CORRECTNESS_r04: unhashable numpy.ndarray)."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)").alias("approx_p"),
-        F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("exact_p"),
+        F.expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)").alias("ap"),
+        F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("ep"),
+    ).select(
+        "l_returnflag",
+        F.col("ap")[0].alias("p50_approx"),
+        F.col("ap")[1].alias("p95_approx"),
+        F.col("ep")[0].alias("p50_exact"),
+        F.col("ep")[1].alias("p95_exact"),
     )
 
 

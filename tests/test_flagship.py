@@ -44,6 +44,28 @@ def test_registry_oracle_names_subset(spark):
     assert len(qs) > 0
 
 
+def test_no_query_emits_complex_top_level_columns(spark):
+    """The driver canonicalizes results through pandas sort_values, which
+    crashes on array/map/struct cells (round-4 driver red on
+    agg_approx_quantile: `unhashable type: numpy.ndarray`). Every checked
+    query — rows-only included — must serialize complex values
+    (F.array_join / to_json) before returning. Registry-wide, at sf0.001
+    so eager (streaming) queries stay cheap."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, "/root/testdata/sf0.001")
+        complex_cols = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if complex_cols:
+            offenders[name] = complex_cols
+    assert not offenders, offenders
+
+
 def test_driver_window_is_the_first_fifty():
     """The driver verifies the FIRST 50 names in queries() order — the
     window rotation is round strategy, so a regression here silently
@@ -57,4 +79,4 @@ def test_driver_window_is_the_first_fifty():
     # and every windowed name with an oracle is genuinely checkable
     oracles = registry.oracles()
     no_oracle = [n for n in window if n not in oracles]
-    assert set(no_oracle) <= {"agg_approx_quantile"}, no_oracle
+    assert set(no_oracle) <= {"agg_approx_quantile", "agg_hll_sketch"}, no_oracle

@@ -151,12 +151,19 @@ def main() -> int:
     for name in names:
         t0 = time.time()
         if name not in oracles:
+            # Rows-only queries STILL pass through the driver's pandas
+            # canonicalizer (sort_values over all columns) — round-4 lesson:
+            # agg_approx_quantile returned array<double> columns, this
+            # checker reported "rows-only (3 rows)" green, and the driver
+            # crashed with `unhashable type: numpy.ndarray`. Run canon()
+            # here so that divergence class can't re-ship.
             try:
-                nrows = len(qs[name](spark, args.sf).toPandas())
-                print(f"  -- {name}: rows-only ({nrows} rows) [{time.time()-t0:.1f}s]")
+                pdf = qs[name](spark, args.sf).toPandas()
+                canon(pdf)
+                print(f"  -- {name}: rows-only ({len(pdf)} rows) [{time.time()-t0:.1f}s]")
                 n_rows_only += 1
             except Exception as ex:
-                print(f"FAIL {name}: spark error: {ex}")
+                print(f"FAIL {name}: spark/canon error: {type(ex).__name__}: {ex}")
                 n_fail += 1
             continue
         try:

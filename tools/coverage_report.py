@@ -38,19 +38,51 @@ def driver_evidence() -> dict[str, str]:
                 and row.get("hash_match") is not False
                 and not row.get("err")
             )
-            if green and name not in out:
+            # oracle-less queries: the driver records err='no_oracle' plus a
+            # row count — that IS its (weaker, by-design) rows-only pass
+            rows_only_green = (
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
+            if (green or rows_only_green) and name not in out:
                 out[name] = rnd
     return out
+
+
+def driver_seen() -> set[str]:
+    """Every name that has appeared in ANY driver window (green or not)."""
+    seen: set[str] = set()
+    for path in sorted(glob.glob(str(ROOT / "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            seen.update(json.load(f).keys())
+    return seen
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", action="store_true")
+    ap.add_argument(
+        "--backlog",
+        action="store_true",
+        help="print the ordered next-round queue: every registered query "
+        "that is neither driver-seen nor in the current window",
+    )
     args = ap.parse_args()
     queries = registry.queries()
     oracles = registry.oracles()
     window = set(registry._DRIVER_WINDOW)
     evidence = driver_evidence()
+
+    if args.backlog:
+        seen = driver_seen()
+        backlog = [n for n in queries if n not in seen and n not in window]
+        # also surface seen-but-never-green names needing a re-verify slot
+        red = [n for n in queries if n in seen and n not in evidence and n not in window]
+        print(f"round-6 queue ({len(backlog)} unseen + {len(red)} needs-reverify):")
+        for n in backlog:
+            print(f"  unseen    {n}")
+        for n in red:
+            print(f"  reverify  {n}")
+        return
     rows = []
     for pos, name in enumerate(queries, 1):
         rows.append(
