@@ -166,13 +166,20 @@ def make_pushdown_oplog_source():
             self.seq_hi = self.n_parts * self.rows_per_part
 
         def pushFilters(self, filters):
+            # Iterate EAGERLY and return a list: a generator body only runs
+            # if Spark drains it before calling partitions(), and the API
+            # contract doesn't promise that order — under a lazier runtime
+            # the seq_lo/seq_hi mutations (and so partition pruning) would
+            # silently vanish.
+            unsupported = []
             for f in filters:
                 if isinstance(f, GreaterThanOrEqual) and f.attribute == ("seq",):
                     self.seq_lo = max(self.seq_lo, int(f.value))
                 elif isinstance(f, LessThan) and f.attribute == ("seq",):
                     self.seq_hi = min(self.seq_hi, int(f.value))
                 else:
-                    yield f  # unhandled → Spark evaluates it post-scan
+                    unsupported.append(f)  # unhandled → Spark evaluates post-scan
+            return unsupported
 
         def partitions(self):
             # prune whole partitions whose seq range misses the bounds

@@ -353,9 +353,17 @@ class Scd2ParquetSink:
             if old is None:
                 new = delta_rows
             else:
+                # Touched buckets come from ALL batch keys — scd2_versions
+                # drops delete envelopes, so deriving buckets from
+                # delta_rows would skip a bucket whose micro-batch slice is
+                # all-deletes and leave its keys' open rows unclosed,
+                # breaking the stream==batch invariant the oracle asserts.
                 touched = [
                     r["bucket"]
-                    for r in delta_rows.select("bucket").distinct().collect()
+                    for r in self._bucket(batch_df.select("key").distinct())
+                    .select("bucket")
+                    .distinct()
+                    .collect()
                 ]
                 old_t = old.filter(F.col("bucket").isin(touched))
                 closed = (
@@ -371,6 +379,13 @@ class Scd2ParquetSink:
                     .drop("first_delta_ts")
                 )
                 new = closed.unionByName(delta_rows)
+            if new.isEmpty():
+                # nothing to fold (e.g. an all-delete batch for keys the
+                # state never saw) — writing an empty tmp dir would fail on
+                # read-back; the batch is a committed no-op instead
+                self._committed.add(batch_id)
+                self._save_commits()
+                return
             new.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
             (
                 self.spark.read.parquet(tmp)

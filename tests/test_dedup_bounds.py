@@ -1,11 +1,14 @@
-"""Regression bound for dedup_ngram_jaccard's output on an adversarial
-all-duplicates corpus (VERDICT r2 item 4).
+"""Regression bounds for dedup_ngram_jaccard's output on adversarial
+all-duplicates corpora (VERDICT r2 item 4; pair budget VERDICT r4 item 4).
 
-The df-cap is the guard: a shingle appearing in more docs than
-_NGRAM_DF_CAP is non-discriminative boilerplate and gets dropped BEFORE
-the self-join, so a duplicate group larger than the cap contributes zero
-candidate pairs — the O(dups²) blow-up (61 s measured pre-cap at 10×)
-cannot regress. Groups at-or-under the cap still emit their true pairs.
+Two stacked guards:
+- df-cap: a shingle in more docs than _NGRAM_DF_CAP is non-discriminative
+  boilerplate and is dropped BEFORE the self-join — a duplicate group
+  larger than the cap contributes zero candidate pairs.
+- pair budget: surviving posting lists are truncated to their first
+  _NGRAM_PAIR_BUDGET doc_ids, so one shingle emits ≤ K·(K-1)/2 pairs and
+  the worst case is BOUNDED (61 s measured at 10× pre-budget), with
+  affected pairs flagged `truncated`.
 """
 
 from __future__ import annotations
@@ -14,7 +17,11 @@ import tempfile
 
 import pandas as pd
 
-from mongodb_mysql_cdc_spark.suite.llm_dedup import _NGRAM_DF_CAP, dedup_ngram_jaccard
+from mongodb_mysql_cdc_spark.suite.llm_dedup import (
+    _NGRAM_DF_CAP,
+    _NGRAM_PAIR_BUDGET,
+    dedup_ngram_jaccard,
+)
 
 
 def _write_docs(spark, rows):
@@ -50,6 +57,32 @@ def test_ngram_jaccard_output_bounded_by_df_cap(spark):
     expected_small = n_small * (n_small - 1) // 2
     assert len(got) == expected_small
     assert all(r["doc_a"] >= n_big and r["doc_b"] >= n_big for r in got)
+    # under-budget group: every pair exact, none flagged
+    assert all(not r["truncated"] for r in got)
     # the un-capped worst case would be C(200,2) = 19900 pairs from the big
     # group alone — the bound this test exists to pin
     assert len(got) < 1000
+
+
+def test_ngram_jaccard_pair_budget_truncates_midsize_groups(spark):
+    """A duplicate group UNDER the df-cap but OVER the pair budget emits
+    exactly C(K,2) pairs — among the K smallest doc_ids — all flagged
+    truncated; members beyond the posting prefix emit nothing. This is
+    the bounded worst case: pairs-per-shingle can never exceed C(K,2)."""
+    text = "red orange yellow green blue indigo violet umber ochre teal " * 3
+    n_mid = _NGRAM_DF_CAP - 10  # 40: survives df-cap, exceeds budget (20)
+    rows = [(i, text, "en", "mid", len(text)) for i in range(n_mid)]
+    rows += [
+        (n_mid + i, f"distinct filler nr{i} once only token{i} here", "en", "u", 40)
+        for i in range(20)
+    ]
+    sf_dir = _write_docs(spark, rows)
+
+    got = dedup_ngram_jaccard(spark, sf_dir).collect()
+
+    k = _NGRAM_PAIR_BUDGET
+    assert len(got) == k * (k - 1) // 2
+    assert all(r["doc_a"] < k and r["doc_b"] < k for r in got)
+    assert all(r["truncated"] for r in got)
+    # identical docs → jaccard is still exact 1.0 within the prefix
+    assert all(r["jaccard"] == 1.0 for r in got)
