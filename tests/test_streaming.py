@@ -322,3 +322,41 @@ def test_python_stream_source_resumes_exactly_once(spark, tmp_path):
 
     got = sorted(r.seq for r in spark.read.parquet(out).select("seq").collect())
     assert got == list(range(1000))  # every index exactly once
+
+
+def test_scd2_all_delete_batch_closes_open_rows(spark):
+    """ADVICE r4: a micro-batch whose envelopes for a bucket are ALL
+    deletes must still close those keys' open SCD2 rows (touched buckets
+    come from batch KEYS, not from the delete-dropping version rows), and
+    an all-delete batch for unknown keys must commit as a no-op instead of
+    writing unreadable empty state."""
+    from pyspark.sql import Row
+    import datetime as dt
+
+    from mongodb_mysql_cdc_spark.streaming.apply import Scd2ParquetSink, scd2_versions
+
+    t = lambda s: dt.datetime.fromisoformat(s)
+    mk = lambda op, ts, seq, k, v: Row(
+        op=op, ts=t(ts), seq=seq, key=k,
+        after=Row(user_id=k, event_type="x", value=v, k=0),
+    )
+    opens = [mk("c", "2024-01-01T10:00:00", 1, 1, 1.0),
+             mk("c", "2024-01-01T10:00:00", 2, 2, 2.0)]
+    deletes = [mk("d", "2024-01-01T12:00:00", 3, 1, 0.0),
+               mk("d", "2024-01-01T12:00:00", 4, 2, 0.0)]
+
+    sink = Scd2ParquetSink(spark, tempfile.mkdtemp(prefix="scd2_del_"), n_buckets=4)
+    sink.apply_batch(spark.createDataFrame(opens), 0)
+    sink.apply_batch(spark.createDataFrame(deletes), 1)  # all-delete batch
+
+    cols = ["key", "seq", "value", "valid_from", "valid_to", "is_current"]
+    want = _rows(scd2_versions(spark.createDataFrame(opens + deletes)), cols)
+    got = _rows(sink.history(), cols)
+    assert got == want
+    assert all(not r[-1] for r in got)  # every row closed by its delete
+
+    # all-delete batch for keys the state never saw → committed no-op
+    ghost = [mk("d", "2024-01-01T13:00:00", 5, 99, 0.0)]
+    sink.apply_batch(spark.createDataFrame(ghost), 2)
+    assert _rows(sink.history(), cols) == want
+    assert 2 in sink._load_commits()
