@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from mongodb_mysql_cdc_spark.catalog import load
 from mongodb_mysql_cdc_spark.functions import vectors as V
 from mongodb_mysql_cdc_spark.functions.compat import hround, sql_round
+from mongodb_mysql_cdc_spark.operators.ranking import ntile_expr, with_global_position
 from mongodb_mysql_cdc_spark.registry import register
 
 
@@ -513,28 +514,33 @@ def analytics_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (recency / frequency / monetary quintiles + rule
     bands) — the canonical warehouse customer-value query over the
     replicated orders table. One per-customer aggregate, then three
-    ntile windows over the |customers|-sized frame (unique-key
-    tie-breaks keep quintile edges deterministic cross-engine), then a
-    pure CASE banding. The global ntile windows are single-partition by
-    definition — at 100 TB you shard the quintiles per region/market
-    (the same query with a partitionBy) rather than ranking the planet
-    in one ordering."""
+    GLOBAL quintile rankings, then a pure CASE banding. The naive
+    spelling (`ntile(5) OVER (ORDER BY ...)` with no partition) moves
+    every customer to ONE task — the only single-partition window the
+    round-5 plan lint found in the registry — so the quintiles are
+    computed with operators/ranking.distributed_ntile instead:
+    range-partitioned parallel sort + per-partition row_number +
+    broadcast cumulative offsets, bit-identical to ntile (unique-key
+    tie-breaks make the order total, so partition boundaries can't
+    change any rank) with no serial stage at any scale."""
     o = load(spark, sf_dir, "orders")
     per = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum("o_totalprice").alias("monetary"),
     )
-    wr = Window.orderBy("last_order", "o_custkey")
-    wf = Window.orderBy("frequency", "o_custkey")
-    wm = Window.orderBy("monetary", "o_custkey")
-    scored = per.select(
+    pos = with_global_position(per, ["last_order", "o_custkey"], "_p_r")
+    pos = with_global_position(pos, ["frequency", "o_custkey"], "_p_f")
+    pos = with_global_position(pos, ["monetary", "o_custkey"], "_p_m")
+    total = per.agg(F.count(F.lit(1)).alias("_n"))
+    n = F.col("_n")
+    scored = pos.crossJoin(F.broadcast(total)).select(
         "o_custkey",
         "frequency",
         "monetary",
-        F.ntile(5).over(wr).alias("r_score"),
-        F.ntile(5).over(wf).alias("f_score"),
-        F.ntile(5).over(wm).alias("m_score"),
+        ntile_expr(F.col("_p_r"), n, 5).alias("r_score"),
+        ntile_expr(F.col("_p_f"), n, 5).alias("f_score"),
+        ntile_expr(F.col("_p_m"), n, 5).alias("m_score"),
     )
     seg = (
         F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4) & (F.col("m_score") >= 4), "champion")

@@ -44,14 +44,26 @@ def test_registry_oracle_names_subset(spark):
     assert len(qs) > 0
 
 
-def test_no_query_emits_complex_top_level_columns(spark):
-    """The driver canonicalizes results through pandas sort_values, which
-    crashes on array/map/struct cells (round-4 driver red on
-    agg_approx_quantile: `unhashable type: numpy.ndarray`). Every checked
-    query — rows-only included — must serialize complex values
-    (F.array_join / to_json) before returning. Registry-wide, at sf0.001
-    so eager (streaming) queries stay cheap."""
+def test_registry_wide_output_and_plan_invariants(spark):
+    """One pass over every registered query (sf0.001 so eager streaming
+    queries stay cheap), asserting two invariant classes:
+
+    1. No array/map/struct TOP-LEVEL output columns — the driver
+       canonicalizes through pandas sort_values, which crashes on complex
+       cells (round-4 driver red on agg_approx_quantile: `unhashable
+       type: numpy.ndarray`). Serialize with F.array_join / to_json.
+    2. No physical-plan scale-killers (tools/plan_lint.py): unintended
+       CartesianProduct, row-at-a-time BatchEvalPython, or a WindowExec
+       with an empty partition spec (every row → ONE task; the round-5
+       lint found analytics_rfm's global ntile and it now uses the
+       distributed ranking operator instead)."""
+    import sys
+    from pathlib import Path
+
     from pyspark.sql.types import ArrayType, MapType, StructType
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import plan_lint
 
     offenders = {}
     for name, fn in entrymod.queries().items():
@@ -62,7 +74,10 @@ def test_no_query_emits_complex_top_level_columns(spark):
             if isinstance(f.dataType, (ArrayType, MapType, StructType))
         ]
         if complex_cols:
-            offenders[name] = complex_cols
+            offenders[name] = f"complex output columns: {complex_cols}"
+        problems = plan_lint.lint_one(name, df)
+        if problems:
+            offenders[name] = "; ".join(problems)
     assert not offenders, offenders
 
 

@@ -1,0 +1,63 @@
+"""operators/ranking.py: distributed ntile must be bit-identical to the
+single-partition window ntile it replaces (the round-5 plan-lint fix)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mongodb_mysql_cdc_spark.operators.ranking import (
+    distributed_ntile,
+    with_global_position,
+)
+
+
+def _frame(spark, n, partitions=7):
+    # adversarial value distribution: heavy ties (v), unique tiebreak (id)
+    return (
+        spark.range(n)
+        .repartition(partitions)
+        .select(F.col("id"), (F.col("id") % 13).alias("v"))
+    )
+
+
+def test_global_position_matches_row_number(spark):
+    df = _frame(spark, 1000)
+    got = {
+        r["id"]: r["pos"]
+        for r in with_global_position(df, ["v", "id"], "pos").collect()
+    }
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_distributed_ntile_matches_window_ntile(spark):
+    # sizes straddling bucket-remainder edge cases: n % k == 0, 1, k-1
+    for n, k in [(1000, 5), (1001, 5), (999, 5), (7, 5), (3, 5), (16, 4)]:
+        df = _frame(spark, n)
+        got = {
+            r["id"]: r["b"]
+            for r in distributed_ntile(df, ["v", "id"], k, "b").collect()
+        }
+        want = {
+            r["id"]: r["b"]
+            for r in df.withColumn(
+                "b", F.ntile(k).over(Window.orderBy("v", "id"))
+            ).collect()
+        }
+        assert got == want, (n, k)
+
+
+def test_distributed_ntile_plan_has_no_global_window(spark):
+    import re
+
+    df = distributed_ntile(_frame(spark, 100), ["v", "id"], 5, "b")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for m in re.finditer(r"\bWindow \[.*?\], \[(.*?)\](, \[.*?\])?$", plan, re.M):
+        # every Window node must carry a partition spec (3 bracket groups)
+        assert m.group(2) is not None, plan

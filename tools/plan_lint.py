@@ -1,0 +1,136 @@
+"""Registry-wide physical-plan lint: hunt scale-killers mechanically.
+
+For every registered query, builds the DataFrame (sf0.001 — cheap even for
+the eager streaming queries) and inspects the ANALYZED + PHYSICAL plans
+for the patterns that break at 100 TB:
+
+- ``cartesian``      CartesianProduct / BroadcastNestedLoopJoin without a
+                     broadcast-sized side (every intended scalar-broadcast
+                     crossJoin in this repo wraps the 1-row side in
+                     ``F.broadcast`` → plans as BroadcastNestedLoopJoin,
+                     which is fine; a *CartesianProduct* node means both
+                     sides were estimated large — that's the killer).
+- ``py_row_udf``     BatchEvalPython (row-at-a-time Python UDF) anywhere
+                     in the plan. ArrowEvalPython / mapInPandas etc. are
+                     vectorized and allowed.
+- ``global_window``  a WindowExec with an EMPTY partition spec: all rows
+                     shuffle to ONE task — serial at any scale. Allowed
+                     only for queries on the documented exception list
+                     (global-semantics ops whose output is provably tiny
+                     or whose input is already group-bounded).
+
+Exit 1 if any non-exempt query trips a rule.
+
+Usage:  python tools/plan_lint.py [--sf /root/testdata/sf0.001] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from mongodb_mysql_cdc_spark.registry import queries
+from mongodb_mysql_cdc_spark.session import get_session
+
+# Queries allowed a global (unpartitioned) window, with the reason the
+# global sort is NOT a 100 TB bottleneck for them. Everything else must
+# partition its windows.
+GLOBAL_WINDOW_EXEMPT = {
+    # input to the window is a GROUPED aggregate (bounded rows), not the raw table
+    "agg_histogram_equiwidth": "window runs over |bins| rows, not the corpus",
+    "analytics_pareto": "window over per-band aggregates (|bands| rows)",
+    "dq_benford": "window over 9 digit rows",
+    "quality_buckets": "window over |buckets| rows",
+    "domain_mix": "window over |domains| rows",
+    # deliberately-global semantics over provably small inputs
+    "topk": "global top-k: TakeOrderedAndProject, no window shuffle of the corpus",
+}
+
+# Queries allowed a CartesianProduct node (none today — keep empty).
+CARTESIAN_EXEMPT: dict[str, str] = {}
+
+# Queries allowed BatchEvalPython: the deliberate row-UDF tier exhibit.
+PY_ROW_UDF_EXEMPT = {
+    "udf_surface": "the row-at-a-time tier exhibit itself (documented slow path)",
+}
+
+
+def window_partition_specs(plan: str) -> list[str]:
+    """Return the partition-spec text of every Window node in a plan string.
+
+    Physical form:  Window [exprs], [partSpec], [orderSpec]   (partitioned)
+                    Window [exprs], [orderSpec]               (global)
+    The specs are comma-nested inside brackets, so split on top-level
+    bracket groups rather than naive commas.
+    """
+    out = []
+    for m in re.finditer(r"\bWindow (\[.*)$", plan, re.MULTILINE):
+        text = m.group(1)
+        groups, depth, start = [], 0, None
+        for i, ch in enumerate(text):
+            if ch == "[":
+                if depth == 0:
+                    start = i
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(text[start : i + 1])
+        if len(groups) == 2:
+            # Window [exprs], [second]: `second` is an ORDER spec (global,
+            # ordered window — the killer) iff it carries sort directions;
+            # otherwise it's a partition-only spec (fine).
+            if re.search(r" (ASC|DESC)\b", groups[1]):
+                out.append("<GLOBAL>")
+            else:
+                out.append(groups[1])
+        elif len(groups) >= 3:
+            out.append(groups[1])
+    return out
+
+
+def lint_one(name: str, df) -> list[str]:
+    problems = []
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "CartesianProduct" in plan and name not in CARTESIAN_EXEMPT:
+        problems.append("cartesian: CartesianProduct in physical plan")
+    if "BatchEvalPython" in plan and name not in PY_ROW_UDF_EXEMPT:
+        problems.append("py_row_udf: row-at-a-time Python UDF in plan")
+    if name not in GLOBAL_WINDOW_EXEMPT:
+        for spec in window_partition_specs(plan):
+            if spec == "<GLOBAL>":
+                problems.append("global_window: WindowExec with empty partition spec")
+                break
+    return problems
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+    spark = get_session("plan_lint")
+    reg = queries()
+    names = args.names or list(reg)
+    n_bad = 0
+    for name in names:
+        try:
+            df = reg[name](spark, args.sf)
+        except Exception as ex:
+            print(f"ERR  {name}: {type(ex).__name__}: {str(ex)[:120]}")
+            n_bad += 1
+            continue
+        problems = lint_one(name, df)
+        if problems:
+            n_bad += 1
+            print(f"FLAG {name}: {'; '.join(problems)}")
+    print(f"\n{len(names)} checked, {n_bad} flagged")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
