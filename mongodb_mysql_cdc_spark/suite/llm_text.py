@@ -315,12 +315,26 @@ def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF weighting (§2.10): smooth idf = ln((N+1)/(df+1)) + 1.
     Two aggregations + a broadcast join on the (vocab-sized) df table and
     the 1-row corpus count — no O(corpus) shuffle beyond the tf groupBy.
+    df is derived from the tf table (one row per (doc, token), so a plain
+    count IS countDistinct(doc_id)): the doc-frequency shuffle moves
+    |distinct (doc, token) pairs| pre-combined map-side instead of the
+    raw |token occurrences| two-phase distinct that made this the worst
+    10× mover of the headline set (3.1× → 2.8×).  Deliberate trade-off:
+    a window count over token would attach df in ONE corpus pass, but a
+    window partition is a single reducer task — a stopword token's rows
+    (≈ every doc) on one executor is the classic 100 TB skew killer, and
+    AQE cannot split window partitions the way it splits skewed joins.
+    The broadcast join keeps every step parallel and skew-free at the
+    cost of re-evaluating the tf subtree on the (vocab-sized) df branch;
+    in a real pipeline tf.persist() between the two aggregations removes
+    that re-scan (left out here only because bench's best-of-N timing
+    policy forbids caching inside registered queries).
     ln() differs by ulps across libm implementations → rounded to 6dp on
     both sides (the only rounding this module needs)."""
     docs = load(spark, sf_dir, "documents")
     ex = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("token"))
     tf = ex.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = ex.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
     idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
     return (
