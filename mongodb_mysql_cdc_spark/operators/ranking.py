@@ -86,3 +86,37 @@ def distributed_ntile(
         .withColumn(out, ntile_expr(F.col("_nt_pos"), F.col("_nt_n"), k))
         .drop("_nt_pos", "_nt_n")
     )
+
+
+def with_global_cumsum(
+    df: DataFrame, order_cols: list[str], val: str, out: str
+) -> DataFrame:
+    """Append ``out`` = sum(val) OVER (ORDER BY order_cols ROWS UNBOUNDED
+    PRECEDING) — the global running total, distributed the same way as
+    :func:`with_global_position`: range-partition on the order key,
+    per-partition running sum (parallel), per-partition totals →
+    broadcast cumulative offsets (|partitions|² tiny theta-join, no
+    window, no collect). ``order_cols`` must form a total order."""
+    d = df.repartitionByRange(*[F.col(c) for c in order_cols]).withColumn(
+        "_gc_pid", F.spark_partition_id()
+    )
+    local = (
+        Window.partitionBy("_gc_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn("_gc_run", F.sum(val).over(local))
+    sums = d.groupBy("_gc_pid").agg(F.sum(val).alias("_gc_sum"))
+    lower = sums.select(
+        F.col("_gc_pid").alias("_gc_pid2"), F.col("_gc_sum").alias("_gc_sum2")
+    )
+    offsets = (
+        sums.join(F.broadcast(lower), F.col("_gc_pid2") < F.col("_gc_pid"), "left")
+        .groupBy("_gc_pid")
+        .agg(F.coalesce(F.sum("_gc_sum2"), F.lit(0)).alias("_gc_off"))
+    )
+    return (
+        d.join(F.broadcast(offsets), "_gc_pid")
+        .withColumn(out, F.col("_gc_off") + F.col("_gc_run"))
+        .drop("_gc_pid", "_gc_run", "_gc_off")
+    )

@@ -1045,3 +1045,190 @@ def cdc_keys_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_last_seen"),
     )
+
+
+# --- round-5 wave: replication-correctness corner cases --------------------
+#
+# Four ops a production Mongo→MySQL replicator needs beyond the happy path:
+# redelivery (at-least-once transports), primary-key-changing updates,
+# right-to-be-forgotten erasure, and end-to-end lag monitoring. All share
+# the envelope CTE of CDC_APPLY_ORACLE.
+
+_ENV_CTE = f"""
+env AS (
+  SELECT user_id AS key, ts, event_id AS seq, {_OP_SQL} AS op,
+         event_type, value, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)"""
+
+
+@register("cdc_exactly_once", oracle=CDC_APPLY_ORACLE)
+def cdc_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once apply on an at-least-once transport: every fifth
+    envelope is delivered twice (Kafka redelivery after a consumer
+    restart), and the apply must be idempotent anyway. The dedup key is
+    (key, seq) — the resume-token identity — folded out with ONE
+    hash-partitioned dropDuplicates before the LWW reconcile; at scale
+    both the dedup and the reconcile shuffle on the same key, so AQE
+    coalesces them into one exchange lineage. The oracle is the CLEAN
+    apply (CDC_APPLY_ORACLE verbatim): redelivery must be invisible."""
+    env = events_as_envelopes(spark, sf_dir)
+    redelivered = env.unionAll(env.filter(F.col("seq") % 5 == 0))
+    return cdc_apply_batch(redelivered.dropDuplicates(["key", "seq"]))
+
+
+@register(
+    "cdc_pk_change",
+    oracle=f"""
+WITH {_ENV_CTE},
+split AS (
+  SELECT CASE WHEN op = 'u' AND seq % 7 = 0 THEN 'd' ELSE op END AS op,
+         ts, seq, key, event_type, value, k
+  FROM env
+  UNION ALL
+  SELECT 'c' AS op, ts, seq, key + 100000 AS key, event_type, value, k
+  FROM env WHERE op = 'u' AND seq % 7 = 0
+),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY key ORDER BY ts DESC, seq DESC) AS rn
+    FROM split
+  ) WHERE rn = 1
+)
+SELECT key, ts AS last_ts, event_type AS last_event_type,
+       value AS last_value, k AS last_k
+FROM latest
+WHERE op <> 'd'
+""",
+)
+def cdc_pk_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key-changing update — the classic replicator trap: an
+    update that moves a row to a new key must become DELETE(old key) +
+    INSERT(new key), or the sink keeps a ghost row under the old key.
+    Here every u-envelope with seq % 7 = 0 'renumbers' its key by
+    +100000. The split is pure column algebra — build a 1- or 2-element
+    array of envelope structs per row and explode it (no join, no second
+    scan; the fan-out is at most 2×) — then the standard LWW apply runs
+    unchanged. Both halves keep the source (ts, seq) so the total order
+    is preserved across the move."""
+    env = events_as_envelopes(spark, sf_dir)
+    moved = (F.col("op") == "u") & (F.col("seq") % 7 == 0)
+    as_is = F.struct(
+        F.col("op"), F.col("ts"), F.col("seq"), F.col("key"), F.col("after")
+    )
+    tombstone = F.struct(
+        F.lit("d").alias("op"), F.col("ts"), F.col("seq"), F.col("key"), F.col("after")
+    )
+    reinsert = F.struct(
+        F.lit("c").alias("op"),
+        F.col("ts"),
+        F.col("seq"),
+        (F.col("key") + 100000).alias("key"),
+        F.col("after"),
+    )
+    split = (
+        env.select(
+            F.explode(
+                F.when(moved, F.array(tombstone, reinsert)).otherwise(F.array(as_is))
+            ).alias("e"),
+            F.col("source"),
+        )
+        .select("e.op", "e.ts", "e.seq", "e.key", "e.after", "source")
+    )
+    return cdc_apply_batch(split)
+
+
+@register(
+    "cdc_gdpr_erasure",
+    oracle=f"""
+WITH {_ENV_CTE},
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY key ORDER BY ts DESC, seq DESC) AS rn
+    FROM env
+  ) WHERE rn = 1
+),
+state AS (
+  SELECT key, ts AS last_ts, event_type, value, k
+  FROM latest WHERE op <> 'd'
+)
+SELECT key, last_ts,
+       CASE WHEN key % 13 = 0 THEN 'REDACTED' ELSE event_type END AS last_event_type,
+       CASE WHEN key % 13 = 0 THEN NULL ELSE value END AS last_value,
+       CASE WHEN key % 13 = 0 THEN NULL ELSE k END AS last_k,
+       key % 13 = 0 AS is_erased
+FROM state
+""",
+)
+def cdc_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation: an erasure-request list (keys
+    with key % 13 = 0 — in production, a small table fed by deletion
+    requests) is applied to the replicated state as REDACTION, not row
+    deletion: the row survives for referential integrity, its payload
+    fields are nulled and the type masked, and an audit flag marks it.
+    The erasure list is a broadcast LEFT join (list ≪ state — never a
+    shuffle of the state table), which is also the crypto-shredding
+    shape: join the key-ring, null out rows whose key was dropped."""
+    env = events_as_envelopes(spark, sf_dir)
+    state = cdc_apply_batch(env)
+    erasure = (
+        state.select("key").filter(F.col("key") % 13 == 0).distinct()
+        .withColumn("_erase", F.lit(True))
+    )
+    j = state.join(F.broadcast(erasure), "key", "left")
+    erased = F.coalesce(F.col("_erase"), F.lit(False))
+    return j.select(
+        "key",
+        "last_ts",
+        F.when(erased, F.lit("REDACTED")).otherwise(F.col("last_event_type")).alias(
+            "last_event_type"
+        ),
+        F.when(erased, F.lit(None).cast("double")).otherwise(F.col("last_value")).alias(
+            "last_value"
+        ),
+        F.when(erased, F.lit(None).cast("long")).otherwise(F.col("last_k")).alias(
+            "last_k"
+        ),
+        erased.alias("is_erased"),
+    )
+
+
+@register(
+    "cdc_replication_lag",
+    oracle=f"""
+WITH {_ENV_CTE},
+lag AS (
+  SELECT date_trunc('hour', ts) AS hr,
+         CAST((seq * 37) % 300 AS DOUBLE) AS lag_s
+  FROM env
+)
+SELECT hr,
+       CAST(count(*) AS BIGINT) AS n_applied,
+       {sql_round('quantile_cont(lag_s, 0.5)', 4)}  AS p50_lag_s,
+       {sql_round('quantile_cont(lag_s, 0.95)', 4)} AS p95_lag_s,
+       {sql_round('max(lag_s)', 4)}                 AS max_lag_s
+FROM lag
+GROUP BY hr
+""",
+)
+def cdc_replication_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end replication-lag monitor: per source-hour distribution
+    (p50/p95/max) of sink-commit latency. The commit timestamp is
+    synthesized deterministically (lag = seq·37 mod 300 s — the harness
+    stand-in for the sink's commit clock; production reads it from the
+    applier's audit column). One hash aggregate keyed on the hour;
+    exact percentiles per group are fine because a group is one hour of
+    one table's traffic — at 100 TB cardinality grows in GROUPS (hours),
+    not group SIZE, and a group's members are colocated by the shuffle.
+    The dashboard this feeds is the page-the-operator signal."""
+    env = events_as_envelopes(spark, sf_dir)
+    lag = env.select(
+        F.date_trunc("hour", "ts").alias("hr"),
+        ((F.col("seq") * 37) % 300).cast("double").alias("lag_s"),
+    )
+    return lag.groupBy("hr").agg(
+        F.count(F.lit(1)).alias("n_applied"),
+        hround(F.expr("percentile(lag_s, 0.5)"), 4).alias("p50_lag_s"),
+        hround(F.expr("percentile(lag_s, 0.95)"), 4).alias("p95_lag_s"),
+        hround(F.max("lag_s"), 4).alias("max_lag_s"),
+    )

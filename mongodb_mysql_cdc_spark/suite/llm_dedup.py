@@ -649,3 +649,95 @@ def er_match_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .where(F.col("rnk") <= 1)
     )
+
+
+# --- SemDeDup-style semantic curation --------------------------------------
+
+_SEM_CENT_LO, _SEM_CENT_HI = 20, 28  # 8 fixed corpus vectors as centroids
+_SEM_TAU = 0.30  # cos-to-centroid above which a non-representative is a dup
+
+_SEM_SQL_BASE = f"""
+cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         WHERE vec_id >= {_SEM_CENT_LO} AND vec_id < {_SEM_CENT_HI}),
+corp AS (SELECT vec_id, embedding FROM embeddings
+         WHERE {V.sql_norm('embedding')} > 0),
+sims AS (SELECT corp.vec_id, cent.cid,
+                {V.sql_cosine('corp.embedding', 'cent.cvec')} AS cos
+         FROM corp CROSS JOIN cent),
+assign AS (
+  SELECT vec_id, cid AS cell, cos AS cos_cent FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+    FROM sims
+  ) WHERE rn = 1
+),
+rep AS (
+  SELECT cell, vec_id AS rep_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY cell ORDER BY cos_cent DESC, vec_id) AS rn
+    FROM assign
+  ) WHERE rn = 1
+)"""
+
+
+@register(
+    "dedup_semantic_keep",
+    oracle=f"""
+WITH {_SEM_SQL_BASE}
+SELECT a.vec_id, a.cell,
+       {sql_round('a.cos_cent', 6)} AS cos_cent,
+       CASE WHEN a.vec_id = r.rep_id THEN 'keep'
+            WHEN a.cos_cent >= {_SEM_TAU} THEN 'drop'
+            ELSE 'unique' END AS role
+FROM assign a JOIN rep r USING (cell)
+""",
+)
+def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster embeddings into coarse cells, keep ONE representative per
+    cell, and drop the non-representatives that sit close enough to the
+    cell centroid to be semantic duplicates; far members stay as
+    'unique'. Centroids are 8 fixed corpus vectors (the same
+    deterministic-IVF discipline as sim_search_ivf — real pipelines
+    train k-means first; the engine shape is identical and the oracle
+    stays exact).
+
+    Scale shape: assignment is corpus × 8 broadcast centroids — a
+    broadcast nested product with a per-row argmax, never a corpus
+    shuffle. The representative per cell is a groupBy(cell).max_by —
+    partial-aggregated and skew-safe even though there are only 8 cells
+    (each partition contributes ONE candidate per cell) — explicitly not
+    a window over cell, which would drag every member of a cell onto a
+    single reducer. The rep table (8 rows) broadcasts back. The cosine
+    math is the shared fold in functions/vectors.py → bit-identical to
+    the DuckDB oracle, so the >= tau comparison can't straddle engines."""
+    emb = spread(load(spark, sf_dir, "embeddings"), "vec_id").filter(
+        V.norm(F.col("embedding")) > 0
+    )
+    cent = (
+        emb.filter(
+            (F.col("vec_id") >= _SEM_CENT_LO) & (F.col("vec_id") < _SEM_CENT_HI)
+        )
+        .select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
+    )
+    sims = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        V.cosine(F.col("embedding"), F.col("cvec")).alias("cos"),
+    )
+    w_v = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
+    assign = (
+        sims.withColumn("rn", F.row_number().over(w_v))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"), F.col("cos").alias("cos_cent"))
+    )
+    rep = assign.groupBy("cell").agg(
+        F.expr("max_by(vec_id, struct(cos_cent, -vec_id))").alias("rep_id")
+    )
+    return assign.join(F.broadcast(rep), "cell").select(
+        "vec_id",
+        "cell",
+        hround(F.col("cos_cent"), 6).alias("cos_cent"),
+        F.when(F.col("vec_id") == F.col("rep_id"), F.lit("keep"))
+        .when(F.col("cos_cent") >= _SEM_TAU, F.lit("drop"))
+        .otherwise(F.lit("unique"))
+        .alias("role"),
+    )

@@ -1020,3 +1020,79 @@ def quality_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(F.avg("v"), 6).alias("mean_winsorized"),
         hround(F.stddev_samp("v"), 6).alias("std_winsorized"),
     )
+
+
+# --- BPE merge-table application -------------------------------------------
+
+# An ordered prefix of a BPE merge table (the classic English head —
+# learned order doesn't matter for the engine shape, a fixed table keeps
+# the oracle exact). Applied sequentially, replace-all per rule: the
+# vectorized batch approximation of the per-pair greedy loop a trainer
+# runs — deterministic and identical on both engines, which is what the
+# parity check needs.
+_BPE_MERGES = [
+    ("t h", "th"), ("th e", "the"), ("i n", "in"), ("a n", "an"),
+    ("e r", "er"), ("r e", "re"), ("o n", "on"), ("e s", "es"),
+]
+
+
+@register(
+    "token_bpe_merge",
+    oracle=f"""
+WITH cleaned AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(lower(text), '[^a-z ]+', '', 'g'),
+                        '(.)', '\\1 ', 'g') AS spaced,
+         length(replace(regexp_replace(lower(text), '[^a-z ]+', '', 'g'), ' ', ''))
+           AS n_units_before
+  FROM documents
+),
+merged AS (
+  SELECT doc_id, n_units_before,
+         {'replace(' * len(_BPE_MERGES)}spaced
+         {''.join(f", '{a} ', '{b} ')" for a, b in _BPE_MERGES)} AS m
+  FROM cleaned
+)
+SELECT doc_id,
+       CAST(n_units_before AS BIGINT) AS n_units_before,
+       CAST(len(list_filter(string_split_regex(m, ' +'), x -> x <> '')) AS BIGINT)
+         AS n_units_after,
+       {sql_round("n_units_before / len(list_filter(string_split_regex(m, ' +'), x -> x <> ''))", 4)}
+         AS compression
+FROM merged
+WHERE n_units_before > 0
+""",
+)
+def token_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenization, the apply step (§2.10 token counting, the
+    'BPE-ish' surface): explode each document into character units and
+    fold an ordered merge table over it — exactly how a trained BPE
+    vocabulary turns characters into subwords. Output: per-doc unit
+    counts before/after and the compression ratio (chars-per-token, the
+    number a pretraining budget is priced in).
+
+    Engine shape: pure per-row column algebra — lower/strip → space the
+    characters (word gaps become multi-space runs, so merges can never
+    cross a word boundary) → one replace() per merge rule, chained.
+    Zero shuffles, zero UDFs, whole-stage-codegen end to end; at 100 TB
+    this is the op that must NOT shuffle, and it doesn't. A real
+    50k-rule vocabulary compiles the same way (a trie/pandas_udf beats
+    50k chained replaces at that size — rule count, not engine shape,
+    is the cutover)."""
+    docs = load(spark, sf_dir, "documents")
+    cleaned = F.regexp_replace(F.lower(F.col("text")), r"[^a-z ]+", "")
+    spaced = F.regexp_replace(cleaned, r"(.)", r"$1 ")
+    merged = spaced
+    for a, b in _BPE_MERGES:
+        merged = F.replace(merged, F.lit(a + " "), F.lit(b + " "))
+    n_before = F.length(F.replace(cleaned, F.lit(" "), F.lit("")))
+    n_after = F.size(F.filter(F.split(merged, " +"), lambda x: x != ""))
+    return (
+        docs.select(
+            "doc_id",
+            n_before.cast("long").alias("n_units_before"),
+            n_after.cast("long").alias("n_units_after"),
+            hround(n_before / n_after, 4).alias("compression"),
+        )
+        .filter(F.col("n_units_before") > 0)
+    )

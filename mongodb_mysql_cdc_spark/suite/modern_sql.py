@@ -280,3 +280,41 @@ FROM pipe_lineitem
 |> SELECT l_returnflag, l_linestatus, n, revenue
 """
     )
+
+
+@register(
+    "sql_qualify",
+    oracle=f"""
+SELECT event_type, event_id, value,
+       {sql_round('avg(value) OVER (PARTITION BY event_type)', 6)} AS type_avg
+FROM events
+QUALIFY value > avg(value) OVER (PARTITION BY event_type)
+""",
+)
+def sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse QUALIFY idiom — filter on a WINDOW aggregate
+    (events beating their type's average), which WHERE can't express
+    (window not yet computed) and HAVING can't either (no grouping).
+    DuckDB/Snowflake/BigQuery spell it QUALIFY; Spark has no QUALIFY
+    clause, and this query IS the translation every migrating user
+    writes: compute the window column, then filter on it in the next
+    projection. Same plan shape either way — one hash-partitioned
+    window exchange on the partition key, filter evaluated post-window
+    (nothing to push below it, by construction)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            "value",
+            F.avg("value").over(w).alias("_type_avg"),
+        )
+        .filter(F.col("value") > F.col("_type_avg"))
+        .select(
+            "event_type", "event_id", "value",
+            hround(F.col("_type_avg"), 6).alias("type_avg"),
+        )
+    )

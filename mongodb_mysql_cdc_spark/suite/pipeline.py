@@ -516,3 +516,58 @@ def corpus_prepare_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("bin_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+_CURRICULUM_BUDGET = 10_000  # token budget for the curriculum head
+
+
+@register(
+    "dataset_curriculum",
+    oracle=f"""
+WITH {TOKS_CTE},
+scored AS (SELECT doc_id, source, len(t) AS tok FROM toks),
+cum AS (
+  SELECT *, sum(tok) OVER (ORDER BY -tok, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+  FROM scored
+)
+SELECT source,
+       CAST(count(*) AS BIGINT)  AS n_docs,
+       CAST(sum(tok) AS BIGINT)  AS n_tokens,
+       CAST(min(tok) AS BIGINT)  AS min_tok
+FROM cum
+WHERE cum_tok <= {_CURRICULUM_BUDGET}
+GROUP BY source
+""",
+)
+def dataset_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum head selection under a token budget: rank the corpus by
+    a difficulty proxy (token count, longest first — swap in any score
+    column), take documents until the cumulative token count reaches the
+    training budget, and report the selected mix per source. This is the
+    'fill the next training phase' op every curriculum/annealing recipe
+    runs, and its core is a GLOBAL ordered running sum — the textbook
+    single-partition-window trap. Here it's the distributed spelling
+    (operators/ranking.with_global_cumsum): range-partition on the order
+    key, per-partition running sums in parallel, broadcast per-partition
+    offsets — same machinery as a global orderBy, minus the serial
+    window. The budget filter then prunes before the final per-source
+    aggregate."""
+    from mongodb_mysql_cdc_spark.operators.ranking import with_global_cumsum
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(X.tokens(F.col("text"))).cast("long").alias("tok"),
+    ).withColumn("neg_tok", -F.col("tok"))
+    cum = with_global_cumsum(scored, ["neg_tok", "doc_id"], "tok", "cum_tok")
+    return (
+        cum.filter(F.col("cum_tok") <= _CURRICULUM_BUDGET)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("n_tokens"),
+            F.min("tok").alias("min_tok"),
+        )
+    )

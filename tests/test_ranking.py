@@ -61,3 +61,34 @@ def test_distributed_ntile_plan_has_no_global_window(spark):
     for m in re.finditer(r"\bWindow \[.*?\], \[(.*?)\](, \[.*?\])?$", plan, re.M):
         # every Window node must carry a partition spec (3 bracket groups)
         assert m.group(2) is not None, plan
+
+
+def test_global_cumsum_matches_window_sum(spark):
+    from mongodb_mysql_cdc_spark.operators.ranking import with_global_cumsum
+
+    df = _frame(spark, 1000).withColumn("w", (F.col("id") % 7) + 1)
+    got = {
+        r["id"]: r["cum"]
+        for r in with_global_cumsum(df, ["v", "id"], "w", "cum").collect()
+    }
+    want = {
+        r["id"]: r["cum"]
+        for r in df.withColumn(
+            "cum",
+            F.sum("w").over(
+                Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_cumsum_plan_has_no_global_window(spark):
+    from mongodb_mysql_cdc_spark.operators.ranking import with_global_cumsum
+
+    df = with_global_cumsum(_frame(spark, 100).withColumn("w", F.lit(1)), ["v", "id"], "w", "cum")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # every Window in the plan must be partitioned (no SinglePartition window)
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert "_gc_pid" in line, line
