@@ -309,3 +309,36 @@ def test_temporal_and_er_joins_are_hash_not_bnl(spark):
     for name in ("join_temporal_scd2", "er_match_score"):
         plan = explain_str(_q(name, spark))
         assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan, name
+
+
+def test_exactly_once_rides_one_exchange(spark):
+    """The redelivery dedup and the LWW reconcile must share ONE key
+    exchange (explicit repartition("key") + subset-distribution rule) —
+    the round-5 respelling this test pins down."""
+    plan = explain_str(_q("cdc_exactly_once", spark), "simple")
+    assert plan.count("Exchange") == 1
+
+
+def test_semantic_keep_broadcasts_centroids_and_reps(spark):
+    """dedup_semantic_keep: centroid assignment and representative
+    attach must both be broadcast joins — the corpus never shuffles for
+    either — and no cartesian product may appear."""
+    plan = explain_str(_q("dedup_semantic_keep", spark))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) >= 2
+
+
+def test_bpe_merge_is_zero_shuffle(spark):
+    """token_bpe_merge is pure per-row column algebra: no exchange at
+    all, and the whole pipeline sits in one codegen span."""
+    plan = explain_str(_q("token_bpe_merge", spark), "simple")
+    assert "Exchange" not in plan
+    assert wholestage_codegen_spans(_q("token_bpe_merge", spark)) >= 1
+
+
+def test_gdpr_erasure_broadcasts_erasure_list(spark):
+    """The erasure list is request-sized — the state table must never
+    shuffle for the redaction join."""
+    assert has_broadcast_join(_q("cdc_gdpr_erasure", spark))
