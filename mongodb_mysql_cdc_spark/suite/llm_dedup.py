@@ -723,11 +723,14 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         V.cosine(F.col("embedding"), F.col("cvec")).alias("cos"),
     )
-    w_v = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cid"))
-    assign = (
-        sims.withColumn("rn", F.row_number().over(w_v))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cid").alias("cell"), F.col("cos").alias("cos_cent"))
+    # argmax cell per vector as a hash aggregate, not a window: the
+    # broadcast product left the corpus hash-partitioned on vec_id, so
+    # the groupBy plans with NO exchange and the map-side partial agg
+    # collapses the 8× centroid fan-out in place (a window would add a
+    # per-partition sort for the same answer).
+    assign = sims.groupBy("vec_id").agg(
+        F.expr("max_by(cid, struct(cos, -cid))").alias("cell"),
+        F.max("cos").alias("cos_cent"),
     )
     rep = assign.groupBy("cell").agg(
         F.expr("max_by(vec_id, struct(cos_cent, -vec_id))").alias("rep_id")
