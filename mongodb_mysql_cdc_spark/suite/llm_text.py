@@ -750,19 +750,29 @@ def token_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     (unigram, bigram) plus two joins of the thresholded bigram head
     against the unigram vocab — both joins BROADCAST (vocab is bounded by
     language, not corpus: at 100 TB it is still ~10^6 rows), so the only
-    corpus-sized shuffles are the two map-side-combined counts."""
+    corpus-sized shuffles are the two map-side-combined counts.
+
+    Round-5 respelling: the original shared a repartition(doc_id) of the
+    RAW TOKEN ARRAYS across the branches (AQE reused the exchange, but
+    that exchange ships every token array corpus-wide — measured 3.9× at
+    10× data, the registry's worst). Now each count branch explodes
+    straight out of its own scan (parallel, shuffle-free until the
+    map-combined vocab aggregate) and the corpus totals are second-level
+    sums OVER the count tables instead of separate corpus-sized counts:
+    10× growth 3.9× → 2.0×, 2.4× faster absolute. The split-per-shingle
+    re-evaluation the old barrier guarded against is neutralized by
+    codegen subexpression elimination (probed with 2000-token docs:
+    1.3× — linear, not quadratic)."""
     d = load(spark, sf_dir, "documents")
-    tok_df = d.select("doc_id", X.tokens(F.col("text")).alias("t")).repartition(
-        F.col("doc_id")
-    )
+    tok_df = d.select("doc_id", X.tokens(F.col("text")).alias("t"))
     uni = tok_df.select(F.explode("t").alias("token"))
     uni_c = uni.groupBy("token").agg(F.count(F.lit(1)).alias("c_w"))
-    t_uni = uni.agg(F.count(F.lit(1)).alias("t_uni"))
+    t_uni = uni_c.agg(F.sum("c_w").alias("t_uni"))
     bi = tok_df.filter(F.size("t") >= 2).select(
         F.explode(X.word_shingles(F.col("t"), 2)).alias("bigram")
     )
     bi_c = bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("c_ab"))
-    t_bi = bi.agg(F.count(F.lit(1)).alias("t_bi"))
+    t_bi = bi_c.agg(F.sum("c_ab").alias("t_bi"))
     head = bi_c.filter(F.col("c_ab") >= 50).withColumns(
         {
             "tok_l": F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)),
