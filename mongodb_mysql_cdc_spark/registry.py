@@ -55,14 +55,15 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # This round-5 window = that re-verify + the 49 highest-value unseen
 # queries, cheap scalar/agg/sql families first and streaming queries
 # last so a time-capped driver run can't starve the cheap ones (the
-# ordering trick from r2-r4). The 21 deferred names plus the 8 round-5
+# ordering trick from r2-r4). The 21 deferred names plus the 9 round-5
 # additions (cdc_exactly_once, cdc_pk_change, cdc_gdpr_erasure,
 # cdc_replication_lag, sql_qualify, dedup_semantic_keep,
-# token_bpe_merge, dataset_curriculum) form the round-6 queue: 29 names
-# for 50 slots — see coverage_report.py --backlog. The freeze condition
-# from the round-4 verdict ("no new registrations until the backlog is
-# under 50") held before and after the additions; 21 spare round-6
-# slots remain for re-verifies if any round-5 row errs.
+# token_bpe_merge, dataset_curriculum, search_rrf_fusion) form the
+# round-6 queue: 30 names for 50 slots — see coverage_report.py
+# --backlog. The freeze condition from the round-4 verdict ("no new
+# registrations until the backlog is under 50") held before and after
+# the additions; 20 spare round-6 slots remain for re-verifies if any
+# round-5 row errs.
 _DRIVER_WINDOW = [
     # re-verify (round-4 red, now scalar-column safe)
     "agg_approx_quantile",

@@ -802,3 +802,140 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         hround(1.0 / (1.0 + F.exp(-dot_final)), 4).alias("p_hat"),
     )
+
+
+# --- hybrid retrieval: reciprocal rank fusion ------------------------------
+
+_RRF_K = 60       # the standard RRF damping constant (Cormack et al. 2009)
+_RRF_LIST = 20    # per-retriever candidate list depth
+_RRF_OUT = 10     # fused results returned per query
+
+
+@register(
+    "search_rrf_fusion",
+    oracle=f"""
+WITH {TOKS_CTE},
+ql AS (SELECT doc_id AS query_id, list_distinct(t[1:3]) AS ql
+       FROM toks WHERE doc_id < {_N_QUERIES}),
+qterm AS (SELECT query_id, unnest(ql) AS term FROM ql),
+ctok AS (SELECT doc_id, unnest(t) AS tok FROM toks WHERE doc_id >= {_N_QUERIES}),
+hits AS (
+  SELECT q.query_id, c.doc_id, count(*) AS lex_score
+  FROM ctok c JOIN qterm q ON c.tok = q.term
+  GROUP BY q.query_id, c.doc_id
+),
+lex AS (
+  SELECT query_id, doc_id, lex_rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY lex_score DESC, doc_id) AS lex_rank
+    FROM hits
+  ) WHERE lex_rank <= {_RRF_LIST}
+),
+sem0 AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+         {V.sql_cosine('q.embedding', 'c.embedding')} AS cos_sim
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id < {_N_QUERIES} AND c.vec_id >= {_N_QUERIES}
+),
+sem AS (
+  SELECT query_id, doc_id, sem_rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos_sim DESC, doc_id) AS sem_rank
+    FROM sem0
+  ) WHERE sem_rank <= {_RRF_LIST}
+),
+fused AS (
+  SELECT query_id, doc_id, lex.lex_rank, sem.sem_rank,
+         coalesce(1.0 / ({_RRF_K} + lex.lex_rank), 0.0)
+         + coalesce(1.0 / ({_RRF_K} + sem.sem_rank), 0.0) AS rrf0
+  FROM lex FULL JOIN sem USING (query_id, doc_id)
+)
+SELECT query_id, doc_id, lex_rank, sem_rank,
+       {sql_round('rrf0', 6)} AS rrf_score, fused_rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf0 DESC, doc_id) AS fused_rank
+  FROM fused
+) WHERE fused_rank <= {_RRF_OUT}
+""",
+)
+def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal rank fusion (Cormack et al. 2009 —
+    the standard RAG trick for combining a lexical and a semantic
+    retriever without score calibration): rrf = Σ 1/(k + rank_i), k=60.
+    Query-by-example: each of the 10 query docs contributes its first 3
+    distinct tokens as the lexical query and its embedding as the
+    semantic query; each retriever returns a top-20 list per query and
+    the fused top-10 is emitted with both source ranks (NULL where one
+    retriever missed the doc — exactly what the coalesce-to-0 fusion is
+    for).
+
+    Scale shape: both candidate generators are the engine's existing
+    retrieval patterns — posting-style hits (corpus explode joined to a
+    BROADCAST 30-term query set, map-side-combined count) and broadcast
+    query-vectors × streamed corpus cosine. Ranks are per-query windows
+    (partitioned, WindowGroupLimit prunes to the list depth before the
+    sort spills); the fusion join then touches ≤ 2·20 rows per query —
+    at 100 TB everything after candidate generation is querycount-sized,
+    not corpus-sized."""
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+
+    qlex = docs.filter(F.col("doc_id") < _N_QUERIES).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.array_distinct(F.slice(X.tokens(F.col("text")), 1, 3))).alias(
+            "term"
+        ),
+    )
+    ctok = spread(docs.filter(F.col("doc_id") >= _N_QUERIES), "doc_id").select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("tok")
+    )
+    hits = (
+        ctok.join(F.broadcast(qlex), ctok.tok == qlex.term)
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("lex_score"))
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.desc("lex_score"), F.asc("doc_id")
+    )
+    lex = (
+        hits.withColumn("lex_rank", F.row_number().over(w_lex).cast("long"))
+        .filter(F.col("lex_rank") <= _RRF_LIST)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+
+    q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
+        V.norm(F.col("embedding")).alias("qn"),
+    )
+    c = spread(emb.filter(F.col("vec_id") >= _N_QUERIES), "vec_id").select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("cv"),
+        V.norm(F.col("embedding")).alias("cn"),
+    )
+    sem0 = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "doc_id",
+        (V.dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cos_sim"),
+    )
+    w_sem = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("doc_id")
+    )
+    sem = (
+        sem0.withColumn("sem_rank", F.row_number().over(w_sem).cast("long"))
+        .filter(F.col("sem_rank") <= _RRF_LIST)
+        .select("query_id", "doc_id", "sem_rank")
+    )
+
+    fused = lex.join(sem, ["query_id", "doc_id"], "full").withColumn(
+        "rrf0",
+        F.coalesce(F.lit(1.0) / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (_RRF_K + F.col("sem_rank")), F.lit(0.0)),
+    )
+    w_f = Window.partitionBy("query_id").orderBy(F.desc("rrf0"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w_f).cast("long"))
+        .filter(F.col("fused_rank") <= _RRF_OUT)
+        .select(
+            "query_id", "doc_id", "lex_rank", "sem_rank",
+            hround(F.col("rrf0"), 6).alias("rrf_score"), "fused_rank",
+        )
+    )
