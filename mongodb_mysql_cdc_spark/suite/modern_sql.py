@@ -8,7 +8,7 @@ meaning is pinned cross-engine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mongodb_mysql_cdc_spark.catalog import load
@@ -301,8 +301,6 @@ def sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection. Same plan shape either way — one hash-partitioned
     window exchange on the partition key, filter evaluated post-window
     (nothing to push below it, by construction)."""
-    from pyspark.sql import Window
-
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("event_type")
     return (
