@@ -45,58 +45,57 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 
 
 # The driver verifies the FIRST 50 names in queries() order per round
-# (CORRECTNESS_r01.json = registry positions 1-50 exactly).  Rounds 1-4
-# produced green driver rows for 196 distinct queries; the true
-# driver-unseen backlog at round-5 start was 70 (union of
-# CORRECTNESS_r01-r04 keys vs queries() — regenerate with
-# `python tools/coverage_report.py --backlog`), plus agg_approx_quantile
-# to RE-verify (its round-4 row errored: array<double> output crashed
-# the driver's pandas canonicalizer; fixed to four scalar columns).
-# This round-5 window = that re-verify + the 49 highest-value unseen
-# queries, cheap scalar/agg/sql families first and streaming queries
-# last so a time-capped driver run can't starve the cheap ones (the
-# ordering trick from r2-r4). The 21 deferred names plus the 9 round-5
-# additions (cdc_exactly_once, cdc_pk_change, cdc_gdpr_erasure,
-# cdc_replication_lag, sql_qualify, dedup_semantic_keep,
-# token_bpe_merge, dataset_curriculum, search_rrf_fusion) form the
-# round-6 queue: 30 names for 50 slots — see coverage_report.py
-# --backlog. The freeze condition from the round-4 verdict ("no new
-# registrations until the backlog is under 50") held before and after
-# the additions; 20 spare round-6 slots remain for re-verifies if any
-# round-5 row errs.
+# (CORRECTNESS_r01.json = registry positions 1-50 exactly).  After the
+# round-5 window went 50/50 green, driver-verified coverage stands at
+# 246 of 276 registered queries (union of CORRECTNESS_r01-r05 — the
+# numbers regenerate with `python tools/coverage_report.py`).  This
+# round-6 window clears the remainder in one pass:
+#   - the full 30-name unseen backlog (`coverage_report.py --backlog`);
+#   - the 5 green-but-re-spelled queries (`coverage_report.py --stale`,
+#     new this round: mechanically diffs each green query's register
+#     segment at HEAD vs its green round's marker commit): join_asof
+#     (r1 green; nearest-variant + delta_sec fixes landed later), tfidf
+#     (r1; df-derivation rewrite r5 + vocab-cutover r6),
+#     dedup_ngram_jaccard (r2; pair-budget bound r5), token_bigram_pmi
+#     (r4; raw-token-shuffle removal r5), cdc_scd2 (r3; shared-helper
+#     refactor when the streaming SCD2 sink landed);
+#   - 15 pad slots re-verifying the headline bench queries + three core
+#     operators under current code (all green r1-r2, cheap, and the
+#     queries whose numbers BENCH_r06 will cite — fresh evidence beats
+#     idle slots).
+# Cheap scalar/agg/sql families first, streaming LAST so a time-capped
+# driver run can't starve the cheap ones (the ordering trick from
+# r2-r5).  A green round here makes every registered query
+# driver-verified under its current source — keep the registration
+# freeze until CORRECTNESS_r06.json lands, then new work reopens.
 _DRIVER_WINDOW = [
-    # re-verify (round-4 red, now scalar-column safe)
-    "agg_approx_quantile",
-    # §2.4 aggregate extensions (cheapest)
-    "agg_moments", "agg_weighted_median", "agg_corr_matrix",
-    "agg_entropy_diversity", "agg_hll_sketch", "agg_bitmap_distinct",
-    # §2.5/§2.7/§2.2 window + set + subquery/sql surface
-    "win_rolling_median", "union_schema_evolve", "subquery_any_all",
-    "sql_recursive_cte", "fn_variant", "fn_sql_udf", "fn_collation",
-    # §2.3 temporal join + sequence analytics
-    "join_temporal_scd2", "event_seq_pattern",
-    # analytics + data-quality census
-    "analytics_shipping_priority", "analytics_local_supplier_volume",
-    "analytics_rfm", "analytics_market_basket", "analytics_pareto",
-    "dq_benford", "dq_table_diff",
-    # §2.11 time-series wave 2 + anomaly + ml preprocessing
-    "ts_calendar_profile", "ts_twap", "ts_seasonal_residual",
-    "ts_derivative", "ts_max_drawdown", "ts_autocorr", "anomaly_cusum",
-    "ml_quantile_normalize", "quality_winsorize",
-    # §2.10 dedup / ER / multimodal / UDF surface
-    "dedup_chunk_sig", "er_match_score", "multimodal_phash",
-    "multimodal_audio_features", "udf_arrow",
-    # §2.9 CDC census (batch forms)
-    "cdc_order_audit", "cdc_warehouse_report", "cdc_op_mix_hourly",
-    "cdc_keys_churn",
-    # iterative in-plan ML
-    "embedding_pca_project", "ml_logreg_gd",
-    # Spark-4 Python DataSource surface
-    "scan_python_datasource", "scan_python_datasource_pushdown",
-    "cdc_apply_python_source",
-    # capstone + streaming LAST — most expensive per query
-    "corpus_prepare_e2e", "cdc_snapshot_handoff", "cdc_scd2_stream",
-    "stream_python_datasource",
+    # §2.8 scalar-function wave 2 (cheapest)
+    "fn_string3", "fn_explode_outer", "fn_array_hof2", "fn_try_safe",
+    "fn_interval", "fn_timezone", "fn_xml", "fn_haversine",
+    "fn_str_to_map", "fn_aes_roundtrip", "fn_levenshtein_threshold",
+    "fn_encoding",
+    # §2.4/§2.5 aggregate + window stragglers
+    "agg_product", "agg_grouping_id", "win_ratio_to_report",
+    # modern-SQL surface
+    "sql_parameterized", "sql_pipe_syntax", "sql_qualify",
+    # re-verify: re-spelled after their driver green (--stale)
+    "join_asof", "tfidf", "dedup_ngram_jaccard", "token_bigram_pmi",
+    "cdc_scd2",
+    # pad: headline bench queries + core ops under current code
+    "pricing_summary", "join_inner_hash", "join_broadcast",
+    "topk_per_group", "win_running", "agg_rollup", "agg_hash",
+    "win_row_number", "dedup_exact", "dedup_minhash_lsh",
+    "sim_search_topk", "sim_search_lsh", "sim_search_ivf", "text_stats",
+    # scan/maintenance surface
+    "scan_json_corrupt", "scan_observe_metrics",
+    # LLM-pipeline round-5 additions
+    "dedup_semantic_keep", "search_rrf_fusion", "token_bpe_merge",
+    "dataset_curriculum",
+    # CDC corner cases (batch)
+    "cdc_exactly_once", "cdc_pk_change", "cdc_gdpr_erasure",
+    "cdc_replication_lag", "cdc_apply_batch",
+    # file-rewrite + streaming LAST — most expensive per query
+    "maintenance_zorder", "stream_topk",
 ]
 
 

@@ -1205,15 +1205,23 @@ def cdc_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {_ENV_CTE},
 lag AS (
   SELECT date_trunc('hour', ts) AS hr,
-         CAST((seq * 37) % 300 AS DOUBLE) AS lag_s
+         CAST(floor((seq * 37) % 300) AS BIGINT) AS b
   FROM env
+),
+hist AS (SELECT hr, b, count(*) AS c FROM lag GROUP BY hr, b),
+cum AS (
+  SELECT hr, b, c,
+         sum(c) OVER (PARTITION BY hr ORDER BY b
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         sum(c) OVER (PARTITION BY hr) AS n
+  FROM hist
 )
 SELECT hr,
-       CAST(count(*) AS BIGINT) AS n_applied,
-       {sql_round('quantile_cont(lag_s, 0.5)', 4)}  AS p50_lag_s,
-       {sql_round('quantile_cont(lag_s, 0.95)', 4)} AS p95_lag_s,
-       {sql_round('max(lag_s)', 4)}                 AS max_lag_s
-FROM lag
+       CAST(max(n) AS BIGINT) AS n_applied,
+       CAST(min(CASE WHEN cum * 2  >= n      THEN b END) AS DOUBLE) AS p50_lag_s,
+       CAST(min(CASE WHEN cum * 20 >= n * 19 THEN b END) AS DOUBLE) AS p95_lag_s,
+       CAST(max(b) AS DOUBLE)                                       AS max_lag_s
+FROM cum
 GROUP BY hr
 """,
 )
@@ -1222,19 +1230,48 @@ def cdc_replication_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     (p50/p95/max) of sink-commit latency. The commit timestamp is
     synthesized deterministically (lag = seq·37 mod 300 s — the harness
     stand-in for the sink's commit clock; production reads it from the
-    applier's audit column). One hash aggregate keyed on the hour;
-    exact percentiles per group are fine because a group is one hour of
-    one table's traffic — at 100 TB cardinality grows in GROUPS (hours),
-    not group SIZE, and a group's members are colocated by the shuffle.
-    The dashboard this feeds is the page-the-operator signal."""
+    applier's audit column).
+
+    Percentiles come from a FIXED 1-second histogram, not Spark's exact
+    ``percentile`` — that aggregate buffers every group member in its
+    state, and "one hour of one table's traffic" is exactly the quantity
+    that explodes at 100 TB (a hot table's hour is billions of rows in
+    ONE group's buffer). Here aggregation state is one count per
+    (hour, second-bucket) pair — at most 300 buckets per hour, bounded
+    no matter the traffic — and the percentile is read off the bucket
+    CDF (inverse-CDF / nearest-rank on bucket floors: smallest bucket b
+    with cum(b) ≥ q·n, compared in INTEGER arithmetic so no float ulp
+    can straddle engines). The cumulative windows run over the tiny
+    histogram (≤300 rows per hour partition), never the raw events.
+    For a monitoring dashboard, 1-second resolution IS the SLA grain;
+    tests/test_cdc_lag.py anchors the bucketed p50/p95 to within one
+    bucket of the exact percentile. max is exact (max of bucket floors
+    equals max of integer-valued lags)."""
     env = events_as_envelopes(spark, sf_dir)
     lag = env.select(
         F.date_trunc("hour", "ts").alias("hr"),
-        ((F.col("seq") * 37) % 300).cast("double").alias("lag_s"),
+        F.floor((F.col("seq") * 37) % 300).cast("long").alias("b"),
     )
-    return lag.groupBy("hr").agg(
-        F.count(F.lit(1)).alias("n_applied"),
-        hround(F.expr("percentile(lag_s, 0.5)"), 4).alias("p50_lag_s"),
-        hround(F.expr("percentile(lag_s, 0.95)"), 4).alias("p95_lag_s"),
-        hround(F.max("lag_s"), 4).alias("max_lag_s"),
+    hist = lag.groupBy("hr", "b").agg(F.count(F.lit(1)).alias("c"))
+    w_cdf = (
+        Window.partitionBy("hr")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("hr")
+    cum = hist.select(
+        "hr",
+        "b",
+        F.sum("c").over(w_cdf).alias("cum"),
+        F.sum("c").over(w_tot).alias("n"),
+    )
+    return cum.groupBy("hr").agg(
+        F.max("n").alias("n_applied"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("b")))
+        .cast("double")
+        .alias("p50_lag_s"),
+        F.min(F.when(F.col("cum") * 20 >= F.col("n") * 19, F.col("b")))
+        .cast("double")
+        .alias("p95_lag_s"),
+        F.max("b").cast("double").alias("max_lag_s"),
     )

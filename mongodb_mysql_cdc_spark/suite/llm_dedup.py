@@ -657,10 +657,10 @@ _SEM_CENT_LO, _SEM_CENT_HI = 20, 28  # 8 fixed corpus vectors as centroids
 _SEM_TAU = 0.30  # cos-to-centroid above which a non-representative is a dup
 
 _SEM_SQL_BASE = f"""
-cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-         WHERE vec_id >= {_SEM_CENT_LO} AND vec_id < {_SEM_CENT_HI}),
 corp AS (SELECT vec_id, embedding FROM embeddings
          WHERE {V.sql_norm('embedding')} > 0),
+cent AS (SELECT vec_id AS cid, embedding AS cvec FROM corp
+         WHERE vec_id >= {_SEM_CENT_LO} AND vec_id < {_SEM_CENT_HI}),
 sims AS (SELECT corp.vec_id, cent.cid,
                 {V.sql_cosine('corp.embedding', 'cent.cvec')} AS cos
          FROM corp CROSS JOIN cent),

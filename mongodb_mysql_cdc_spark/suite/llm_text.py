@@ -313,8 +313,20 @@ FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
 )
 def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF weighting (§2.10): smooth idf = ln((N+1)/(df+1)) + 1.
-    Two aggregations + a broadcast join on the (vocab-sized) df table and
-    the 1-row corpus count — no O(corpus) shuffle beyond the tf groupBy.
+    Delegates to :func:`tfidf_weights` with the broadcast default —
+    right for every harness SF (vocab ≈ tens of thousands of tokens).
+    The scale cutover for web-scale vocabularies lives in
+    ``tfidf_weights(vocab_broadcast_limit=...)``; see its docstring."""
+    return tfidf_weights(spark, sf_dir)
+
+
+def tfidf_weights(
+    spark: SparkSession, sf_dir: str, vocab_broadcast_limit: int | None = None
+) -> DataFrame:
+    """TF-IDF with a configurable broadcast→shuffle cutover on the df join.
+
+    Two aggregations + a join on the (vocab-sized) df table and the
+    1-row corpus count — no O(corpus) shuffle beyond the tf groupBy.
     df is derived from the tf table (one row per (doc, token), so a plain
     count IS countDistinct(doc_id)): the doc-frequency shuffle moves
     |distinct (doc, token) pairs| pre-combined map-side instead of the
@@ -324,21 +336,42 @@ def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     window partition is a single reducer task — a stopword token's rows
     (≈ every doc) on one executor is the classic 100 TB skew killer, and
     AQE cannot split window partitions the way it splits skewed joins.
-    The broadcast join keeps every step parallel and skew-free at the
-    cost of re-evaluating the tf subtree on the (vocab-sized) df branch;
-    in a real pipeline tf.persist() between the two aggregations removes
-    that re-scan (left out here only because bench's best-of-N timing
-    policy forbids caching inside registered queries).
+
+    The df join has a size cliff: a harness-scale vocabulary broadcasts
+    (keeps every step parallel and shuffle-free), but a web-scale
+    corpus's distinct-token table — hapaxes and typos included — is GBs,
+    too big to ship to every executor.  ``vocab_broadcast_limit`` is
+    that cutover: ``None`` (the registered query's setting) asserts the
+    vocab is broadcast-sized and hints ``F.broadcast``; a number makes
+    the plan measure — ``df.limit(k+1).count()`` (early-terminating, so
+    the probe costs one cheap job, not a full vocab scan) — and fall
+    back to a plain shuffle equi-join on token above the limit, relying
+    on the session's AQE skew-join to split any hot-token partitions.
+    tests/test_plans.py pins both branches' join shapes.
+
+    In a real pipeline tf.persist() between the two aggregations removes
+    the df-branch re-scan (left out here only because bench's best-of-N
+    timing policy forbids caching inside registered queries).
     ln() differs by ulps across libm implementations → rounded to 6dp on
     both sides (the only rounding this module needs)."""
     docs = load(spark, sf_dir, "documents")
     ex = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("token"))
     tf = ex.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if vocab_broadcast_limit is None:
+        df_side = F.broadcast(df)
+    else:
+        vocab_fits = (
+            df.limit(vocab_broadcast_limit + 1).count() <= vocab_broadcast_limit
+        )
+        # above the limit, hint merge explicitly: the probe already proved
+        # the vocab oversized, so don't let Catalyst's static size estimate
+        # re-broadcast it (estimates undershoot on aggregate outputs)
+        df_side = F.broadcast(df) if vocab_fits else df.hint("merge")
     n = docs.agg(F.countDistinct("doc_id").alias("n_docs"))
     idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
     return (
-        tf.join(F.broadcast(df), "token")
+        tf.join(df_side, "token")
         .crossJoin(F.broadcast(n))
         .select("doc_id", "token", "tf", "df", hround(F.col("tf") * idf, 6).alias("tfidf"))
     )

@@ -288,7 +288,8 @@ FROM pipe_lineitem
 SELECT event_type, event_id, value,
        {sql_round('avg(value) OVER (PARTITION BY event_type)', 6)} AS type_avg
 FROM events
-QUALIFY value > avg(value) OVER (PARTITION BY event_type)
+QUALIFY {sql_round('value', 6)}
+      > {sql_round('avg(value) OVER (PARTITION BY event_type)', 6)}
 """,
 )
 def sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,7 +301,11 @@ def sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
     writes: compute the window column, then filter on it in the next
     projection. Same plan shape either way — one hash-partitioned
     window exchange on the partition key, filter evaluated post-window
-    (nothing to push below it, by construction)."""
+    (nothing to push below it, by construction). The filter compares
+    6dp-ROUNDED values on both engines: summation order inside avg()
+    differs across engines, so a value within ulps of its group average
+    could otherwise pass the strict > on one engine and fail on the
+    other (the same hazard tfidf rounds away)."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("event_type")
     return (
@@ -310,7 +315,7 @@ def sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
             F.avg("value").over(w).alias("_type_avg"),
         )
-        .filter(F.col("value") > F.col("_type_avg"))
+        .filter(hround(F.col("value"), 6) > hround(F.col("_type_avg"), 6))
         .select(
             "event_type", "event_id", "value",
             hround(F.col("_type_avg"), 6).alias("type_avg"),

@@ -74,6 +74,24 @@ def test_tfidf_broadcasts_small_sides(spark):
     assert "BroadcastExchange" in plan
 
 
+def test_tfidf_vocab_cutover_both_branches(spark):
+    """tfidf_weights' broadcast→shuffle cutover: below the vocab limit the
+    df join broadcasts (today's harness plan); above it — a web-scale
+    distinct-token table is GBs, too big to ship to every executor — the
+    join must fall back to a plain shuffle on token (AQE skew-join splits
+    hot tokens at runtime)."""
+    from mongodb_mysql_cdc_spark.suite.llm_text import tfidf_weights
+
+    sf = "/root/testdata/sf0.001"
+    small = explain_str(tfidf_weights(spark, sf, vocab_broadcast_limit=10**9))
+    assert "BroadcastHashJoin" in small
+    big = explain_str(tfidf_weights(spark, sf, vocab_broadcast_limit=0))
+    # the token join must NOT broadcast; the only remaining broadcast is
+    # the 1-row corpus-count nested loop
+    assert "SortMergeJoin" in big or "ShuffledHashJoin" in big
+    assert "BroadcastHashJoin" not in big
+
+
 def test_no_cartesian_in_relational_suite(spark):
     """No checked relational query may plan a CartesianProduct; the only
     sanctioned cross joins broadcast a provably-tiny side."""

@@ -13,8 +13,10 @@ Usage:  python tools/coverage_report.py [--json]
 from __future__ import annotations
 
 import argparse
+import ast
 import glob
 import json
+import subprocess
 import sys
 from pathlib import Path
 
@@ -48,6 +50,84 @@ def driver_evidence() -> dict[str, str]:
     return out
 
 
+def _round_commit(rnd: str) -> str | None:
+    """Hash of the 'round N: verdict/...' marker commit — the repo state
+    the driver's CORRECTNESS_rN.json evidence was recorded against (the
+    marker only adds verdict/bench files, so its package tree IS the
+    end-of-round-N code)."""
+    out = subprocess.run(
+        ["git", "log", "--format=%H", "-1", "--grep", f"^round {int(rnd)}: ",
+         "--extended-regexp"],
+        cwd=ROOT, capture_output=True, text=True,
+    )
+    h = out.stdout.strip()
+    return h or None
+
+
+def _query_segment(src: str, qname: str) -> str | None:
+    """Source segment (register decorator + body) of the function
+    registered under qname, or None if absent. The decorator is included
+    because it carries the oracle SQL — an oracle edit is as much a
+    re-spell as a body edit. Limitation (documented): shared module
+    constants interpolated into oracle f-strings (CTE snippets, shared
+    helpers) are outside the segment; an edit there won't flag."""
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return None
+    lines = src.splitlines()
+    for node in ast.walk(tree):
+        if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            continue
+        for dec in node.decorator_list:
+            if (
+                isinstance(dec, ast.Call)
+                and dec.args
+                and isinstance(dec.args[0], ast.Constant)
+                and dec.args[0].value == qname
+            ):
+                start = min(d.lineno for d in node.decorator_list) - 1
+                return "\n".join(lines[start : node.end_lineno])
+    return None
+
+
+def stale_queries(evidence: dict[str, str]) -> list[tuple[str, str]]:
+    """Queries whose defining source changed AFTER their driver-green
+    round: (name, green_round) pairs needing a re-verify window slot.
+    Mechanical version of 'changed since green' — compares the register
+    segment at HEAD vs the round-marker commit's copy of the module."""
+    from mongodb_mysql_cdc_spark import registry as _r
+
+    _r.queries()  # force suite load
+    out: list[tuple[str, str]] = []
+    old_file_cache: dict[tuple[str, str], str | None] = {}
+    for name, rnd in sorted(evidence.items()):
+        fn = _r._QUERIES.get(name)
+        if fn is None:
+            continue
+        path = Path(fn.__code__.co_filename)
+        try:
+            rel = str(path.relative_to(ROOT))
+        except ValueError:
+            continue
+        commit = _round_commit(rnd)
+        if commit is None:
+            continue
+        key = (commit, rel)
+        if key not in old_file_cache:
+            show = subprocess.run(
+                ["git", "show", f"{commit}:{rel}"],
+                cwd=ROOT, capture_output=True, text=True,
+            )
+            old_file_cache[key] = show.stdout if show.returncode == 0 else None
+        old_src = old_file_cache[key]
+        new_seg = _query_segment(path.read_text(), name)
+        old_seg = _query_segment(old_src, name) if old_src else None
+        if new_seg != old_seg:
+            out.append((name, rnd))
+    return out
+
+
 def driver_seen() -> set[str]:
     """Every name that has appeared in ANY driver window (green or not)."""
     seen: set[str] = set()
@@ -66,7 +146,19 @@ def main() -> None:
         help="print the ordered next-round queue: every registered query "
         "that is neither driver-seen nor in the current window",
     )
+    ap.add_argument(
+        "--stale",
+        action="store_true",
+        help="print driver-green queries whose register segment changed "
+        "after their green round (need a re-verify window slot)",
+    )
     args = ap.parse_args()
+    if args.stale:
+        stale = stale_queries(driver_evidence())
+        print(f"{len(stale)} green-but-re-spelled queries (need re-verify):")
+        for name, rnd in stale:
+            print(f"  stale-since-r{rnd}  {name}")
+        return
     queries = registry.queries()
     oracles = registry.oracles()
     window = set(registry._DRIVER_WINDOW)
