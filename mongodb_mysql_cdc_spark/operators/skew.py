@@ -5,9 +5,11 @@ partitions, but only for sort-merge joins and only after statistics
 materialize. When one hot key dominates (the classic null-key / celebrity
 / default-tenant skew at 100 TB), salting is the deterministic fix:
 
-- fact side: derive a salt in [0, n) from a hash of the row's join key —
-  any deterministic spread works because correctness never depends on
-  WHICH salt a row gets;
+- fact side: derive a salt in [0, n) from a hash of the WHOLE row (never
+  the join key alone — all of a hot key's rows share the key, so a
+  key-derived salt re-lands them on one reducer and defeats the spread;
+  any deterministic per-row spread works because correctness never
+  depends on WHICH salt a row gets);
 - dim side: replicate each row once per salt value (n× a SMALL side);
 - join on (key, salt): the hot key's rows now spread across n partitions.
 
@@ -47,8 +49,16 @@ def salted_equi_join(
             f"salted_equi_join supports inner/left joins only, got {how!r}: "
             "unmatched dim rows would duplicate once per salt replica"
         )
+    # salt from the full row, NOT the join key: xxhash64(key) is constant
+    # within a key, which would send the hot key's rows to one reducer
+    # again (tests/test_skew_stress.py pins the spread). Identical
+    # duplicate rows still share a salt — deterministic under task retry,
+    # and a 100%-duplicate hot key is a dedup problem, not a join problem.
     salted_fact = fact.withColumn(
-        SALT_COL, F.pmod(F.xxhash64(F.col(fact_key)), F.lit(n_salts)).cast("int")
+        SALT_COL,
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts)).cast(
+            "int"
+        ),
     )
     salted_dim = dim.withColumn(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
