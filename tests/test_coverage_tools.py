@@ -1,0 +1,39 @@
+"""Unit tests for tools/coverage_report.py's --stale machinery (no Spark).
+
+The stale check is what decides which green queries owe a re-verify
+window slot; a silent extraction failure would under-rotate the driver
+window, which is exactly how round-4's backlog undercount happened.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT / "tools"))
+
+import coverage_report as cr  # noqa: E402
+
+
+def test_query_segment_includes_decorator_and_body():
+    src = (ROOT / "mongodb_mysql_cdc_spark/suite/llm_text.py").read_text()
+    seg = cr._query_segment(src, "tfidf")
+    assert seg is not None
+    assert seg.startswith("@register")       # decorator included …
+    assert "oracle=" in seg                  # … because it carries the SQL
+    assert "def tfidf" in seg
+    assert cr._query_segment(src, "no_such_query") is None
+
+
+def test_round_commit_resolves_markers():
+    assert cr._round_commit("05") is not None
+    assert cr._round_commit("99") is None
+
+
+def test_stale_flags_an_edited_segment():
+    # a green query whose segment is byte-identical at its marker commit
+    # must NOT flag; simulate an edit by asking against an older round
+    # where tfidf is KNOWN re-spelled (r5 rewrite + r6 cutover vs r1)
+    stale = dict(cr.stale_queries({"tfidf": "01"}))
+    assert "tfidf" in stale
