@@ -92,6 +92,22 @@ def test_tfidf_vocab_cutover_both_branches(spark):
     assert "BroadcastHashJoin" not in big
 
 
+def test_replication_lag_has_no_exact_percentile(spark):
+    """cdc_replication_lag's aggregate state must stay bounded: exact
+    percentile buffers EVERY group member (an hour of a hot table =
+    billions of rows in one group's state at 100 TB). The histogram
+    spelling keeps ≤300 bucket counts per hour — pin that no Percentile
+    aggregate sneaks back in and the windows run partitioned by hour."""
+    import re
+
+    plan = explain_str(_q("cdc_replication_lag", spark))
+    assert "percentile" not in plan.lower()
+    # the cumulative windows must be hr-partitioned, never global
+    specs = re.findall(r"windowspecdefinition\(([^,]*),", plan)
+    assert specs, plan
+    assert all(s.startswith("hr#") for s in specs), specs
+
+
 def test_no_cartesian_in_relational_suite(spark):
     """No checked relational query may plan a CartesianProduct; the only
     sanctioned cross joins broadcast a provably-tiny side."""
