@@ -170,6 +170,26 @@ def test_tfidf_weights_match_manual_computation(spark, sf_dir):
         assert r.tfidf == pytest.approx(expect, rel=1e-5)
 
 
+def test_tfidf_cutover_branches_agree(spark, sf_dir):
+    """The broadcast→shuffle vocab cutover is a physical choice only:
+    both branches must produce identical rows (the shuffle branch is the
+    100 TB path, never exercised by the oracle since the registered
+    query keeps the broadcast default)."""
+    cols = ["doc_id", "token", "tf", "df", "tfidf"]
+    broadcast = sorted(
+        map(tuple, llm_text.tfidf_weights(spark, sf_dir).select(*cols).collect())
+    )
+    shuffled = sorted(
+        map(
+            tuple,
+            llm_text.tfidf_weights(spark, sf_dir, vocab_broadcast_limit=0)
+            .select(*cols)
+            .collect(),
+        )
+    )
+    assert broadcast == shuffled
+
+
 def test_resized_bmp_is_itself_decodable(spark, sf_dir):
     """resize_bmp must emit VALID BMPs: parsing a resized payload with the
     independent stdlib/struct path yields the declared dims and the

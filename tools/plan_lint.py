@@ -18,6 +18,16 @@ for the patterns that break at 100 TB:
                      only for queries on the documented exception list
                      (global-semantics ops whose output is provably tiny
                      or whose input is already group-bounded).
+- ``unbounded_agg``  an EXACT ``percentile``/``median`` aggregate: its
+                     state buffers every group member, and any group
+                     whose size grows with the corpus (an event type, an
+                     hour of a hot table) is unbounded memory at 100 TB.
+                     ``approx_percentile`` (t-digest, mergeable, bounded)
+                     and frame-bounded window medians are fine. The
+                     round-6 ``cdc_replication_lag`` histogram rewrite is
+                     the template fix; remaining exempt sites are queued
+                     for the same treatment once driver re-verify slots
+                     free up (round 7).
 
 Exit 1 if any non-exempt query trips a rule.
 
@@ -56,6 +66,20 @@ CARTESIAN_EXEMPT: dict[str, str] = {}
 # Queries allowed BatchEvalPython: the deliberate row-UDF tier exhibit.
 PY_ROW_UDF_EXEMPT = {
     "udf_surface": "the row-at-a-time tier exhibit itself (documented slow path)",
+}
+
+# Queries allowed an exact percentile/median aggregate. Each entry is a
+# known per-group-state-∝-group-size site; the ones marked (r7) are
+# queued for the cdc_replication_lag histogram treatment when driver
+# re-verify slots free up — an exemption documents, it does not bless.
+UNBOUNDED_AGG_EXEMPT = {
+    "agg_percentile_exact": "the named exact-percentile exhibit itself, "
+    "contrasted with agg_approx_quantile (r7: keep, it IS the exhibit)",
+    "agg_approx_quantile": "computes exact alongside approx to MEASURE the "
+    "sketch error — the comparison is the point",
+    "agg_stats": "per-event-type median in the stats census (r7: histogram)",
+    "quality_winsorize": "global p05/p95 clip bounds (r7: histogram)",
+    "anomaly_mad": "median + MAD per event type (r7: histogram)",
 }
 
 
@@ -104,6 +128,17 @@ def lint_one(name: str, df) -> list[str]:
         for spec in window_partition_specs(plan):
             if spec == "<GLOBAL>":
                 problems.append("global_window: WindowExec with empty partition spec")
+                break
+    if name not in UNBOUNDED_AGG_EXEMPT:
+        # exact percentile/median in an AGGREGATE buffers whole groups;
+        # approx_percentile is the bounded (t-digest) form. Window-frame
+        # medians don't appear as aggregate exprs, so no false hit there.
+        for m in re.finditer(r"\b(percentile|median)\(", plan):
+            if plan[max(0, m.start() - 7) : m.start()] != "approx_":
+                problems.append(
+                    "unbounded_agg: exact percentile/median aggregate "
+                    "(state ∝ group size)"
+                )
                 break
     return problems
 
