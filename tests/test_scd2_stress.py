@@ -22,7 +22,12 @@ from pyspark.sql import functions as F
 
 from mongodb_mysql_cdc_spark.catalog import load
 from mongodb_mysql_cdc_spark.sources.cdc import envelopes_from_events
-from mongodb_mysql_cdc_spark.streaming.apply import Scd2ParquetSink, scd2_versions
+from mongodb_mysql_cdc_spark.streaming.apply import (
+    CdcParquetSink,
+    Scd2ParquetSink,
+    cdc_apply_batch,
+    scd2_versions,
+)
 
 
 def _rows(df, cols):
@@ -63,3 +68,33 @@ def test_scd2_fold_invariant_under_random_chunk_boundaries(spark, sf_dir, seed):
     for batch_id, chunk in enumerate(chunks):
         sink.apply_batch(chunk, batch_id)
     assert _rows(sink.history(), COLS) == want
+
+
+STATE_COLS = ["key", "last_ts", "last_event_type", "last_value", "last_k"]
+
+
+@pytest.mark.parametrize("seed", [23])
+def test_upsert_sink_invariant_under_random_chunk_boundaries(spark, sf_dir, seed):
+    """Same stress, LWW-upsert twin: CdcParquetSink's folded current
+    state must equal the one-shot batch apply for any random chunking of
+    the feed, with committed-batch redelivery a no-op throughout."""
+    env = envelopes_from_events(load(spark, sf_dir, "events"))
+    lo, hi = env.agg(F.min("seq"), F.max("seq")).collect()[0]
+    want = _rows(cdc_apply_batch(env), STATE_COLS)
+
+    rng = random.Random(seed)
+    cuts = sorted(rng.randint(lo, hi) for _ in range(rng.randint(4, 7)))
+    bounds = list(zip([lo - 1] + cuts, cuts + [hi]))
+
+    sink = CdcParquetSink(
+        spark, tempfile.mkdtemp(prefix=f"cdc_stress_{seed}_"), n_buckets=4
+    )
+    chunks = []
+    for batch_id, (a, b) in enumerate(bounds):
+        chunk = env.filter((F.col("seq") > a) & (F.col("seq") <= b))
+        chunks.append(chunk)
+        sink.apply_batch(chunk, batch_id)
+        replay_id = rng.randint(0, batch_id)
+        sink.apply_batch(chunks[replay_id], replay_id)
+
+    assert _rows(sink.current(), STATE_COLS) == want
