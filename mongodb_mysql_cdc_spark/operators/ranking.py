@@ -96,7 +96,14 @@ def with_global_cumsum(
     :func:`with_global_position`: range-partition on the order key,
     per-partition running sum (parallel), per-partition totals →
     broadcast cumulative offsets (|partitions|² tiny theta-join, no
-    window, no collect). ``order_cols`` must form a total order."""
+    window, no collect). ``order_cols`` must form a total order.
+
+    Precondition: ``val`` must be non-null (coalesce first). A window's
+    running sum SKIPS nulls (a null-prefix row still sees the earlier
+    partitions' total), but here a null local running sum would null the
+    offset addition — the two spellings diverge exactly on null values,
+    so the operator refuses the ambiguity rather than silently picking
+    one."""
     d = df.repartitionByRange(*[F.col(c) for c in order_cols]).withColumn(
         "_gc_pid", F.spark_partition_id()
     )
