@@ -152,7 +152,30 @@ def main() -> None:
         help="print driver-green queries whose register segment changed "
         "after their green round (need a re-verify window slot)",
     )
+    ap.add_argument(
+        "--summary",
+        action="store_true",
+        help="print the one-paragraph markdown coverage summary README/"
+        "SURVEY cite (regenerate instead of hand-editing counts)",
+    )
     args = ap.parse_args()
+    if args.summary:
+        qs = registry.queries()
+        orc = registry.oracles()
+        window = registry._DRIVER_WINDOW
+        evidence = driver_evidence()
+        seen = driver_seen()
+        backlog = [n for n in qs if n not in seen and n not in set(window)]
+        stale = stale_queries(evidence)
+        print(
+            f"Registry: **{len(qs)} queries / {len(orc)} oracles** "
+            f"({len(qs) - len(orc)} rows-only by design). Driver evidence: "
+            f"**{len(evidence)} green** (union of CORRECTNESS_r*.json). "
+            f"Window: {len(window)} slots. Unseen backlog outside the "
+            f"window: {len(backlog)}. Green-but-re-spelled (--stale): "
+            f"{len(stale)} → {[n for n, _ in stale] or 'none'}."
+        )
+        return
     if args.stale:
         stale = stale_queries(driver_evidence())
         print(f"{len(stale)} green-but-re-spelled queries (need re-verify):")
