@@ -317,3 +317,59 @@ def test_fold_differential_vs_duckdb(spark, bag):
         ).fetchall()
     )
     assert got == want
+
+
+# --- as-of join vs pandas merge_asof (operators/joins.py) -------------------
+
+@st.composite
+def asof_cases(draw):
+    """Random left/right timelines over a small key space with frequent
+    equal-ts collisions (the <= vs < boundary hypothesis hunts)."""
+    n_l = draw(st.integers(1, 25))
+    n_r = draw(st.integers(1, 25))
+    left = [
+        (draw(st.integers(0, 3)), draw(st.integers(0, 12)), i)
+        for i in range(n_l)
+    ]
+    # right unique per (key, ts) — the operator's documented precondition
+    pairs = draw(
+        st.sets(
+            st.tuples(st.integers(0, 3), st.integers(0, 12)),
+            min_size=1, max_size=n_r,
+        )
+    )
+    right = [(k, ts, 100 + j) for j, (k, ts) in enumerate(sorted(pairs))]
+    inclusive = draw(st.booleans())
+    return left, right, inclusive
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+@given(case=asof_cases())
+def test_asof_join_matches_pandas_merge_asof(spark, case):
+    import pandas as pd
+
+    from mongodb_mysql_cdc_spark.operators.joins import asof_join
+
+    left_rows, right_rows, inclusive = case
+    left = spark.createDataFrame(left_rows, "k long, lts long, lid long")
+    right = spark.createDataFrame(right_rows, "k long, rts long, v long")
+    got = sorted(
+        (r.k, r.lts, r.lid, r.v)
+        for r in asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            value_cols=["v"], inclusive=inclusive,
+        ).collect()
+    )
+    lp = pd.DataFrame(left_rows, columns=["k", "lts", "lid"]).sort_values("lts")
+    rp = pd.DataFrame(right_rows, columns=["k", "rts", "v"]).sort_values("rts")
+    mp = pd.merge_asof(
+        lp, rp, left_on="lts", right_on="rts", by="k",
+        direction="backward",
+        allow_exact_matches=inclusive,
+    )
+    want = sorted(
+        (int(r.k), int(r.lts), int(r.lid), None if pd.isna(r.v) else int(r.v))
+        for r in mp.itertuples()
+    )
+    assert got == want
