@@ -297,24 +297,22 @@ def sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events beating their type's average), which WHERE can't express
     (window not yet computed) and HAVING can't either (no grouping).
     DuckDB/Snowflake/BigQuery spell it QUALIFY; Spark has no QUALIFY
-    clause, and this query IS the translation every migrating user
-    writes: compute the window column, then filter on it in the next
-    projection. Same plan shape either way — one hash-partitioned
-    window exchange on the partition key, filter evaluated post-window
-    (nothing to push below it, by construction). The filter compares
-    6dp-ROUNDED values on both engines: summation order inside avg()
-    differs across engines, so a value within ulps of its group average
-    could otherwise pass the strict > on one engine and fail on the
-    other (the same hazard tfidf rounds away)."""
+    clause. The naive translation is avg() OVER (PARTITION BY
+    event_type) + filter — but event_type has FIVE values, so that
+    window is five reducer tasks at any scale (AQE cannot split window
+    partitions). Because the window carries no ordering, the scale-safe
+    translation is exact: per-type averages as a map-combined hash
+    aggregate (5 rows) broadcast back onto the corpus, filter evaluated
+    in the scan stage — fully parallel, zero WindowExec. The oracle
+    keeps the QUALIFY spelling, proving the two forms equivalent. The
+    filter compares 6dp-ROUNDED values on both engines: summation order
+    inside avg() differs across engines, so a value within ulps of its
+    group average could otherwise pass the strict > on one engine and
+    fail on the other (the same hazard tfidf rounds away)."""
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type")
+    avgs = ev.groupBy("event_type").agg(F.avg("value").alias("_type_avg"))
     return (
-        ev.select(
-            "event_type",
-            "event_id",
-            "value",
-            F.avg("value").over(w).alias("_type_avg"),
-        )
+        ev.join(F.broadcast(avgs), "event_type")
         .filter(hround(F.col("value"), 6) > hround(F.col("_type_avg"), 6))
         .select(
             "event_type", "event_id", "value",

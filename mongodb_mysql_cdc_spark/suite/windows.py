@@ -412,23 +412,33 @@ FROM lineitem
 )
 def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ratio_to_report (share-of-group / share-of-total) — the classic
-    reporting window Oracle/Teradata ship as a named function, composed
-    here as value / sum() OVER (unframed partition). The unpartitioned
-    total is a single-partition window — fine for a report's final
-    projection; at scale the same ratio comes from a broadcast scalar
-    (the pattern cdc_warehouse_report uses) when it feeds further joins.
-    8dp rounding: the group sums differ by summation order."""
+    reporting window Oracle/Teradata ship as a named function. The
+    LITERAL translation is value / sum() OVER (partition) — that is what
+    the oracle runs — but an unframed aggregate window over a 3-value
+    partition key is 3 reducer tasks at ANY scale, and the unpartitioned
+    total is the single-partition trap outright (every lineitem row on
+    one task). Because the window carries no ordering, the re-spell is
+    exact: group sums by a map-combined hash aggregate (3 rows) + the
+    1-row grand total, both broadcast back onto the corpus — every step
+    parallel, zero WindowExec. 8dp rounding absorbs the summation-order
+    ulps (it already had to: DuckDB's window sums a different order)."""
     li = load(spark, sf_dir, "lineitem")
-    w_flag = Window.partitionBy("l_returnflag")
-    w_all = Window.partitionBy()
-    return li.select(
-        "l_returnflag",
-        "l_orderkey",
-        "l_linenumber",
-        hround(F.col("l_extendedprice") / F.sum("l_extendedprice").over(w_flag), 8).alias(
-            "share_of_flag"
-        ),
-        hround(F.col("l_extendedprice") / F.sum("l_extendedprice").over(w_all), 8).alias(
-            "share_of_total"
-        ),
+    flag_sums = li.groupBy("l_returnflag").agg(
+        F.sum("l_extendedprice").alias("_flag_sum")
+    )
+    total = li.agg(F.sum("l_extendedprice").alias("_tot"))
+    return (
+        li.join(F.broadcast(flag_sums), "l_returnflag")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l_returnflag",
+            "l_orderkey",
+            "l_linenumber",
+            hround(F.col("l_extendedprice") / F.col("_flag_sum"), 8).alias(
+                "share_of_flag"
+            ),
+            hround(F.col("l_extendedprice") / F.col("_tot"), 8).alias(
+                "share_of_total"
+            ),
+        )
     )

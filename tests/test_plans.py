@@ -108,6 +108,18 @@ def test_replication_lag_has_no_exact_percentile(spark):
     assert all(s.startswith("hr#") for s in specs), specs
 
 
+def test_aggregate_only_windows_respelled_as_broadcast_joins(spark):
+    """sql_qualify and win_ratio_to_report compute UNORDERED aggregate
+    windows over 5- and 3-value partition keys (and a grand total) —
+    as windows those are ≤5 reducer tasks / one task at any scale. The
+    exact re-spell is groupBy + broadcast join; pin that no WindowExec
+    sneaks back."""
+    for name in ("sql_qualify", "win_ratio_to_report"):
+        plan = explain_str(_q(name, spark))
+        assert "Window" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+
 def test_no_cartesian_in_relational_suite(spark):
     """No checked relational query may plan a CartesianProduct; the only
     sanctioned cross joins broadcast a provably-tiny side."""

@@ -104,7 +104,14 @@ def window_partition_specs(plan: str) -> list[str]:
                 depth -= 1
                 if depth == 0:
                     groups.append(text[start : i + 1])
-        if len(groups) == 2:
+        if len(groups) == 1:
+            # Window [exprs] alone: no partition spec AND no order spec —
+            # an unordered GLOBAL aggregate window (sum() OVER ()). Spark
+            # itself warns 'Moving all data to a single partition'. Same
+            # killer as the ordered form (round-6 lint gap: this is what
+            # win_ratio_to_report's grand-total window slipped through).
+            out.append("<GLOBAL>")
+        elif len(groups) == 2:
             # Window [exprs], [second]: `second` is an ORDER spec (global,
             # ordered window — the killer) iff it carries sort directions;
             # otherwise it's a partition-only spec (fine).
