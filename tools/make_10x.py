@@ -46,6 +46,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default="/tmp/sf10x")
+    ap.add_argument(
+        "--copies", type=int, default=10,
+        help="scale multiplier (key shifts are i*shift for copy i, so any "
+        "count up to ~10^3 stays collision-free under the SHIFTS strides)",
+    )
     args = ap.parse_args()
     spark = get_session("make_10x")
     for name in TABLES:
@@ -63,13 +68,13 @@ def main() -> None:
                     for c in df.columns
                 ]
             )
-            for i in range(10)
+            for i in range(args.copies)
         ]
         big = copies[0]
         for c in copies[1:]:
             big = big.unionByName(c)
         big.write.mode("overwrite").parquet(out)
-        print(f"{name}: x10 -> {out}")
+        print(f"{name}: x{args.copies} -> {out}")
     spark.stop()
 
 
