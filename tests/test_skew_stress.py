@@ -65,6 +65,22 @@ def test_salted_join_equals_plain_join(spark, skewed):
     )
 
 
+def test_salted_left_join_keeps_unmatched_fact_rows_once(spark, skewed):
+    """Left-join identity: fact rows with keys absent from the dim (here:
+    a dim missing keys 50..100) must surface exactly once with null dim
+    columns — the salted fact row matches at most the one replica
+    carrying its salt, and an unmatched row is emitted by the left join
+    itself, never duplicated per replica."""
+    fact, dim = skewed
+    part_dim = dim.filter(F.col("dk") < 50)
+    got = salted_equi_join(fact, part_dim, "k", "dk", n_salts=8, how="left")
+    want = fact.join(part_dim, fact.k == part_dim.dk, "left")
+    cols = ["k", "payload", "dk", "name"]
+    assert sorted(map(tuple, got.select(*cols).collect())) == sorted(
+        map(tuple, want.select(*cols).collect())
+    )
+
+
 def test_salted_join_shuffles_on_key_and_salt(spark, skewed):
     """At test scale the 808-row dim auto-broadcasts and no shuffle
     exists at all — but salting exists precisely for the dim that CANNOT
