@@ -92,3 +92,37 @@ def test_global_cumsum_plan_has_no_global_window(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "_gc_pid" in line, line
+
+
+def test_ntile_expr_formula_exhaustive_small():
+    """Pure-arithmetic check of the SQL-standard ntile bucketing for every
+    (n, k) with n ≤ 24, k ≤ 8 — including k > n (one row per bucket) and
+    r = 0 (even split). The reference is the definition itself: deal the
+    first n%k buckets n//k+1 rows, the rest n//k."""
+    import pyspark.sql.functions as F
+
+    from mongodb_mysql_cdc_spark.operators.ranking import ntile_expr
+
+    # evaluate the Column expression via a tiny local DataFrame per (n,k)
+    from mongodb_mysql_cdc_spark.session import get_session
+
+    spark = get_session("tests")
+    cases = [(n, k) for n in range(1, 25) for k in range(1, 9)]
+    rows = [(n, k, pos) for n, k in cases for pos in range(1, n + 1)]
+    df = spark.createDataFrame(rows, "n long, k long, pos long")
+    # ntile_expr takes a literal k; evaluate per distinct k
+    got = {}
+    for k in range(1, 9):
+        part = df.filter(F.col("k") == k).withColumn(
+            "b", ntile_expr(F.col("pos"), F.col("n"), k)
+        )
+        for r in part.collect():
+            got[(r["n"], k, r["pos"])] = r["b"]
+    for n, k in cases:
+        q, r = divmod(n, k)
+        expect_buckets = []
+        for b in range(1, k + 1):
+            size = q + 1 if b <= r else q
+            expect_buckets += [b] * size
+        for pos in range(1, n + 1):
+            assert got[(n, k, pos)] == expect_buckets[pos - 1], (n, k, pos)
