@@ -153,6 +153,15 @@ def lint_one(name: str, df) -> list[str]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument(
+        "--report-windows",
+        action="store_true",
+        help="instead of linting, print every WindowExec partition spec "
+        "per query — the low-cardinality-ordered-window worklist (a key "
+        "like event_type means ≤|distinct| reducer tasks at any scale; "
+        "cardinality lives in the data, so no mechanical flag — read "
+        "the list and judge)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
     spark = get_session("plan_lint")
@@ -166,10 +175,21 @@ def main() -> int:
             print(f"ERR  {name}: {type(ex).__name__}: {str(ex)[:120]}")
             n_bad += 1
             continue
+        if args.report_windows:
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            specs = window_partition_specs(plan)
+            if specs:
+                # strip expr ids (col#123L -> col) for readability
+                clean = sorted({re.sub(r"#\d+L?", "", s) for s in specs})
+                print(f"WIN  {name}: {'; '.join(clean)}")
+            continue
         problems = lint_one(name, df)
         if problems:
             n_bad += 1
             print(f"FLAG {name}: {'; '.join(problems)}")
+    if args.report_windows:
+        print(f"\n{len(names)} checked (report mode)")
+        return 0
     print(f"\n{len(names)} checked, {n_bad} flagged")
     return 1 if n_bad else 0
 
