@@ -31,6 +31,21 @@ def test_round_commit_resolves_markers():
     assert cr._round_commit("99") is None
 
 
+def test_driver_window_contract():
+    """The driver verifies the FIRST 50 queries() names. The window list
+    must therefore be exactly 50 valid, distinct, registered names —
+    a typo here silently wastes verification slots (the round-4 backlog
+    undercount class)."""
+    from mongodb_mysql_cdc_spark import registry
+
+    w = registry._DRIVER_WINDOW
+    qs = registry.queries()
+    assert len(w) == 50
+    assert len(set(w)) == 50
+    assert all(n in qs for n in w), [n for n in w if n not in qs]
+    assert list(qs)[:50] == w
+
+
 def test_stale_flags_an_edited_segment():
     # a green query whose segment is byte-identical at its marker commit
     # must NOT flag; simulate an edit by asking against an older round
