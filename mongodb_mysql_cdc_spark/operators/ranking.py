@@ -1,25 +1,30 @@
-"""Distributed global ranking: ntile / row_number without the
-single-partition WindowExec.
+"""Distributed ranking: ntile / row_number / running sums without the
+low-cardinality-partition WindowExec.
 
-``Window.orderBy(...)`` with no partitionBy moves EVERY row to one task —
-the plan works at any SF locally and is serial at cluster scale. The
+``Window.orderBy(...)`` with no partitionBy moves EVERY row to one task,
+and ``Window.partitionBy(k)`` on a 3-or-5-value key is the same killer
+with extra steps: corpus/|keys| rows still sort inside ONE task per key.
+The plans work at any SF locally and are serial at cluster scale. The
 distributed spelling here keeps the exact same output:
 
-1. ``repartitionByRange`` on the order key (parallel range sort — the
-   same machinery as a global ``orderBy``, minus the final single-task
-   window);
-2. per-partition ``row_number`` (parallel: each partition numbers its own
-   rows);
-3. per-partition counts → cumulative offsets via a tiny theta-join
-   cumsum (|partitions|² rows, thousands at most — no window, no
-   collect);
-4. global position = local row_number + broadcast offset, and ntile's
-   bucket arithmetic computed from the broadcast total row count.
+1. ``repartitionByRange`` on (group key, order key) — the parallel range
+   sort Spark already uses for a global ``orderBy``, minus the final
+   single-task-per-key window; a group may span MANY partitions, which
+   is the whole point;
+2. per-(partition, group) ``row_number`` / running sum (parallel: each
+   partition ranks its own slice of each group);
+3. per-(partition, group) counts → cumulative offsets via a tiny
+   theta-join cumsum (≤ |partitions| + |groups| rows, since range
+   partitions are contiguous — no window, no collect);
+4. global in-group position = local row_number + broadcast offset, and
+   ntile's bucket arithmetic computed from broadcast per-group totals.
 
 Output is deterministic and boundary-independent: the order key must be
-a TOTAL order (callers append a unique tiebreak column), so each row's
-global position is well-defined no matter where the range sampler cuts
-partitions.
+a TOTAL order within each group (callers append a unique tiebreak
+column), so each row's in-group position is well-defined no matter where
+the range sampler cuts partitions.
+
+The global (ungrouped) forms are the ``group_cols=[]`` special case.
 
 SQL-standard ntile(k) over n rows: q = n div k, r = n mod k — the first
 r buckets take q+1 rows, the rest take q.
@@ -27,41 +32,64 @@ r buckets take q+1 rows, the rest take q.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 
-def with_global_position(df: DataFrame, order_cols: list[str], out: str) -> DataFrame:
-    """Append 1-based global position under ORDER BY order_cols.
+def with_group_position(
+    df: DataFrame, group_cols: Sequence[str], order_cols: Sequence[str], out: str
+) -> DataFrame:
+    """Append 1-based position within each group_cols group under
+    ORDER BY order_cols — row_number() OVER (PARTITION BY group_cols
+    ORDER BY order_cols) without putting any whole group through one
+    task.
 
-    ``order_cols`` must form a total order (include a unique key last).
-    Adds only the ``out`` column; `_gp_*` intermediates are dropped.
-    """
-    d = df.repartitionByRange(*[F.col(c) for c in order_cols]).withColumn(
+    ``order_cols`` must form a total order within each group (include a
+    unique key last). Adds only the ``out`` column; `_gp_*`
+    intermediates are dropped. ``group_cols=[]`` gives the global
+    position."""
+    keys = [*group_cols, *order_cols]
+    d = df.repartitionByRange(*[F.col(c) for c in keys]).withColumn(
         "_gp_pid", F.spark_partition_id()
     )
-    local = Window.partitionBy("_gp_pid").orderBy(*order_cols)
+    local = Window.partitionBy("_gp_pid", *group_cols).orderBy(*order_cols)
     d = d.withColumn("_gp_rn", F.row_number().over(local))
-    counts = d.groupBy("_gp_pid").agg(F.count(F.lit(1)).alias("_gp_cnt"))
+    counts = d.groupBy("_gp_pid", *group_cols).agg(F.count(F.lit(1)).alias("_gp_cnt"))
     lower = counts.select(
-        F.col("_gp_pid").alias("_gp_pid2"), F.col("_gp_cnt").alias("_gp_cnt2")
+        F.col("_gp_pid").alias("_gp_pid2"),
+        *[F.col(c).alias(f"_gp_g{i}") for i, c in enumerate(group_cols)],
+        F.col("_gp_cnt").alias("_gp_cnt2"),
     )
+    same_group = [
+        F.col(c).eqNullSafe(F.col(f"_gp_g{i}")) for i, c in enumerate(group_cols)
+    ]
+    cond = F.col("_gp_pid2") < F.col("_gp_pid")
+    for eq in same_group:
+        cond = cond & eq
     offsets = (
-        counts.join(F.broadcast(lower), F.col("_gp_pid2") < F.col("_gp_pid"), "left")
-        .groupBy("_gp_pid")
+        counts.join(F.broadcast(lower), cond, "left")
+        .groupBy("_gp_pid", *group_cols)
         .agg(F.coalesce(F.sum("_gp_cnt2"), F.lit(0)).alias("_gp_off"))
     )
     return (
-        d.join(F.broadcast(offsets), "_gp_pid")
+        d.join(F.broadcast(offsets), ["_gp_pid", *group_cols])
         .withColumn(out, F.col("_gp_off") + F.col("_gp_rn"))
         .drop("_gp_pid", "_gp_rn", "_gp_off")
     )
 
 
+def with_global_position(df: DataFrame, order_cols: list[str], out: str) -> DataFrame:
+    """Append 1-based global position under ORDER BY order_cols (the
+    ungrouped form of :func:`with_group_position`)."""
+    return with_group_position(df, [], order_cols, out)
+
+
 def ntile_expr(pos: Column, n: Column, k: int) -> Column:
-    """SQL-standard ntile(k) bucket for global position ``pos`` of ``n``
-    rows: the first n%k buckets hold n//k+1 rows, the rest n//k."""
+    """SQL-standard ntile(k) bucket for position ``pos`` of ``n`` rows:
+    the first n%k buckets hold n//k+1 rows, the rest n//k."""
     q = F.floor(n / k)
     r = n - q * k
     big = r * (q + 1)  # rows covered by the first r (larger) buckets
@@ -73,18 +101,86 @@ def ntile_expr(pos: Column, n: Column, k: int) -> Column:
 
 
 def distributed_ntile(
-    df: DataFrame, order_cols: list[str], k: int, out: str
+    df: DataFrame,
+    order_cols: list[str],
+    k: int,
+    out: str,
+    group_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Append ``out`` = ntile(k) OVER (ORDER BY order_cols) — computed
-    with range partitioning + broadcast offsets instead of a
-    single-partition window. ``order_cols`` must include a unique
-    tiebreak so the order is total."""
-    pos = with_global_position(df, order_cols, "_nt_pos")
-    total = pos.agg(F.count(F.lit(1)).alias("_nt_n"))
+    """Append ``out`` = ntile(k) OVER ([PARTITION BY group_cols] ORDER BY
+    order_cols) — computed with range partitioning + broadcast offsets
+    instead of a one-task-per-key window. ``order_cols`` must include a
+    unique tiebreak so the order is total within each group."""
+    pos = with_group_position(df, group_cols, order_cols, "_nt_pos")
+    if group_cols:
+        totals = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_nt_n"))
+        pos = pos.join(F.broadcast(totals), list(group_cols))
+    else:
+        total = pos.agg(F.count(F.lit(1)).alias("_nt_n"))
+        pos = pos.crossJoin(F.broadcast(total))
+    return pos.withColumn(
+        out, ntile_expr(F.col("_nt_pos"), F.col("_nt_n"), k)
+    ).drop("_nt_pos", "_nt_n")
+
+
+def with_group_cumsum(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    val: str,
+    out: str,
+) -> DataFrame:
+    """Append ``out`` = sum(val) OVER ([PARTITION BY group_cols] ORDER BY
+    order_cols ROWS UNBOUNDED PRECEDING) — the in-group running total,
+    distributed the same way as :func:`with_group_position`:
+    range-partition on (group key, order key), per-(partition, group)
+    running sum (parallel), per-(partition, group) totals → broadcast
+    cumulative offsets (tiny theta-join, no window, no collect).
+    ``order_cols`` must form a total order within each group.
+
+    Precondition (ENFORCED): ``val`` must be non-null — a null value
+    raises at execution time. A window's running sum SKIPS nulls (a
+    null-prefix row still sees the earlier partitions' total), but here
+    a null local running sum would null the offset addition — the two
+    spellings diverge exactly on null values, so the operator refuses
+    them (callers coalesce first if skip-null semantics are wanted)."""
+    v = F.coalesce(
+        F.col(val),
+        F.raise_error(
+            F.lit(
+                f"with_group_cumsum: null in {val!r} — running-sum semantics "
+                "are ambiguous on nulls; coalesce before calling"
+            )
+        ),
+    )
+    keys = [*group_cols, *order_cols]
+    d = df.repartitionByRange(*[F.col(c) for c in keys]).withColumn(
+        "_gc_pid", F.spark_partition_id()
+    )
+    local = (
+        Window.partitionBy("_gc_pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    d = d.withColumn("_gc_run", F.sum(v).over(local))
+    sums = d.groupBy("_gc_pid", *group_cols).agg(F.sum(val).alias("_gc_sum"))
+    lower = sums.select(
+        F.col("_gc_pid").alias("_gc_pid2"),
+        *[F.col(c).alias(f"_gc_g{i}") for i, c in enumerate(group_cols)],
+        F.col("_gc_sum").alias("_gc_sum2"),
+    )
+    cond = F.col("_gc_pid2") < F.col("_gc_pid")
+    for i, c in enumerate(group_cols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_gc_g{i}"))
+    offsets = (
+        sums.join(F.broadcast(lower), cond, "left")
+        .groupBy("_gc_pid", *group_cols)
+        .agg(F.coalesce(F.sum("_gc_sum2"), F.lit(0)).alias("_gc_off"))
+    )
     return (
-        pos.crossJoin(F.broadcast(total))
-        .withColumn(out, ntile_expr(F.col("_nt_pos"), F.col("_nt_n"), k))
-        .drop("_nt_pos", "_nt_n")
+        d.join(F.broadcast(offsets), ["_gc_pid", *group_cols])
+        .withColumn(out, F.col("_gc_off") + F.col("_gc_run"))
+        .drop("_gc_pid", "_gc_run", "_gc_off")
     )
 
 
@@ -92,38 +188,6 @@ def with_global_cumsum(
     df: DataFrame, order_cols: list[str], val: str, out: str
 ) -> DataFrame:
     """Append ``out`` = sum(val) OVER (ORDER BY order_cols ROWS UNBOUNDED
-    PRECEDING) — the global running total, distributed the same way as
-    :func:`with_global_position`: range-partition on the order key,
-    per-partition running sum (parallel), per-partition totals →
-    broadcast cumulative offsets (|partitions|² tiny theta-join, no
-    window, no collect). ``order_cols`` must form a total order.
-
-    Precondition: ``val`` must be non-null (coalesce first). A window's
-    running sum SKIPS nulls (a null-prefix row still sees the earlier
-    partitions' total), but here a null local running sum would null the
-    offset addition — the two spellings diverge exactly on null values,
-    so the operator refuses the ambiguity rather than silently picking
-    one."""
-    d = df.repartitionByRange(*[F.col(c) for c in order_cols]).withColumn(
-        "_gc_pid", F.spark_partition_id()
-    )
-    local = (
-        Window.partitionBy("_gc_pid")
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    d = d.withColumn("_gc_run", F.sum(val).over(local))
-    sums = d.groupBy("_gc_pid").agg(F.sum(val).alias("_gc_sum"))
-    lower = sums.select(
-        F.col("_gc_pid").alias("_gc_pid2"), F.col("_gc_sum").alias("_gc_sum2")
-    )
-    offsets = (
-        sums.join(F.broadcast(lower), F.col("_gc_pid2") < F.col("_gc_pid"), "left")
-        .groupBy("_gc_pid")
-        .agg(F.coalesce(F.sum("_gc_sum2"), F.lit(0)).alias("_gc_off"))
-    )
-    return (
-        d.join(F.broadcast(offsets), "_gc_pid")
-        .withColumn(out, F.col("_gc_off") + F.col("_gc_run"))
-        .drop("_gc_pid", "_gc_run", "_gc_off")
-    )
+    PRECEDING) — the ungrouped form of :func:`with_group_cumsum` (same
+    non-null ``val`` precondition, enforced)."""
+    return with_group_cumsum(df, [], order_cols, val, out)

@@ -233,12 +233,27 @@ GROUP BY event_type
 """,
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment statistics are O(1)-state aggregates; the median is NOT —
+    Spark's exact ``percentile`` buffers every group member, and an
+    event-type group grows with the corpus. It is computed instead via
+    :mod:`operators.percentile`'s distinct-value histogram (state ∝
+    |value domain|, exact same interpolated result — see that module),
+    then broadcast-joined onto the 5-row moment table."""
+    from mongodb_mysql_cdc_spark.operators.percentile import group_quantiles
+
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    moments = ev.groupBy("event_type").agg(
         hround(F.stddev_samp("value"), 4).alias("sd_value"),
         hround(F.var_samp("value"), 4).alias("var_value"),
         hround(F.corr("value", F.col("user_id").cast("double")), 4).alias("corr_vu"),
-        hround(F.expr("percentile(value, 0.5)"), 4).alias("median_value"),
+    )
+    med = group_quantiles(ev, ["event_type"], "value", {"med": 0.5})
+    return moments.join(F.broadcast(med), "event_type", "left").select(
+        "event_type",
+        "sd_value",
+        "var_value",
+        "corr_vu",
+        hround(F.col("med"), 4).alias("median_value"),
     )
 
 
@@ -385,20 +400,19 @@ SELECT event_type, user_id AS mode_user, n AS mode_count FROM (
 def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic mode (most frequent user per event type): built-in
     mode() breaks frequency ties arbitrarily in BOTH engines, so the
-    checked spelling is count + rank with a value tiebreak — same two-agg
-    shape, reproducible everywhere. The first aggregate is map-side
-    combined; the window runs over |groups| rows only."""
-    from pyspark.sql import Window as W
-
+    checked spelling is count + a deterministic argmax: max count,
+    smallest user on ties — max_by over struct(n, -user_id), structs
+    comparing lexicographically. Both aggregates are map-side combined
+    with O(1) state; the earlier rank-window spelling put every distinct
+    (type, user) count — ∝ users, corpus-growing — through one task per
+    event type."""
     ev = load(spark, sf_dir, "events")
     counts = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("n"))
-    w = W.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("user_id"))
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "event_type", F.col("user_id").alias("mode_user"), F.col("n").alias("mode_count")
-        )
+    return counts.groupBy("event_type").agg(
+        F.max_by(
+            "user_id", F.struct(F.col("n"), (-F.col("user_id")).alias("nu"))
+        ).alias("mode_user"),
+        F.max("n").alias("mode_count"),
     )
 
 
@@ -700,16 +714,19 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapsed = li.groupBy("l_returnflag", "l_extendedprice").agg(
         F.sum("l_quantity").alias("w_at_price")
     )
-    w = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice")
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = collapsed.select(
-        "l_returnflag",
-        "l_extendedprice",
-        F.sum("w_at_price").over(w).alias("cum_w"),
-    )
+    # the cumulative weight over distinct prices is computed with the
+    # distributed per-group cumsum (range partition on (flag, price) +
+    # per-partition running sums + broadcast offsets) instead of a
+    # Window.partitionBy(l_returnflag): a 3-value partition key means 3
+    # tasks sort |distinct prices| rows each — bounded by the price
+    # domain, but needlessly serial when operators/ranking.py spreads
+    # the same total order across every core. Prices are unique within
+    # a group after the collapse, so ROWS cumsum ≡ the RANGE frame.
+    from mongodb_mysql_cdc_spark.operators.ranking import with_group_cumsum
+
+    cum = with_group_cumsum(
+        collapsed, ["l_returnflag"], ["l_extendedprice"], "w_at_price", "cum_w"
+    ).select("l_returnflag", "l_extendedprice", "cum_w")
     return (
         cum.join(F.broadcast(tot), "l_returnflag")
         .where(F.col("cum_w") >= F.col("total_w") / 2.0)

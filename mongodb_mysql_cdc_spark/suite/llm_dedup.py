@@ -392,9 +392,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     if cached is None:
         sh = _shingle_sets(load(spark, sf_dir, "documents"))
         ex0 = sh.select("doc_id", F.explode("sh").alias("g"))
-        kept = ex0.withColumn(
-            "df", F.count(F.lit(1)).over(Window.partitionBy("g"))
-        ).filter(F.col("df") <= _NGRAM_DF_CAP)
+        # document frequency via groupBy+join, NOT count() OVER
+        # (PARTITION BY g): the window form sorts-and-buffers each
+        # shingle's ENTIRE posting in one task BEFORE the cap filter can
+        # drop it — a stop-shingle in ~10% of a web corpus is a
+        # corpus-scale single-task buffer. groupBy is map-side combined
+        # (a hot shingle pre-aggregates to one row per input task), and
+        # the join back streams posting rows through a hash probe whose
+        # build side is the ≤cap-df shingle list — hot shingles simply
+        # find no match and are dropped without ever being buffered.
+        dfs = ex0.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
+            F.col("df") <= _NGRAM_DF_CAP
+        )
+        kept = ex0.join(dfs, "g")
         n_tbl = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
         posting = kept.withColumn(
             "rn", F.row_number().over(Window.partitionBy("g").orderBy("doc_id"))

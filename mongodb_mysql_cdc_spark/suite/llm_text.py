@@ -1044,11 +1044,16 @@ def quality_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection with correction. Exact per-group percentile (5-row bounds
     table) broadcast back over the stream, then one clipped aggregate —
     the two-pass broadcast-stats shape every robust statistic here
-    uses."""
+    uses. The bounds come from :mod:`operators.percentile`'s
+    distinct-value histogram (aggregation state ∝ |value domain|, never
+    group size — Spark's exact ``percentile`` buffers whole groups),
+    exact to the same interpolated definition the oracle's
+    quantile_cont computes."""
+    from mongodb_mysql_cdc_spark.operators.percentile import group_quantiles
+
     ev = load(spark, sf_dir, "events")
-    bounds = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.05)").alias("p05"),
-        F.expr("percentile(value, 0.95)").alias("p95"),
+    bounds = group_quantiles(
+        ev, ["event_type"], "value", {"p05": 0.05, "p95": 0.95}
     )
     clipped = ev.join(F.broadcast(bounds), "event_type").select(
         "event_type",

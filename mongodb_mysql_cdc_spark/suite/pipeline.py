@@ -267,14 +267,18 @@ def quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal; doc length stands in for the model score column). Downstream
     mixes sample per bucket — e.g. upweight the top deciles.
 
-    100 TB design: one shuffle on the group key; ntile needs the group
-    sorted, which is the same work the pack_sequences window already
-    does — in a combined pipeline both ride one exchange."""
-    d = load(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
-    return d.select(
-        "doc_id", "lang", "n_chars", F.ntile(10).over(w).cast("long").alias("q_bucket")
-    )
+    100 TB design: ntile(10) OVER (PARTITION BY lang ...) on a 5-value
+    key would sort corpus/5 rows inside ONE task per language, so the
+    buckets come from operators/ranking.py's distributed per-group ntile
+    instead (range partition on (lang, n_chars, doc_id) + per-partition
+    row_number + broadcast offsets + SQL-standard bucket arithmetic from
+    broadcast per-lang totals) — same output, full parallelism."""
+    from mongodb_mysql_cdc_spark.operators.ranking import distributed_ntile
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return distributed_ntile(
+        d, ["n_chars", "doc_id"], 10, "q_bucket", group_cols=["lang"]
+    ).select("doc_id", "lang", "n_chars", "q_bucket")
 
 
 # ---------------------------------------------------------------------------

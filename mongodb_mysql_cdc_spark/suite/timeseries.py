@@ -289,17 +289,22 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median-absolute-deviation outlier detection — the robust twin of
     anomaly_zscore (mean/stddev are themselves corrupted by the outliers
     they're meant to find; median/MAD are 50%-breakdown robust). Two exact
-    medians = two shuffles on event_type (5 groups), each followed by a
-    broadcast join back to the stream — the per-group stats frame is
-    bounded by |group keys| so the corpus is never shuffled twice at
-    100 TB, only the 5-row stats are."""
+    medians = two distinct-value-histogram passes on event_type (see
+    :mod:`operators.percentile` — aggregation state ∝ |value domain|,
+    never group size; Spark's exact ``percentile`` would buffer whole
+    corpus-sized groups), each followed by a broadcast join back to the
+    stream. |distinct adev| ≤ |distinct value| per group (adev is
+    |value − const|), so the second histogram is bounded by the same
+    domain."""
+    from mongodb_mysql_cdc_spark.operators.percentile import group_quantiles
+
     ev = load(spark, sf_dir, "events")
-    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    med = group_quantiles(ev, ["event_type"], "value", {"med": 0.5})
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
-    mad = dev.groupBy("event_type").agg(
-        F.any_value("med").alias("med"), F.expr("percentile(adev, 0.5)").alias("mad")
+    mad = group_quantiles(dev, ["event_type"], "adev", {"mad": 0.5}).join(
+        F.broadcast(med), "event_type"
     )
     flagged = dev.select("event_type", "adev").join(F.broadcast(mad), "event_type")
     is_out = F.col("adev") > 3 * 1.4826 * F.col("mad")
@@ -562,14 +567,29 @@ def ml_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     any distribution onto uniform [0,1] (rank / N-1), then a per-decile
     census proving the flattening: every (type, decile) bucket holds
     ~n/10 rows REGARDLESS of the raw value distribution — the invariant
-    is visible in the output, not just asserted. One ranking window per
-    group (unique event_id tiebreak keeps cross-engine rank order
-    deterministic) + one grouped census; at 100 TB the rank window
-    shards per feature group exactly like every windowed op here."""
+    is visible in the output, not just asserted. The rank comes from
+    operators/ranking.py's distributed in-group position (range
+    partition + broadcast offsets — a Window.partitionBy on the 5-value
+    feature key would sort corpus/5 rows in ONE task per key); the
+    unique event_id tiebreak keeps cross-engine rank order
+    deterministic, and with a total order percent_rank is exactly
+    (pos−1)/(n−1)."""
+    from mongodb_mysql_cdc_spark.operators.ranking import with_group_position
+
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = ev.select(
-        "event_type", "value", F.percent_rank().over(w).alias("u")
+    pos = with_group_position(
+        ev.select("event_type", "value", "event_id"),
+        ["event_type"],
+        ["value", "event_id"],
+        "_pos",
+    )
+    n_tbl = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("_n"))
+    ranked = pos.join(F.broadcast(n_tbl), "event_type").select(
+        "event_type",
+        "value",
+        F.when(F.col("_n") == 1, F.lit(0.0))
+        .otherwise((F.col("_pos") - 1).cast("double") / (F.col("_n") - 1))
+        .alias("u"),
     )
     bucketed = ranked.select(
         "event_type",

@@ -184,13 +184,32 @@ WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
 """,
 )
 def win_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist per event_type — re-spelled off the
+    Window: a 5-value partition key sends corpus/5 rows through each of
+    5 tasks at any scale. operators/ranking.py's distributed in-group
+    position (range partition on (type, value, event_id) + per-partition
+    row_number + broadcast offsets) yields rank with full parallelism;
+    the order key is total (event_id unique), so there are no peer rows
+    and percent_rank = (pos−1)/(n−1), cume_dist = pos/n exactly."""
+    from mongodb_mysql_cdc_spark.operators.ranking import with_group_position
+
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    return ev.select(
+    pos = with_group_position(
+        ev.select("event_type", "event_id", "value"),
+        ["event_type"],
+        ["value", "event_id"],
+        "_pos",
+    )
+    n_tbl = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("_n"))
+    p = pos.join(F.broadcast(n_tbl), "event_type")
+    pct = F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
+        (F.col("_pos") - 1).cast("double") / (F.col("_n") - 1)
+    )
+    return p.select(
         "event_type",
         "event_id",
-        hround(F.percent_rank().over(w), 6).alias("pct_rank"),
-        hround(F.cume_dist().over(w), 6).alias("cum_dist"),
+        hround(pct, 6).alias("pct_rank"),
+        hround(F.col("_pos").cast("double") / F.col("_n"), 6).alias("cum_dist"),
     )
 
 

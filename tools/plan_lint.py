@@ -54,7 +54,8 @@ GLOBAL_WINDOW_EXEMPT = {
     "agg_histogram_equiwidth": "window runs over |bins| rows, not the corpus",
     "analytics_pareto": "window over per-band aggregates (|bands| rows)",
     "dq_benford": "window over 9 digit rows",
-    "quality_buckets": "window over |buckets| rows",
+    # quality_buckets de-listed r7: re-spelled on distributed_ntile, no
+    # global window remains in its plan.
     "domain_mix": "window over |domains| rows",
     # deliberately-global semantics over provably small inputs
     "topk": "global top-k: TakeOrderedAndProject, no window shuffle of the corpus",
@@ -74,12 +75,12 @@ PY_ROW_UDF_EXEMPT = {
 # re-verify slots free up — an exemption documents, it does not bless.
 UNBOUNDED_AGG_EXEMPT = {
     "agg_percentile_exact": "the named exact-percentile exhibit itself, "
-    "contrasted with agg_approx_quantile (r7: keep, it IS the exhibit)",
+    "contrasted with agg_approx_quantile (keep: it IS the exhibit)",
     "agg_approx_quantile": "computes exact alongside approx to MEASURE the "
     "sketch error — the comparison is the point",
-    "agg_stats": "per-event-type median in the stats census (r7: histogram)",
-    "quality_winsorize": "global p05/p95 clip bounds (r7: histogram)",
-    "anomaly_mad": "median + MAD per event type (r7: histogram)",
+    # round 7: agg_stats / quality_winsorize / anomaly_mad moved off the
+    # exempt list — re-spelled on operators/percentile.py's distinct-value
+    # histogram (state ∝ |value domain|, exact interpolated result).
 }
 
 
@@ -140,7 +141,10 @@ def lint_one(name: str, df) -> list[str]:
         # exact percentile/median in an AGGREGATE buffers whole groups;
         # approx_percentile is the bounded (t-digest) form. Window-frame
         # medians don't appear as aggregate exprs, so no false hit there.
-        for m in re.finditer(r"\b(percentile|median)\(", plan):
+        # percentile_cont/percentile_disc are the same every-member-buffer
+        # state under ANSI spelling (round-6 advice: '(' needn't follow
+        # the bare word).
+        for m in re.finditer(r"\b(percentile(?:_cont|_disc)?|median)\(", plan):
             if plan[max(0, m.start() - 7) : m.start()] != "approx_":
                 problems.append(
                     "unbounded_agg: exact percentile/median aggregate "
