@@ -15,15 +15,19 @@ the domain, not the corpus:
    |distinct values in the group| ≤ |value domain|, a constant w.r.t.
    corpus size (the cdc_replication_lag bound, generalized);
 3. inverse-CDF with linear interpolation read off the cumulative counts:
-   with n values sorted ascending, r = (n-1)·q, the SQL-standard
-   continuous percentile is v[⌊r⌋] + (r-⌊r⌋)·(v[⌈r⌉]-v[⌊r⌋]), and
-   v[k] (0-based) = the smallest value whose cumulative count ≥ k+1.
+   with n values sorted ascending and r = (n-1)·q, the continuous
+   percentile interpolates between v[⌊r⌋] and v[⌈r⌉], where v[k]
+   (0-based) = the smallest value whose cumulative count ≥ k+1.
 
-The ⌊r⌋/⌈r⌉ ranks are computed with the same IEEE-double product
-(n-1)·q both engines use, so the selected order statistics — integer
-rank comparisons from there on — cannot disagree across engines; the
-result is bit-for-bit ``percentile``/``quantile_cont`` on the original
-doubles (values are carried through as grouping keys, never re-derived).
+The interpolation reproduces Spark's ``Percentile.getPercentile``
+BIT-FOR-BIT: (⌈r⌉−r)·v[⌊r⌋] + (r−⌊r⌋)·v[⌈r⌉], with v[⌊r⌋] returned
+directly when ⌊r⌋ = ⌈r⌉ (the weighted-average lerp — NOT the
+algebraically-equal-but-float-different lo + frac·(hi−lo);
+tests/test_percentile.py's hypothesis sweep found the one-ulp splits).
+The ⌊r⌋/⌈r⌉ ranks come from the same IEEE product (n-1)·q both engines
+compute, so the selected order statistics — integer rank comparisons
+from there on — cannot disagree; values are carried through as grouping
+keys, never re-derived.
 
 Nulls are excluded (SQL aggregate semantics); a group whose values are
 all null is absent from the output — callers left-join if they need the
@@ -86,7 +90,51 @@ def group_quantiles(
     outs = list(gcols)
     for name, q in qs.items():
         r = (F.col("_q_n") - 1).cast("double") * F.lit(float(q))
-        frac = r - F.floor(r)
         lo, hi = F.col(f"_q_lo_{name}"), F.col(f"_q_hi_{name}")
-        outs.append((lo + frac * (hi - lo)).alias(name))
+        lerp = (F.ceil(r) - r) * lo + (r - F.floor(r)) * hi
+        outs.append(
+            F.when(F.floor(r) == F.ceil(r), lo).otherwise(lerp).alias(name)
+        )
     return per_group.select(*outs)
+
+
+def group_quantiles_disc(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    val: str,
+    qs: Mapping[str, float],
+) -> DataFrame:
+    """Discrete (non-interpolating) percentiles with the same bounded
+    histogram state: SQL-standard percentile_disc(q) = the smallest
+    group element whose cume_dist ≥ q, i.e. the smallest histogram value
+    with cum ≥ q·n — both Spark's PercentileDisc and DuckDB's
+    quantile_disc implement exactly this rule (probed on even-n edge
+    splits), and since the result is an actual element, it is
+    hash-identical across engines with no rounding guard."""
+    gcols = list(group_cols)
+    hist = (
+        df.where(F.col(val).isNotNull())
+        .groupBy(*gcols, val)
+        .agg(F.count(F.lit(1)).alias("_q_c"))
+    )
+    w_cdf = (
+        Window.partitionBy(*gcols)
+        .orderBy(val)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(*gcols)
+    cum = hist.select(
+        *gcols,
+        F.col(val),
+        F.sum("_q_c").over(w_cdf).alias("_q_cum"),
+        F.sum("_q_c").over(w_tot).alias("_q_n"),
+    )
+    aggs = []
+    for name, q in qs.items():
+        thresh = F.col("_q_n").cast("double") * F.lit(float(q))
+        aggs.append(
+            F.min(
+                F.when(F.col("_q_cum").cast("double") >= thresh, F.col(val))
+            ).alias(name)
+        )
+    return cum.groupBy(*gcols).agg(*aggs)

@@ -34,11 +34,19 @@ def salted_equi_join(
     *,
     n_salts: int = 8,
     how: str = "inner",
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """fact ⋈ dim on fact_key = dim_key, salted n_salts ways.
 
     The dim side is replicated n_salts× — keep it the small side. Returns
     the join WITHOUT the salt column; column set = fact ∪ dim columns.
+
+    ``salt_cols`` picks which fact columns feed the salt hash; default =
+    every HASHABLE fact column (xxhash64 rejects MAP types, which are
+    skipped automatically — and on very wide rows passing 2-3 varied
+    columns avoids a full-row hash per row). The only correctness
+    requirement is that the chosen columns VARY within the hot key;
+    passing only the join key defeats the spread (rejected).
 
     Only inner/left joins are supported: in a right/full outer join an
     unmatched dim row would surface once PER REPLICA (n_salts duplicates),
@@ -49,14 +57,27 @@ def salted_equi_join(
             f"salted_equi_join supports inner/left joins only, got {how!r}: "
             "unmatched dim rows would duplicate once per salt replica"
         )
-    # salt from the full row, NOT the join key: xxhash64(key) is constant
+    # salt from row content, NOT the join key: xxhash64(key) is constant
     # within a key, which would send the hot key's rows to one reducer
     # again (tests/test_skew_stress.py pins the spread). Identical
     # duplicate rows still share a salt — deterministic under task retry,
     # and a 100%-duplicate hot key is a dedup problem, not a join problem.
+    if salt_cols is None:
+        from pyspark.sql.types import MapType
+
+        salt_cols = [
+            f.name for f in fact.schema.fields if not isinstance(f.dataType, MapType)
+        ]
+        if not salt_cols:
+            raise ValueError("salted_equi_join: no hashable fact columns to salt on")
+    elif salt_cols == [fact_key]:
+        raise ValueError(
+            "salted_equi_join: salting on the join key alone is constant "
+            "within a hot key — no spread; include columns that vary"
+        )
     salted_fact = fact.withColumn(
         SALT_COL,
-        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts)).cast(
+        F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salts)).cast(
             "int"
         ),
     )

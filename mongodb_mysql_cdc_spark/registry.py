@@ -45,61 +45,50 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 
 
 # The driver verifies the FIRST 50 names in queries() order per round
-# (CORRECTNESS_r01.json = registry positions 1-50 exactly).  After the
-# round-5 window went 50/50 green, driver-verified coverage stands at
-# 246 of 276 registered queries (union of CORRECTNESS_r01-r05 — the
-# numbers regenerate with `python tools/coverage_report.py`).  This
-# round-6 window clears the remainder in one pass:
-#   - the full 30-name unseen backlog (`coverage_report.py --backlog`);
-#   - the 5 green-but-re-spelled queries (`coverage_report.py --stale`,
-#     new this round: mechanically diffs each green query's register
-#     segment at HEAD vs its green round's marker commit): join_asof
-#     (r1 green; nearest-variant + delta_sec fixes landed later), tfidf
-#     (r1; df-derivation rewrite r5 + vocab-cutover r6),
-#     dedup_ngram_jaccard (r2; pair-budget bound r5), token_bigram_pmi
-#     (r4; raw-token-shuffle removal r5), cdc_scd2 (r3; shared-helper
-#     refactor when the streaming SCD2 sink landed);
-#   - 15 pad slots re-verifying the headline bench queries + three core
-#     operators under current code (all green r1-r2, cheap, and the
-#     queries whose numbers BENCH_r06 will cite — fresh evidence beats
-#     idle slots).
-# Cheap scalar/agg/sql families first, streaming LAST so a time-capped
-# driver run can't starve the cheap ones (the ordering trick from
-# r2-r5).  A green round here makes every registered query
-# driver-verified under its current source — keep the registration
-# freeze until CORRECTNESS_r06.json lands, then new work reopens.
+# (CORRECTNESS_r01.json = registry positions 1-50 exactly).  The round-6
+# window cleared the whole backlog: all 276 registered queries carry
+# driver evidence (union of CORRECTNESS_r01-r06 — regenerate with
+# `python tools/coverage_report.py`).  Round 7 is a depth round; the
+# registry stays frozen at 276 and the window re-verifies the round-7
+# re-spells plus high-value pads:
+#   - 10 `coverage_report.py --stale` queries re-spelled this round:
+#     agg_stats / quality_winsorize / anomaly_mad / agg_percentile_disc
+#     (operators/percentile.py distinct-value-histogram kernel replacing
+#     Spark's unbounded-state exact percentile), win_pct /
+#     ml_quantile_normalize / quality_buckets / agg_weighted_median
+#     (operators/ranking.py per-group distributed rank/cumsum/ntile
+#     replacing Window.partitionBy on 3-5-value keys), agg_mode (max_by
+#     argmax), dedup_ngram_jaccard (df via groupBy+join, not a window
+#     buffering hot postings);
+#   - join_salted, manually: salted_equi_join grew a salt_cols parameter
+#     (default behavior unchanged) — an operator-level change --stale
+#     cannot see, same reasoning as its r6 slot;
+#   - the 14 headline bench queries (BENCH_r07 cites their numbers —
+#     fresh evidence beats idle slots), then a §2 core spread.
+# Cheap relational/scalar families first, expensive LLM/CDC queries
+# LAST so a time-capped driver run can't starve the cheap ones (the
+# ordering trick from r2-r6).
 _DRIVER_WINDOW = [
-    # §2.8 scalar-function wave 2 (cheapest)
-    "fn_string3", "fn_explode_outer", "fn_array_hof2", "fn_try_safe",
-    "fn_interval", "fn_timezone", "fn_xml", "fn_haversine",
-    "fn_str_to_map", "fn_aes_roundtrip", "fn_levenshtein_threshold",
-    "fn_encoding",
-    # §2.4/§2.5 aggregate + window stragglers
-    "agg_product", "agg_grouping_id", "win_ratio_to_report",
-    # modern-SQL surface
-    "sql_parameterized", "sql_pipe_syntax", "sql_qualify",
-    # re-verify: re-spelled after their driver green (--stale)
-    "join_asof", "tfidf", "dedup_ngram_jaccard", "token_bigram_pmi",
-    "cdc_scd2",
-    # pad: headline bench queries + core ops under current code.
-    # join_salted earns its slot the hard way: the r6 skew-stress test
-    # caught the key-derived salt (no spread within the hot key) and the
-    # operator was re-salted on the full row — --stale can't see an
-    # operator-level change, so the slot is manual.
-    "pricing_summary", "join_inner_hash", "join_broadcast",
-    "topk_per_group", "win_running", "agg_rollup", "agg_hash",
-    "join_salted", "dedup_exact", "dedup_minhash_lsh",
-    "sim_search_topk", "sim_search_lsh", "sim_search_ivf", "text_stats",
-    # scan/maintenance surface
-    "scan_json_corrupt", "scan_observe_metrics",
-    # LLM-pipeline round-5 additions
-    "dedup_semantic_keep", "search_rrf_fusion", "token_bpe_merge",
-    "dataset_curriculum",
-    # CDC corner cases (batch)
-    "cdc_exactly_once", "cdc_pk_change", "cdc_gdpr_erasure",
-    "cdc_replication_lag", "cdc_apply_batch",
-    # file-rewrite + streaming LAST — most expensive per query
-    "maintenance_zorder", "stream_topk",
+    # round-7 re-spells (--stale) — the point of the round, so first
+    "agg_mode", "agg_stats", "agg_percentile_disc", "win_pct",
+    "ml_quantile_normalize", "quality_winsorize", "anomaly_mad",
+    "quality_buckets", "agg_weighted_median", "dedup_ngram_jaccard",
+    # operator-level change invisible to --stale (salt_cols param)
+    "join_salted",
+    # headline bench queries — BENCH_r07's numbers under fresh evidence
+    "pricing_summary", "join_inner_hash", "join_broadcast", "join_asof",
+    "topk_per_group", "win_running", "agg_rollup", "cdc_apply_batch",
+    "dedup_exact", "dedup_minhash_lsh", "sim_search_topk",
+    "sim_search_lsh", "tfidf", "text_stats",
+    # pad: §2 core spread under current code, cheap families first
+    "project", "filter_pred", "cast_types", "json_extract",
+    "flatten_struct", "sort_multi", "topk", "union_all", "intersect",
+    "agg_hash", "agg_global", "agg_count_distinct", "agg_grouping_sets",
+    "agg_minmax_by", "win_row_number", "win_lag_lead",
+    "join_sort_merge", "join_semi", "join_anti", "join_range",
+    # LLM-pipeline + CDC spread LAST — most expensive per query
+    "sim_search_ivf", "knn_classify", "cdc_envelope_parse", "cdc_scd2",
+    "dedup_semantic_keep",
 ]
 
 

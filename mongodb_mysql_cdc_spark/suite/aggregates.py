@@ -598,20 +598,26 @@ GROUP BY event_type
 """,
 )
 def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Discrete percentiles (WITHIN GROUP ORDER BY): unlike the
-    interpolating percentile_cont / percentile(), percentile_disc returns
-    an actual element of the group, so the values are hash-identical
-    across engines with no rounding guard — a sharper cross-engine check
-    than the cont form (agg_percentile_exact)."""
-    li = load(spark, sf_dir, "events")
-    return (
-        li.groupBy("event_type")
-        .agg(
-            F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY value)").alias("p25"),
-            F.expr("percentile_disc(0.50) WITHIN GROUP (ORDER BY value)").alias("p50"),
-            F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").alias("p95"),
-            F.count("*").alias("n"),
-        )
+    """Discrete percentiles: unlike the interpolating percentile_cont /
+    percentile(), percentile_disc returns an actual element of the
+    group, so the values are hash-identical across engines with no
+    rounding guard — a sharper cross-engine check than the cont form
+    (agg_percentile_exact). Computed on the distinct-value histogram
+    kernel (smallest value with cume_dist ≥ q — the rule Spark's
+    ``percentile_disc WITHIN GROUP`` and DuckDB's quantile_disc share;
+    tests/test_percentile.py pins the kernel bit-equal to Spark's own
+    aggregate), because the built-in, like every exact-percentile
+    aggregate, buffers whole groups — state ∝ corpus at 100 TB, where
+    the histogram is bounded by the value domain."""
+    from mongodb_mysql_cdc_spark.operators.percentile import group_quantiles_disc
+
+    ev = load(spark, sf_dir, "events")
+    disc = group_quantiles_disc(
+        ev, ["event_type"], "value", {"p25": 0.25, "p50": 0.50, "p95": 0.95}
+    )
+    n = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    return n.join(F.broadcast(disc), "event_type", "left").select(
+        "event_type", "p25", "p50", "p95", "n"
     )
 
 

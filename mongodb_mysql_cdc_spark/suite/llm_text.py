@@ -343,10 +343,13 @@ def tfidf_weights(
     too big to ship to every executor.  ``vocab_broadcast_limit`` is
     that cutover: ``None`` (the registered query's setting) asserts the
     vocab is broadcast-sized and hints ``F.broadcast``; a number makes
-    the plan measure — ``df.limit(k+1).count()`` (early-terminating, so
-    the probe costs one cheap job, not a full vocab scan) — and fall
-    back to a plain shuffle equi-join on token above the limit, relying
-    on the session's AQE skew-join to split any hot-token partitions.
+    the plan measure — ``df.limit(k+1).count()``, which must still run
+    the tf→df aggregation (limit can't short-circuit a shuffle's map
+    side; it only stops result materialization at k+1 rows), and which
+    fires EAGERLY at DataFrame-construction time, a deliberate
+    plan-time decision cost — and fall back to a plain shuffle
+    equi-join on token above the limit, relying on the session's AQE
+    skew-join to split any hot-token partitions.
     tests/test_plans.py pins both branches' join shapes.
 
     In a real pipeline tf.persist() between the two aggregations removes

@@ -52,3 +52,25 @@ def test_stale_flags_an_edited_segment():
     # where tfidf is KNOWN re-spelled (r5 rewrite + r6 cutover vs r1)
     stale = dict(cr.stale_queries({"tfidf": "01"}))
     assert "tfidf" in stale
+
+
+def test_driver_evidence_keeps_latest_green_round():
+    """Re-verified ⇒ not stale: a query green in r01 AND re-verified in
+    a later round must report the LATER round, so --stale diffs against
+    the code its newest evidence was recorded under (keeping the
+    earliest round made every re-verified query stale forever)."""
+    ev = cr.driver_evidence()
+    # join_asof: green r01, re-spelled afterwards, re-verified green r06
+    assert ev["join_asof"] == "06"
+    # and therefore it must NOT appear stale at a HEAD that hasn't
+    # touched it since the r06 re-verify
+    assert "join_asof" not in dict(cr.stale_queries({"join_asof": ev["join_asof"]}))
+
+
+def test_stale_warns_on_unresolvable_round_marker(capsys):
+    """A round with no marker commit yet (the current round before its
+    verdict files land) must WARN, not silently treat its queries as
+    fresh — the silent skip is the round-4 undercount failure mode."""
+    out = cr.stale_queries({"tfidf": "99"})
+    assert out == []
+    assert "no 'round 99:' marker" in capsys.readouterr().err

