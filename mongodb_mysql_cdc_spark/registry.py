@@ -51,15 +51,15 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # `python tools/coverage_report.py`).  Round 7 is a depth round; the
 # registry stays frozen at 276 and the window re-verifies the round-7
 # re-spells plus high-value pads:
-#   - 10 `coverage_report.py --stale` queries re-spelled this round:
+#   - 11 `coverage_report.py --stale` queries re-spelled this round:
 #     agg_stats / quality_winsorize / anomaly_mad / agg_percentile_disc
 #     (operators/percentile.py distinct-value-histogram kernel replacing
 #     Spark's unbounded-state exact percentile), win_pct /
-#     ml_quantile_normalize / quality_buckets / agg_weighted_median
-#     (operators/ranking.py per-group distributed rank/cumsum/ntile
-#     replacing Window.partitionBy on 3-5-value keys), agg_mode (max_by
-#     argmax), dedup_ngram_jaccard (df via groupBy+join, not a window
-#     buffering hot postings);
+#     ml_quantile_normalize / quality_buckets / agg_weighted_median /
+#     win_rank_dense (operators/ranking.py per-group distributed
+#     rank/cumsum/ntile replacing Window.partitionBy on ≤25-value keys),
+#     agg_mode (max_by argmax), dedup_ngram_jaccard (df via
+#     groupBy+join, not a window buffering hot postings);
 #   - join_salted, manually: salted_equi_join grew a salt_cols parameter
 #     (default behavior unchanged) — an operator-level change --stale
 #     cannot see, same reasoning as its r6 slot;
@@ -70,7 +70,7 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # ordering trick from r2-r6).
 _DRIVER_WINDOW = [
     # round-7 re-spells (--stale) — the point of the round, so first
-    "agg_mode", "agg_stats", "agg_percentile_disc", "win_pct",
+    "agg_mode", "agg_stats", "agg_percentile_disc", "win_pct", "win_rank_dense",
     "ml_quantile_normalize", "quality_winsorize", "anomaly_mad",
     "quality_buckets", "agg_weighted_median", "dedup_ngram_jaccard",
     # operator-level change invisible to --stale (salt_cols param)
@@ -84,7 +84,7 @@ _DRIVER_WINDOW = [
     "project", "filter_pred", "cast_types", "json_extract",
     "flatten_struct", "sort_multi", "topk", "union_all", "intersect",
     "agg_hash", "agg_global", "agg_count_distinct", "agg_grouping_sets",
-    "agg_minmax_by", "win_row_number", "win_lag_lead",
+    "agg_minmax_by", "win_row_number",
     "join_sort_merge", "join_semi", "join_anti", "join_range",
     # LLM-pipeline + CDC spread LAST — most expensive per query
     "sim_search_ivf", "knn_classify", "cdc_envelope_parse", "cdc_scd2",

@@ -61,22 +61,59 @@ FROM spend
 """,
 )
 def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile per nation — re-spelled off the Window
+    (round 7): the input is a PER-CUSTOMER aggregate (grows with the
+    corpus) and c_nationkey has 25 values, so Window.partitionBy is 25
+    tasks sorting corpus/25 rows each at any scale. The tie-aware ranks
+    come from the distinct-spend histogram: rank of every row tied at
+    spend s = (running count of rows with spend > s) + 1, dense_rank =
+    the distinct value's own position — both computed with
+    operators/ranking.py's distributed per-group position/cumsum over
+    the histogram (spend sums are near-unique, so the histogram itself
+    is corpus-sized and must ALSO rank distributed), then joined back
+    on the well-distributed (nation, spend) key. ntile(4) uses the
+    machinery's total-order position + SQL bucket arithmetic from the
+    25-row broadcast group totals."""
+    from mongodb_mysql_cdc_spark.operators.ranking import (
+        ntile_expr,
+        with_group_cumsum,
+        with_group_position,
+    )
+
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     spend = (
         c.join(o, c.c_custkey == o.o_custkey)
         .groupBy("c_custkey", "c_nationkey")
         .agg(hround(F.sum("o_totalprice")).alias("spend"))
+        .withColumn("_neg", -F.col("spend"))  # machinery orders ASC; DESC = -spend
     )
-    w = Window.partitionBy("c_nationkey").orderBy(F.col("spend").desc())
-    w_tied = Window.partitionBy("c_nationkey").orderBy(F.col("spend").desc(), "c_custkey")
-    return spend.select(
-        "c_custkey",
+    hist = spend.groupBy("c_nationkey", "_neg", "spend").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    hist = with_group_position(hist, ["c_nationkey"], ["_neg"], "_dpos")
+    hist = with_group_cumsum(hist, ["c_nationkey"], ["_neg"], "_cnt", "_cum")
+    ranks = hist.select(
         "c_nationkey",
         "spend",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w_tied).alias("quartile"),
+        (F.col("_cum") - F.col("_cnt") + 1).alias("rnk"),
+        F.col("_dpos").alias("drnk"),
+    )
+    pos = with_group_position(
+        spend, ["c_nationkey"], ["_neg", "c_custkey"], "_pos"
+    )
+    n_tbl = spend.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        pos.join(ranks, ["c_nationkey", "spend"])
+        .join(F.broadcast(n_tbl), "c_nationkey")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "spend",
+            "rnk",
+            "drnk",
+            ntile_expr(F.col("_pos"), F.col("_n"), 4).cast("int").alias("quartile"),
+        )
     )
 
 

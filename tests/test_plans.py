@@ -410,6 +410,7 @@ def test_low_cardinality_corpus_windows_respelled(spark):
         "ml_quantile_normalize",
         "quality_buckets",
         "agg_weighted_median",
+        "win_rank_dense",
     ):
         plan = _raw_plan(_q(name, spark))
         win_lines = [

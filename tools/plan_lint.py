@@ -64,6 +64,43 @@ GLOBAL_WINDOW_EXEMPT = {
 # Queries allowed a CartesianProduct node (none today — keep empty).
 CARTESIAN_EXEMPT: dict[str, str] = {}
 
+# Columns with a FIXED small domain (FIXTURES.md enums + the 25-nation /
+# 5-region TPC-H keys). A WindowExec partitioned ONLY by these runs at
+# most |domain| reducer tasks — corpus/|domain| rows sort inside each at
+# any scale, the round-7 re-spell class (win_pct, quality_buckets, …).
+LOWCARD_COLS = {
+    "event_type", "lang", "source", "l_returnflag", "l_linestatus",
+    "o_orderstatus", "o_orderpriority", "c_mktsegment", "p_type",
+    "c_nationkey", "n_nationkey", "s_nationkey", "n_regionkey",
+    "r_regionkey", "label",
+}
+
+# Queries allowed a low-cardinality-key window because the window's
+# INPUT is provably bounded (a histogram, a grid, an aggregate of a
+# bounded dimension) or the group is pruned before the sort — the
+# mechanical form of the round-6 manual `--report-windows` triage. An
+# entry documents WHY; it does not bless a corpus-sized input.
+LOWCARD_WINDOW_EXEMPT = {
+    "agg_stats": "input is the distinct-value histogram "
+    "(operators/percentile.py — bounded by the value domain, not corpus)",
+    "agg_percentile_disc": "distinct-value histogram input (see agg_stats)",
+    "quality_winsorize": "distinct-value histogram input (see agg_stats)",
+    "anomaly_mad": "distinct-value histogram input (see agg_stats)",
+    "topk_per_group": "rn<=k → WindowGroupLimit pushdown prunes each "
+    "group to k rows per map task before the sort",
+    "sample_per_group": "rn<=k → WindowGroupLimit pushdown "
+    "(same as topk_per_group)",
+    "pack_sequences": "bins need only local density; documented "
+    "(lang, shard) production partitioning",
+    "corpus_prepare_e2e": "pack step inherits pack_sequences' documented "
+    "partitioning",
+    "ts_calendar_profile": "window over the 24×7 calendar grid per type "
+    "(aggregate-bounded)",
+    "analytics_pareto": "window over per-band aggregates (|bands| rows)",
+    "join_lateral": "Catalyst-decorrelated LATERAL exhibit; window input "
+    "is the ≤25-nation aggregate",
+}
+
 # Queries allowed BatchEvalPython: the deliberate row-UDF tier exhibit.
 PY_ROW_UDF_EXEMPT = {
     "udf_surface": "the row-at-a-time tier exhibit itself (documented slow path)",
@@ -136,6 +173,17 @@ def lint_one(name: str, df) -> list[str]:
         for spec in window_partition_specs(plan):
             if spec == "<GLOBAL>":
                 problems.append("global_window: WindowExec with empty partition spec")
+                break
+    if name not in LOWCARD_WINDOW_EXEMPT:
+        for spec in window_partition_specs(plan):
+            if spec == "<GLOBAL>":
+                continue  # the global rule above owns that case
+            cols = set(re.findall(r"(\w+)#\d+", spec))
+            if cols and cols <= LOWCARD_COLS:
+                problems.append(
+                    f"lowcard_window: WindowExec partitioned only by "
+                    f"{sorted(cols)} — ≤|domain| tasks at any scale"
+                )
                 break
     if name not in UNBOUNDED_AGG_EXEMPT:
         # exact percentile/median in an AGGREGATE buffers whole groups;
