@@ -7,22 +7,49 @@ with extra steps: corpus/|keys| rows still sort inside ONE task per key.
 The plans work at any SF locally and are serial at cluster scale. The
 distributed spelling here keeps the exact same output:
 
-1. ``repartitionByRange`` on (group key, order key) — the parallel range
-   sort Spark already uses for a global ``orderBy``, minus the final
-   single-task-per-key window; a group may span MANY partitions, which
-   is the whole point;
-2. per-(partition, group) ``row_number`` / running sum (parallel: each
-   partition ranks its own slice of each group);
-3. per-(partition, group) counts → cumulative offsets via a tiny
-   theta-join cumsum (≤ |partitions| + |groups| rows, since range
-   partitions are contiguous — no window, no collect);
+1. stamp each row with a RANGE-BUCKET id — a PURE EXPRESSION over the
+   (group key, order key) tuple against literal boundaries (see below);
+2. per-(bucket, group) ``row_number`` / running sum (parallel: the
+   window's own hash exchange places each (bucket, group) slice on a
+   task; boundaries split each group across many buckets);
+3. per-(bucket, group) counts → cumulative offsets via a tiny
+   theta-join cumsum (≤ |buckets| + |groups| rows, since buckets are
+   contiguous key ranges — no corpus window, no corpus collect);
 4. global in-group position = local row_number + broadcast offset, and
    ntile's bucket arithmetic computed from broadcast per-group totals.
+
+**Why literal boundaries and not repartitionByRange +
+spark_partition_id** (the round-5/6 design, de-spelled in round 7): the
+stamped DataFrame feeds two plan branches (the rows and their
+per-(bucket, group) offsets), and each branch RE-EXECUTES the upstream
+plan. A physical partition id is only consistent across those two
+executions if every exchange below it replays identically — AQE may
+coalesce the two instances differently, and repartitionByRange's
+boundary SAMPLER draws per input partition, so even an explicit target
+count can sample different boundaries when the upstream layout shifts.
+At sf0.1 this dropped whole groups from agg_weighted_median /
+win_rank_dense (the per-execution ids disagreed, so the offset join
+silently lost rows) while every sf0.01 gate stayed green. A bucket id
+computed from the ROW'S OWN VALUES against literals embedded in the
+plan is identical in every branch by construction — physical layout
+can no longer affect it.
+
+The boundaries themselves come from a layout-independent deterministic
+sample: rows whose xxhash64(key tuple) ≡ 0 (mod m) — a pure data
+predicate, unlike seeded per-partition sampling — sorted and thinned
+driver-side to ~|shuffle partitions| cut points (a bounded collect:
+≤ ~20k sampled keys regardless of corpus size). Balance needs only
+roughly-even cuts; CORRECTNESS needs none — the bucket expression
+compares with Spark's own struct ordering, so bucket(r1) < bucket(r2)
+implies key(r1) ≤ key(r2) whatever the cut points, and ORDER WITHIN a
+bucket is the window's own sort. Construction costs one count + one
+sample scan (eager, at plan-build time — the same class of work
+repartitionByRange's sampling pass does per execution).
 
 Output is deterministic and boundary-independent: the order key must be
 a TOTAL order within each group (callers append a unique tiebreak
 column), so each row's in-group position is well-defined no matter where
-the range sampler cuts partitions.
+the cuts fall.
 
 The global (ungrouped) forms are the ``group_cols=[]`` special case.
 
@@ -38,6 +65,61 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+# target driver-side sample size for boundary estimation (bounded collect)
+_BOUNDARY_SAMPLE_TARGET = 20_000
+
+
+def _n_range_partitions(df: DataFrame) -> int:
+    """Bucket count for the machinery — session shuffle parallelism."""
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+
+
+def _bucket_id_expr(df: DataFrame, keys: Sequence[str]) -> Column:
+    """A pure-expression range-bucket id for the composite ``keys`` tuple:
+    the number of literal boundaries strictly below the row's key, under
+    Spark's own struct ordering. Identical in every plan branch by
+    construction (no dependence on physical partitioning — module
+    docstring has the failure this replaces).
+
+    Rows with a null in the leading key compare null against every
+    boundary → bucket 0, matching NULLS FIRST ascending order."""
+    n_buckets = _n_range_partitions(df)
+    key_cols = [F.col(k) for k in keys]
+    n = df.count()
+    bounds: list = []
+    if n > 1 and n_buckets > 1:
+        m = max(1, n // _BOUNDARY_SAMPLE_TARGET)
+        sample = (
+            df.select(*key_cols)
+            .where(F.pmod(F.xxhash64(*key_cols), F.lit(m)) == 0)
+            .collect()
+        )
+        # drop rows with nulls (they belong to bucket 0 by comparison
+        # semantics); sort by the key tuple — this only shapes BALANCE,
+        # the bucket expression below defines order via Spark comparisons
+        clean = sorted(
+            (tuple(r) for r in sample if all(v is not None for v in r))
+        )
+        if clean:
+            step = max(1, len(clean) // n_buckets)
+            seen = set()
+            for i in range(step, len(clean), step):
+                if clean[i] not in seen:
+                    seen.add(clean[i])
+                    bounds.append(clean[i])
+            bounds = bounds[: n_buckets - 1]
+    if not bounds:
+        return F.lit(0)
+    dtypes = [df.schema[k].dataType for k in keys]
+    key_struct = F.struct(*key_cols)
+    e: Column = F.lit(0)
+    for b in bounds:
+        lit_struct = F.struct(
+            *[F.lit(v).cast(t) for v, t in zip(b, dtypes)]
+        )
+        e = e + F.when(key_struct > lit_struct, 1).otherwise(0)
+    return e
+
 
 def with_group_position(
     df: DataFrame, group_cols: Sequence[str], order_cols: Sequence[str], out: str
@@ -52,9 +134,7 @@ def with_group_position(
     intermediates are dropped. ``group_cols=[]`` gives the global
     position."""
     keys = [*group_cols, *order_cols]
-    d = df.repartitionByRange(*[F.col(c) for c in keys]).withColumn(
-        "_gp_pid", F.spark_partition_id()
-    )
+    d = df.withColumn("_gp_pid", _bucket_id_expr(df, keys))
     local = Window.partitionBy("_gp_pid", *group_cols).orderBy(*order_cols)
     d = d.withColumn("_gp_rn", F.row_number().over(local))
     counts = d.groupBy("_gp_pid", *group_cols).agg(F.count(F.lit(1)).alias("_gp_cnt"))
@@ -63,12 +143,9 @@ def with_group_position(
         *[F.col(c).alias(f"_gp_g{i}") for i, c in enumerate(group_cols)],
         F.col("_gp_cnt").alias("_gp_cnt2"),
     )
-    same_group = [
-        F.col(c).eqNullSafe(F.col(f"_gp_g{i}")) for i, c in enumerate(group_cols)
-    ]
     cond = F.col("_gp_pid2") < F.col("_gp_pid")
-    for eq in same_group:
-        cond = cond & eq
+    for i, c in enumerate(group_cols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_gp_g{i}"))
     offsets = (
         counts.join(F.broadcast(lower), cond, "left")
         .groupBy("_gp_pid", *group_cols)
@@ -108,7 +185,7 @@ def distributed_ntile(
     group_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Append ``out`` = ntile(k) OVER ([PARTITION BY group_cols] ORDER BY
-    order_cols) — computed with range partitioning + broadcast offsets
+    order_cols) — computed with range buckets + broadcast offsets
     instead of a one-task-per-key window. ``order_cols`` must include a
     unique tiebreak so the order is total within each group."""
     pos = with_group_position(df, group_cols, order_cols, "_nt_pos")
@@ -133,10 +210,10 @@ def with_group_cumsum(
     """Append ``out`` = sum(val) OVER ([PARTITION BY group_cols] ORDER BY
     order_cols ROWS UNBOUNDED PRECEDING) — the in-group running total,
     distributed the same way as :func:`with_group_position`:
-    range-partition on (group key, order key), per-(partition, group)
-    running sum (parallel), per-(partition, group) totals → broadcast
-    cumulative offsets (tiny theta-join, no window, no collect).
-    ``order_cols`` must form a total order within each group.
+    range-bucket stamp, per-(bucket, group) running sum (parallel),
+    per-(bucket, group) totals → broadcast cumulative offsets (tiny
+    theta-join; no corpus window, no corpus collect). ``order_cols``
+    must form a total order within each group.
 
     Precondition (ENFORCED): ``val`` must be non-null — a null value
     raises at execution time. A window's running sum SKIPS nulls (a
@@ -154,9 +231,7 @@ def with_group_cumsum(
         ),
     )
     keys = [*group_cols, *order_cols]
-    d = df.repartitionByRange(*[F.col(c) for c in keys]).withColumn(
-        "_gc_pid", F.spark_partition_id()
-    )
+    d = df.withColumn("_gc_pid", _bucket_id_expr(df, keys))
     local = (
         Window.partitionBy("_gc_pid", *group_cols)
         .orderBy(*order_cols)

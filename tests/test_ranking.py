@@ -234,3 +234,34 @@ def test_group_cumsum_rejects_null_values(spark):
     with pytest.raises(Exception) as ei:
         with_group_cumsum(df, ["g"], ["id"], "w", "cum").collect()
     assert "null" in str(ei.value)
+
+
+def test_machinery_is_branch_consistent_at_sf01(spark):
+    """Regression for the round-7 silent row-loss: the machinery's
+    bucket id used to come from repartitionByRange + spark_partition_id,
+    and the offsets branch could re-execute the exchange under a
+    DIFFERENT AQE layout — the ids disagreed across branches and the
+    offset join dropped whole groups at sf0.1 (agg_weighted_median lost
+    l_returnflag='R'; every sf0.01 gate stayed green). The bucket id is
+    now a pure expression over the row's values against literal
+    boundaries, identical in every branch by construction. Pin the
+    observed failure at the scale that exposed it."""
+    from mongodb_mysql_cdc_spark.catalog import load
+    from mongodb_mysql_cdc_spark.registry import queries
+
+    sf = "/root/testdata/sf0.1"
+    qs = queries()
+    wm = qs["agg_weighted_median"](spark, sf)
+    flags = sorted(r["l_returnflag"] for r in wm.collect())
+    assert flags == ["A", "N", "R"]
+
+    n_cust = (
+        load(spark, sf, "customer")
+        .join(
+            load(spark, sf, "orders"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_semi",
+        )
+        .count()
+    )
+    assert qs["win_rank_dense"](spark, sf).count() == n_cust
