@@ -200,6 +200,69 @@ def distributed_ntile(
     ).drop("_nt_pos", "_nt_n")
 
 
+def with_group_position_and_cumsum(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[str],
+    val: str,
+    pos_out: str,
+    cum_out: str,
+) -> DataFrame:
+    """Fused :func:`with_group_position` + :func:`with_group_cumsum` over
+    ONE bucket stamp, one local-window exchange and one offsets pass —
+    for callers needing both the in-group position AND a running sum of
+    ``val`` under the same (group, order): half the boundary jobs and
+    exchanges of two separate machinery calls (win_rank_dense's
+    distinct-spend histogram needs exactly this pair). Same total-order
+    and non-null-``val`` preconditions as the two parents."""
+    v = F.coalesce(
+        F.col(val),
+        F.raise_error(
+            F.lit(
+                f"with_group_position_and_cumsum: null in {val!r} — "
+                "running-sum semantics are ambiguous on nulls"
+            )
+        ),
+    )
+    keys = [*group_cols, *order_cols]
+    d = df.withColumn("_gb_pid", _bucket_id_expr(df, keys))
+    w_run = (
+        Window.partitionBy("_gb_pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_rn = Window.partitionBy("_gb_pid", *group_cols).orderBy(*order_cols)
+    d = d.withColumn("_gb_rn", F.row_number().over(w_rn)).withColumn(
+        "_gb_run", F.sum(v).over(w_run)
+    )
+    parts = d.groupBy("_gb_pid", *group_cols).agg(
+        F.count(F.lit(1)).alias("_gb_cnt"), F.sum(val).alias("_gb_sum")
+    )
+    lower = parts.select(
+        F.col("_gb_pid").alias("_gb_pid2"),
+        *[F.col(c).alias(f"_gb_g{i}") for i, c in enumerate(group_cols)],
+        F.col("_gb_cnt").alias("_gb_cnt2"),
+        F.col("_gb_sum").alias("_gb_sum2"),
+    )
+    cond = F.col("_gb_pid2") < F.col("_gb_pid")
+    for i, c in enumerate(group_cols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_gb_g{i}"))
+    offsets = (
+        parts.join(F.broadcast(lower), cond, "left")
+        .groupBy("_gb_pid", *group_cols)
+        .agg(
+            F.coalesce(F.sum("_gb_cnt2"), F.lit(0)).alias("_gb_coff"),
+            F.coalesce(F.sum("_gb_sum2"), F.lit(0)).alias("_gb_soff"),
+        )
+    )
+    return (
+        d.join(F.broadcast(offsets), ["_gb_pid", *group_cols])
+        .withColumn(pos_out, F.col("_gb_coff") + F.col("_gb_rn"))
+        .withColumn(cum_out, F.col("_gb_soff") + F.col("_gb_run"))
+        .drop("_gb_pid", "_gb_rn", "_gb_run", "_gb_coff", "_gb_soff")
+    )
+
+
 def with_group_cumsum(
     df: DataFrame,
     group_cols: Sequence[str],

@@ -67,17 +67,18 @@ def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     tasks sorting corpus/25 rows each at any scale. The tie-aware ranks
     come from the distinct-spend histogram: rank of every row tied at
     spend s = (running count of rows with spend > s) + 1, dense_rank =
-    the distinct value's own position — both computed with
-    operators/ranking.py's distributed per-group position/cumsum over
-    the histogram (spend sums are near-unique, so the histogram itself
-    is corpus-sized and must ALSO rank distributed), then joined back
-    on the well-distributed (nation, spend) key. ntile(4) uses the
-    machinery's total-order position + SQL bucket arithmetic from the
-    25-row broadcast group totals."""
+    the distinct value's own position — both from ONE fused
+    operators/ranking.py pass over the histogram (spend sums are
+    near-unique, so the histogram itself is corpus-sized and must ALSO
+    rank distributed), joined back on the well-distributed
+    (nation, spend) key. The ntile tiebreak position needs no second
+    machinery pass: pos = (cum − cnt) + row_number within the tie
+    cohort, whose window partitions by the near-unique (nation, spend)
+    — tiny partitions at any scale. quartile = SQL bucket arithmetic
+    from the 25-row broadcast group totals."""
     from mongodb_mysql_cdc_spark.operators.ranking import (
         ntile_expr,
-        with_group_cumsum,
-        with_group_position,
+        with_group_position_and_cumsum,
     )
 
     c = load(spark, sf_dir, "customer")
@@ -91,29 +92,33 @@ def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = spend.groupBy("c_nationkey", "_neg", "spend").agg(
         F.count(F.lit(1)).alias("_cnt")
     )
-    hist = with_group_position(hist, ["c_nationkey"], ["_neg"], "_dpos")
-    hist = with_group_cumsum(hist, ["c_nationkey"], ["_neg"], "_cnt", "_cum")
+    hist = with_group_position_and_cumsum(
+        hist, ["c_nationkey"], ["_neg"], "_cnt", "_dpos", "_cum"
+    )
     ranks = hist.select(
         "c_nationkey",
         "spend",
-        (F.col("_cum") - F.col("_cnt") + 1).alias("rnk"),
+        (F.col("_cum") - F.col("_cnt")).alias("_before"),
         F.col("_dpos").alias("drnk"),
     )
-    pos = with_group_position(
-        spend, ["c_nationkey"], ["_neg", "c_custkey"], "_pos"
-    )
+    # tiebreak position WITHOUT a second machinery pass: pos =
+    # count-of-better (_before) + row_number within the tie cohort — the
+    # cohort window is keyed by (nation, spend), a near-unique value, so
+    # its partitions are tiny at any scale (lint: high-cardinality key)
+    w_tie = Window.partitionBy("c_nationkey", "spend").orderBy("c_custkey")
     n_tbl = spend.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("_n"))
-    return (
-        pos.join(ranks, ["c_nationkey", "spend"])
+    joined = (
+        spend.join(ranks, ["c_nationkey", "spend"])
         .join(F.broadcast(n_tbl), "c_nationkey")
-        .select(
-            "c_custkey",
-            "c_nationkey",
-            "spend",
-            "rnk",
-            "drnk",
-            ntile_expr(F.col("_pos"), F.col("_n"), 4).cast("int").alias("quartile"),
-        )
+        .withColumn("_pos", F.col("_before") + F.row_number().over(w_tie))
+    )
+    return joined.select(
+        "c_custkey",
+        "c_nationkey",
+        "spend",
+        (F.col("_before") + 1).alias("rnk"),
+        "drnk",
+        ntile_expr(F.col("_pos"), F.col("_n"), 4).cast("int").alias("quartile"),
     )
 
 
