@@ -51,7 +51,7 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # `python tools/coverage_report.py`).  Round 7 is a depth round; the
 # registry stays frozen at 276 and the window re-verifies the round-7
 # re-spells plus high-value pads:
-#   - 11 `coverage_report.py --stale` queries re-spelled this round:
+#   - 12 `coverage_report.py --stale` queries re-spelled this round:
 #     agg_stats / quality_winsorize / anomaly_mad / agg_percentile_disc
 #     (operators/percentile.py distinct-value-histogram kernel replacing
 #     Spark's unbounded-state exact percentile), win_pct /
@@ -59,7 +59,10 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 #     win_rank_dense (operators/ranking.py per-group distributed
 #     rank/cumsum/ntile replacing Window.partitionBy on ≤25-value keys),
 #     agg_mode (max_by argmax), dedup_ngram_jaccard (df via
-#     groupBy+join, not a window buffering hot postings);
+#     groupBy+join, not a window buffering hot postings),
+#     pack_sequences (packing cumsum via the distributed machinery),
+#     corpus_prepare_e2e (comment-only segment change — its packing
+#     window deliberately stays, see its in-code rationale; cheap slot);
 #   - join_salted, manually: salted_equi_join grew a salt_cols parameter
 #     (default behavior unchanged) — an operator-level change --stale
 #     cannot see, same reasoning as its r6 slot;
@@ -73,6 +76,7 @@ _DRIVER_WINDOW = [
     "agg_mode", "agg_stats", "agg_percentile_disc", "win_pct", "win_rank_dense",
     "ml_quantile_normalize", "quality_winsorize", "anomaly_mad",
     "quality_buckets", "agg_weighted_median", "dedup_ngram_jaccard",
+    "pack_sequences",
     # operator-level change invisible to --stale (salt_cols param)
     "join_salted",
     # headline bench queries — BENCH_r07's numbers under fresh evidence
@@ -82,13 +86,13 @@ _DRIVER_WINDOW = [
     "sim_search_lsh", "tfidf", "text_stats",
     # pad: §2 core spread under current code, cheap families first
     "project", "filter_pred", "cast_types", "json_extract",
-    "flatten_struct", "sort_multi", "topk", "union_all", "intersect",
+    "flatten_struct", "sort_multi", "topk",
     "agg_hash", "agg_global", "agg_count_distinct", "agg_grouping_sets",
     "agg_minmax_by", "win_row_number",
     "join_sort_merge", "join_semi", "join_anti", "join_range",
     # LLM-pipeline + CDC spread LAST — most expensive per query
     "sim_search_ivf", "knn_classify", "cdc_envelope_parse", "cdc_scd2",
-    "dedup_semantic_keep",
+    "dedup_semantic_keep", "corpus_prepare_e2e",
 ]
 
 

@@ -196,22 +196,24 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     div budget, so a doc straddling a boundary starts the next bin's
     overflow (greedy packing, no splitting).
 
-    100 TB design: packing is stream-order-local, so the window
-    partitions by (lang) here and by (lang, shard) in production — bins
-    never need to be globally contiguous, only locally dense, so the
-    shard count scales the parallelism freely."""
+    100 TB design (round 7): the running token total comes from
+    operators/ranking.py's distributed per-group cumsum — a
+    Window.partitionBy(lang) on the 5-value key sorts corpus/5 rows in
+    ONE task per language. The machinery's boundary jobs prune to the
+    (lang, doc_id) key columns, so the expensive tokenize runs only in
+    the main pass. (The earlier spelling documented a (lang, shard)
+    production partitioning as the escape hatch; the machinery IS that
+    sharding, with the exact global-window output.)"""
+    from mongodb_mysql_cdc_spark.operators.ranking import with_group_cumsum
+
     d = load(spark, sf_dir, "documents")
     n_tokens = F.size(X.tokens(F.col("text"))).cast("long")
     counted = d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    start_offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    cum = with_group_cumsum(counted, ["lang"], ["doc_id"], "n_tokens", "_cum")
+    start_offset = F.col("_cum") - F.col("n_tokens")
     # floor == integer div here (offsets are non-negative)
     bin_id = F.floor(start_offset / _PACK_BUDGET).cast("long")
-    return counted.select("doc_id", "lang", "n_tokens", bin_id.alias("bin_id"))
+    return cum.select("doc_id", "lang", "n_tokens", bin_id.alias("bin_id"))
 
 
 # ---------------------------------------------------------------------------
@@ -508,6 +510,15 @@ def corpus_prepare_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         contaminated, "doc_id", "left_anti"
     )
     counted = clean.select("doc_id", "lang", F.size("t").cast("long").alias("n_tokens"))
+    # The packing cumsum stays a plain per-lang window HERE (unlike the
+    # standalone pack_sequences, re-spelled on the distributed machinery
+    # in round 7): the machinery's boundary jobs re-execute this query's
+    # whole dedup+decon lineage — nothing prunes, the dedup window and
+    # anti-join must run — measured 4.5 s → 11.5 s at sf0.1 (2.6×). In
+    # production `clean` is a persisted intermediate and the
+    # pack_sequences spelling is the one-line swap; as a single
+    # unpersisted dataflow exhibit, the per-lang window is the honest
+    # trade (lowcard-window exemption documents this).
     w_pack = (
         Window.partitionBy("lang")
         .orderBy("doc_id")

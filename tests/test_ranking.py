@@ -265,3 +265,67 @@ def test_machinery_is_branch_consistent_at_sf01(spark):
         .count()
     )
     assert qs["win_rank_dense"](spark, sf).count() == n_cust
+
+
+# --- hypothesis: machinery vs window reference on random frames -------------
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def ranked_frames(draw):
+    """Random grouped frames with heavy order-key ties, negative values,
+    and uneven groups — a unique id makes the order total (the
+    machinery's precondition)."""
+    n = draw(st.integers(2, 120))
+    rows = []
+    for i in range(n):
+        g = draw(st.sampled_from(["a", "b", "c"]))
+        v = draw(st.integers(-5, 5))  # heavy ties
+        w = draw(st.integers(1, 9))
+        rows.append((g, v, i, w))
+    return rows
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(ranked_frames())
+def test_machinery_matches_windows_on_random_frames(spark, rows):
+    from mongodb_mysql_cdc_spark.operators.ranking import (
+        with_group_cumsum,
+        with_group_position,
+    )
+
+    df = spark.createDataFrame(rows, "g string, v long, id long, w long")
+    got_pos = {
+        r["id"]: r["pos"]
+        for r in with_group_position(df, ["g"], ["v", "id"], "pos").collect()
+    }
+    want_pos = {
+        r["id"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("g").orderBy("v", "id"))
+        ).collect()
+    }
+    assert got_pos == want_pos
+    got_cum = {
+        r["id"]: r["cum"]
+        for r in with_group_cumsum(df, ["g"], ["v", "id"], "w", "cum").collect()
+    }
+    want_cum = {
+        r["id"]: r["cum"]
+        for r in df.withColumn(
+            "cum",
+            F.sum("w").over(
+                Window.partitionBy("g")
+                .orderBy("v", "id")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ).collect()
+    }
+    assert got_cum == want_cum

@@ -90,10 +90,12 @@ LOWCARD_WINDOW_EXEMPT = {
     "group to k rows per map task before the sort",
     "sample_per_group": "rn<=k → WindowGroupLimit pushdown "
     "(same as topk_per_group)",
-    "pack_sequences": "bins need only local density; documented "
-    "(lang, shard) production partitioning",
-    "corpus_prepare_e2e": "pack step inherits pack_sequences' documented "
-    "partitioning",
+    # pack_sequences de-listed r7: re-spelled on the distributed cumsum
+    # machinery, no per-lang window remains in its plan.
+    "corpus_prepare_e2e": "single-dataflow capstone: the machinery's "
+    "boundary jobs would re-execute the whole dedup+decon lineage "
+    "(measured 2.6× at sf0.1); production persists `clean` and swaps in "
+    "the pack_sequences spelling one-line",
     "ts_calendar_profile": "window over the 24×7 calendar grid per type "
     "(aggregate-bounded)",
     "analytics_pareto": "window over per-band aggregates (|bands| rows)",
