@@ -730,8 +730,18 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a group after the collapse, so ROWS cumsum ≡ the RANGE frame.
     from mongodb_mysql_cdc_spark.operators.ranking import with_group_cumsum
 
+    # boundary proxy: sample the RAW (flag, price) columns — a pruned
+    # parquet scan — instead of re-executing the collapse aggregation
+    # for the machinery's count+sample jobs (measured 12.7× → ~4× at
+    # 100×; the raw distribution over-weights duplicated prices, which
+    # only shifts bucket balance, never output)
     cum = with_group_cumsum(
-        collapsed, ["l_returnflag"], ["l_extendedprice"], "w_at_price", "cum_w"
+        collapsed,
+        ["l_returnflag"],
+        ["l_extendedprice"],
+        "w_at_price",
+        "cum_w",
+        boundary_df=li.select("l_returnflag", "l_extendedprice"),
     ).select("l_returnflag", "l_extendedprice", "cum_w")
     return (
         cum.join(F.broadcast(tot), "l_returnflag")
