@@ -134,3 +134,26 @@ def test_hot_key_spreads_across_partitions(spark, skewed):
     hot_total = sum(sizes)
     assert len(sizes) > 1, "hot key still on a single reducer"
     assert max(sizes) <= hot_total * 2 / 8, (sorted(sizes), hot_total)
+
+
+def test_salt_cols_parameter_surface(spark, skewed):
+    """Round-7 advice fix: salt_cols picks which fact columns feed the
+    salt hash. (a) MAP-typed columns are skipped by the default (hash on
+    maps is disallowed by Spark — the full-column default used to fail
+    analysis on such facts); (b) salting on the join key alone is
+    rejected (constant within a hot key = no spread — the r6 bug class);
+    (c) an explicit varied column still equals the plain join."""
+    import pytest
+
+    fact, dim = skewed
+    # (a) a MAP column must not break the default salt derivation
+    fact_m = fact.withColumn("m", F.create_map(F.lit("a"), F.col("payload")))
+    got = salted_equi_join(fact_m, dim, "k", "dk", n_salts=4)
+    want = fact_m.join(dim, fact_m.k == dim.dk)
+    assert got.count() == want.count()
+    # (b) join-key-only salt rejected
+    with pytest.raises(ValueError, match="join key alone"):
+        salted_equi_join(fact, dim, "k", "dk", salt_cols=["k"])
+    # (c) explicit salt column preserves the plain-join identity
+    got2 = salted_equi_join(fact, dim, "k", "dk", n_salts=8, salt_cols=["payload"])
+    assert got2.count() == fact.join(dim, fact.k == dim.dk).count()
