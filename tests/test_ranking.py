@@ -329,3 +329,31 @@ def test_machinery_matches_windows_on_random_frames(spark, rows):
         ).collect()
     }
     assert got_cum == want_cum
+
+
+def test_machinery_handles_timestamp_order_keys(spark):
+    """Boundary literals are built with F.lit(value).cast(keytype); the
+    timestamp path (python datetime → TimestampType literal) is the one
+    no registered query exercises yet — pin it before a future round
+    relies on it."""
+    import datetime
+
+    from mongodb_mysql_cdc_spark.operators.ranking import with_group_position
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("g%d" % (i % 3), base + datetime.timedelta(seconds=(i * 37) % 500), i)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, id long")
+    got = {
+        r["id"]: r["pos"]
+        for r in with_group_position(df, ["g"], ["ts", "id"], "pos").collect()
+    }
+    want = {
+        r["id"]: r["rn"]
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("g").orderBy("ts", "id"))
+        ).collect()
+    }
+    assert got == want
