@@ -317,6 +317,16 @@ def test_machinery_matches_windows_on_random_frames(spark, rows):
         r["id"]: r["cum"]
         for r in with_group_cumsum(df, ["g"], ["v", "id"], "w", "cum").collect()
     }
+    from mongodb_mysql_cdc_spark.operators.ranking import (
+        with_group_position_and_cumsum,
+    )
+
+    fused = {
+        r["id"]: (r["pos"], r["cum"])
+        for r in with_group_position_and_cumsum(
+            df, ["g"], ["v", "id"], "w", "pos", "cum"
+        ).collect()
+    }
     want_cum = {
         r["id"]: r["cum"]
         for r in df.withColumn(
@@ -329,6 +339,8 @@ def test_machinery_matches_windows_on_random_frames(spark, rows):
         ).collect()
     }
     assert got_cum == want_cum
+    assert {k: v[0] for k, v in fused.items()} == want_pos
+    assert {k: v[1] for k, v in fused.items()} == want_cum
 
 
 def test_machinery_handles_timestamp_order_keys(spark):
