@@ -7,6 +7,7 @@ window, which is exactly how round-4's backlog undercount happened.
 
 from __future__ import annotations
 
+import json
 import sys
 from pathlib import Path
 
@@ -54,16 +55,37 @@ def test_stale_flags_an_edited_segment():
     assert "tfidf" in stale
 
 
-def test_driver_evidence_keeps_latest_green_round():
+def test_driver_evidence_keeps_latest_green_round(tmp_path):
     """Re-verified ⇒ not stale: a query green in r01 AND re-verified in
     a later round must report the LATER round, so --stale diffs against
     the code its newest evidence was recorded under (keeping the
-    earliest round made every re-verified query stale forever)."""
+    earliest round made every re-verified query stale forever).
+
+    Uses a synthetic two-round fixture — the round-7 verdict flagged the
+    previous literal `== "06"` assertion, which broke the moment the
+    driver dropped CORRECTNESS_r07.json with a fresh join_asof row."""
+    green = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    red = {"rows_match": False, "schema_match": True, "hash_match": False, "err": "boom"}
+    rows_only = {"rows_match": None, "err": "no_oracle", "spark_rows": 7}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a": green, "b": green, "c": green})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"a": green, "b": red, "c": rows_only})
+    )
+    ev = cr.driver_evidence(paths=[str(p) for p in tmp_path.glob("*.json")])
+    assert ev["a"] == "02"      # re-verified green → latest round wins
+    assert ev["b"] == "01"      # later RED row must NOT advance evidence
+    assert ev["c"] == "02"      # rows-only (no_oracle + count) counts as green
+
+
+def test_driver_evidence_monotone_on_real_files():
+    """Against the real repo files: join_asof has been green since r01
+    and re-verified since; its evidence must be ≥ r06 (ordering, not a
+    literal round — the driver appends files every round) and not stale
+    at a HEAD that hasn't touched it since."""
     ev = cr.driver_evidence()
-    # join_asof: green r01, re-spelled afterwards, re-verified green r06
-    assert ev["join_asof"] == "06"
-    # and therefore it must NOT appear stale at a HEAD that hasn't
-    # touched it since the r06 re-verify
+    assert ev["join_asof"] >= "06"
     assert "join_asof" not in dict(cr.stale_queries({"join_asof": ev["join_asof"]}))
 
 

@@ -26,17 +26,22 @@ sys.path.insert(0, str(ROOT))
 from mongodb_mysql_cdc_spark import registry  # noqa: E402
 
 
-def driver_evidence() -> dict[str, str]:
+def driver_evidence(paths: list[str] | None = None) -> dict[str, str]:
     """name → LATEST round with a fully-green driver row.
 
     Latest, not earliest: a query re-verified green in a later round has
     evidence under NEWER code, and --stale must diff against that round
     — keeping the earliest round made every re-verified query print as
-    stale forever (round-6 verdict item), masking real staleness."""
+    stale forever (round-6 verdict item), masking real staleness.
+
+    `paths` overrides the repo glob (tests feed synthetic fixtures so
+    assertions don't break whenever the driver drops a new round file)."""
     out: dict[str, str] = {}
     # glob sort is ascending by round (r01 < r02 < …), so the last write
     # per name below is its latest green round
-    for path in sorted(glob.glob(str(ROOT / "CORRECTNESS_r*.json"))):
+    if paths is None:
+        paths = glob.glob(str(ROOT / "CORRECTNESS_r*.json"))
+    for path in sorted(paths):
         rnd = Path(path).stem.split("_r")[-1]
         with open(path) as f:
             rows = json.load(f)
