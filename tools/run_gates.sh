@@ -1,14 +1,17 @@
 #!/usr/bin/env bash
 # Round-end gate sequence — every check the driver (or the judge) will
 # run, in the order that fails fastest. See .claude/skills/verify for
-# what each gate catches. Run on a QUIET box; streaming checkpoint tests
-# flake under concurrent Spark JVMs (re-run a failure alone before
-# believing it).
+# what each gate catches. Streaming checkpoint-restart tests run in a
+# serialized second stage (their own process, nothing else competing
+# for the JVM) — round-7 verdict item 2.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== pytest =="
-python -m pytest tests/ -q
+echo "== pytest (main suite) =="
+python -m pytest tests/ -q -m "not serial"
+
+echo "== pytest (serialized checkpoint-restart stage) =="
+python -m pytest tests/ -q -m serial -p no:cacheprovider
 
 echo "== plan lint (scale-killer hunt, all registered queries) =="
 python tools/plan_lint.py
