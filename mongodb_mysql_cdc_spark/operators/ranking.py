@@ -35,21 +35,49 @@ plan is identical in every branch by construction — physical layout
 can no longer affect it.
 
 The boundaries themselves come from a layout-independent deterministic
-sample: rows whose xxhash64(key tuple) ≡ 0 (mod m) — a pure data
-predicate, unlike seeded per-partition sampling — sorted and thinned
-driver-side to ~|shuffle partitions| cut points (a bounded collect:
-≤ ~20k sampled keys regardless of corpus size). Balance needs only
-roughly-even cuts; CORRECTNESS needs none — the bucket expression
-compares with Spark's own struct ordering, so bucket(r1) < bucket(r2)
-implies key(r1) ≤ key(r2) whatever the cut points, and ORDER WITHIN a
-bucket is the window's own sort. Construction costs one count + one
-sample scan (eager, at plan-build time — the same class of work
-repartitionByRange's sampling pass does per execution).
+sample, ONE job at plan-build time (round-8: fused the former count +
+sample pair): a stratified min-hash aggregate — group rows by
+``pmod(xxhash64(key tuple), 20k)`` and keep each stratum's (hash, key)
+minimum. min() is commutative, so the result is a pure function of the
+DATA (no dependence on physical layout or a sampling seed), the
+aggregation state and the driver collect are both hard-bounded at 20k
+entries no matter the corpus size or key-frequency skew (the round-7
+ADVICE heavy-tail concern — a hot key now occupies exactly one stratum
+slot), and min-hash-per-stratum draws ~uniformly over DISTINCT keys.
+Distinct-uniform is the right distribution here: a bucket id is a
+function of the key VALUE, so duplicates of one key can never be split
+across buckets — frequency-weighting cut points cannot improve balance
+beyond what distinct-key spacing gives. Balance needs only roughly-even
+cuts; CORRECTNESS needs none — the bucket expression compares with
+Spark's own struct ordering, so bucket(r1) < bucket(r2) implies
+key(r1) ≤ key(r2) whatever the cut points, and ORDER WITHIN a bucket
+is the window's own sort.
+
+Bucket COUNT is capped at 1024 (round-7 verdict: an expression chain
+sized by ``spark.sql.shuffle.partitions`` would hit codegen's 64KB
+method limit at a real cluster's partition counts). The bucket id is
+evaluated as constant-depth HOF scans over constant-folded literal
+arrays — a coarse scan over every-32nd boundary picks a chunk, a fine
+scan inside that chunk finishes: ≤ 64 struct comparisons per row at
+the 1024 cap, with plan DEPTH independent of the boundary count. Per
+bucket volume at the cap is corpus/1024 — parallel enough for any
+executor count, and AQE coalesces the many-buckets-few-partitions case
+for free.
 
 Output is deterministic and boundary-independent: the order key must be
 a TOTAL order within each group (callers append a unique tiebreak
 column), so each row's in-group position is well-defined no matter where
 the cuts fall.
+
+Bit-determinism assumption (round-7 ADVICE): the machinery fans its
+input into multiple plan branches, each of which RE-EXECUTES the input
+lineage; the row VALUES must therefore be bit-identical across
+executions. Raw columns and integer aggregates are; floating-point
+aggregates are NOT (shuffle-merge order varies) — callers whose input
+carries a float-aggregate column must ``localCheckpoint`` it first
+(win_rank_dense and agg_weighted_median do), which also makes the
+boundary-sample job read materialized rows instead of re-running the
+aggregation.
 
 The global (ungrouped) forms are the ``group_cols=[]`` special case.
 
@@ -65,13 +93,56 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
-# target driver-side sample size for boundary estimation (bounded collect)
+# number of min-hash strata = hard bound on the boundary-sample
+# aggregation state AND on the driver-side collect (one row per stratum)
 _BOUNDARY_SAMPLE_TARGET = 20_000
+# bucket-count cap: keeps the bucket-id expression's literal payload and
+# per-row comparison count bounded at cluster-scale shuffle-partition
+# settings (round-7 verdict item 3); corpus/1024 per bucket stays
+# parallel at any executor count
+_MAX_BUCKETS = 1024
+# fine-chunk width for the two-level bucket lookup (≈ sqrt(_MAX_BUCKETS))
+_CHUNK = 32
 
 
 def _n_range_partitions(df: DataFrame) -> int:
-    """Bucket count for the machinery — session shuffle parallelism."""
-    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    """Bucket count for the machinery — session shuffle parallelism,
+    capped at _MAX_BUCKETS (module docstring)."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    return min(n, _MAX_BUCKETS)
+
+
+def _boundary_tuples(
+    df: DataFrame, keys: Sequence[str], n_buckets: int
+) -> list[tuple]:
+    """Driver-collected boundary key tuples — ONE job (module docstring:
+    stratified min-hash; state and collect both ≤ _BOUNDARY_SAMPLE_TARGET
+    rows by construction, deterministic in the data, layout-independent)."""
+    key_cols = [F.col(k) for k in keys]
+    strata = (
+        df.select(
+            F.xxhash64(*key_cols).alias("_h"),
+            F.struct(*key_cols).alias("_k"),
+        )
+        .groupBy(F.pmod(F.col("_h"), F.lit(_BOUNDARY_SAMPLE_TARGET)).alias("_s"))
+        .agg(F.min(F.struct(F.col("_h").alias("h"), F.col("_k").alias("k"))).alias("_m"))
+        .collect()
+    )
+    # drop keys with nulls (those rows belong to bucket 0 by comparison
+    # semantics); dedupe + sort — this only shapes BALANCE, the bucket
+    # expression defines order via Spark's own comparisons
+    clean = sorted(
+        {
+            t
+            for r in strata
+            for t in (tuple(r["_m"]["k"]),)
+            if all(v is not None for v in t)
+        }
+    )
+    if len(clean) < 2:
+        return []
+    step = max(1, len(clean) // n_buckets)
+    return [clean[i] for i in range(step, len(clean), step)][: n_buckets - 1]
 
 
 def _bucket_id_expr(df: DataFrame, keys: Sequence[str]) -> Column:
@@ -81,44 +152,70 @@ def _bucket_id_expr(df: DataFrame, keys: Sequence[str]) -> Column:
     construction (no dependence on physical partitioning — module
     docstring has the failure this replaces).
 
-    Rows with a null in the leading key compare null against every
+    Constant expression DEPTH regardless of boundary count: the sorted
+    boundaries live in constant-folded literal arrays scanned by HOF
+    lambdas (coarse chunk pick + fine in-chunk count), never in a
+    nested when-chain — at the 1024-bucket cap that is ≤ 64 struct
+    comparisons per row and no codegen-method blowup at cluster-scale
+    ``spark.sql.shuffle.partitions`` (round-7 verdict item 3).
+
+    Rows with a null in any key field compare null against every
     boundary → bucket 0, matching NULLS FIRST ascending order."""
     n_buckets = _n_range_partitions(df)
-    key_cols = [F.col(k) for k in keys]
-    n = df.count()
-    bounds: list = []
-    if n > 1 and n_buckets > 1:
-        m = max(1, n // _BOUNDARY_SAMPLE_TARGET)
-        sample = (
-            df.select(*key_cols)
-            .where(F.pmod(F.xxhash64(*key_cols), F.lit(m)) == 0)
-            .collect()
-        )
-        # drop rows with nulls (they belong to bucket 0 by comparison
-        # semantics); sort by the key tuple — this only shapes BALANCE,
-        # the bucket expression below defines order via Spark comparisons
-        clean = sorted(
-            (tuple(r) for r in sample if all(v is not None for v in r))
-        )
-        if clean:
-            step = max(1, len(clean) // n_buckets)
-            seen = set()
-            for i in range(step, len(clean), step):
-                if clean[i] not in seen:
-                    seen.add(clean[i])
-                    bounds.append(clean[i])
-            bounds = bounds[: n_buckets - 1]
+    bounds = _boundary_tuples(df, keys, n_buckets) if n_buckets > 1 else []
     if not bounds:
         return F.lit(0)
     dtypes = [df.schema[k].dataType for k in keys]
-    key_struct = F.struct(*key_cols)
-    e: Column = F.lit(0)
-    for b in bounds:
-        lit_struct = F.struct(
-            *[F.lit(v).cast(t) for v, t in zip(b, dtypes)]
+    key_struct = F.struct(*[F.col(k) for k in keys])
+
+    def lit_struct(b: tuple) -> Column:
+        # cast pins literal types to the column types (timestamps/decimals)
+        return F.struct(
+            *[F.lit(v).cast(t).alias(k) for v, t, k in zip(b, dtypes, keys)]
         )
-        e = e + F.when(key_struct > lit_struct, 1).otherwise(0)
-    return e
+
+    def count_below(arr: Column) -> Column:
+        return F.size(F.filter(arr, lambda b: key_struct > b))
+
+    if len(bounds) <= 2 * _CHUNK:
+        return count_below(F.array(*[lit_struct(b) for b in bounds]))
+    # two-level: bounds are sorted+distinct, so key > chunk[-1] ⟺ key is
+    # past every element of that chunk; all chunks before the probed one
+    # are full (_CHUNK wide) — only the last chunk is ragged, and it is
+    # never skipped over
+    chunks = [bounds[i : i + _CHUNK] for i in range(0, len(bounds), _CHUNK)]
+    coarse = F.array(*[lit_struct(c[-1]) for c in chunks[:-1]])
+    fine_arrs = F.array(*[F.array(*[lit_struct(b) for b in c]) for c in chunks])
+    c_idx = count_below(coarse)
+    fine = F.element_at(fine_arrs, (c_idx + F.lit(1)).cast("int"))
+    return c_idx * F.lit(_CHUNK) + count_below(fine)
+
+
+def _join_back(
+    d: DataFrame,
+    extra: DataFrame,
+    pid: str,
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """Broadcast-join the per-(bucket, group) ``extra`` frame back onto
+    the rows with NULL-SAFE equality on the group columns — window
+    PARTITION BY keeps a NULL group key as a real group, so the join-back
+    must too (round-7 ADVICE: the previous name-based equi-join silently
+    dropped null-group rows while the internal offsets theta-join was
+    already null-safe). eqNullSafe keys still plan as a
+    BroadcastHashJoin. ``extra`` = [pid, *group_cols, *value cols]."""
+    val_cols = [c for c in extra.columns if c != pid and c not in group_cols]
+    renamed = extra.select(
+        F.col(pid).alias(f"{pid}_r"),
+        *[F.col(c).alias(f"{pid}_j{i}") for i, c in enumerate(group_cols)],
+        *val_cols,
+    )
+    cond = F.col(pid) == F.col(f"{pid}_r")
+    for i, c in enumerate(group_cols):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"{pid}_j{i}"))
+    return d.join(F.broadcast(renamed), cond, "inner").drop(
+        f"{pid}_r", *[f"{pid}_j{i}" for i in range(len(group_cols))]
+    )
 
 
 def with_group_position(
@@ -160,7 +257,7 @@ def with_group_position(
         .agg(F.coalesce(F.sum("_gp_cnt2"), F.lit(0)).alias("_gp_off"))
     )
     return (
-        d.join(F.broadcast(offsets), ["_gp_pid", *group_cols])
+        _join_back(d, offsets, "_gp_pid", group_cols)
         .withColumn(out, F.col("_gp_off") + F.col("_gp_rn"))
         .drop("_gp_pid", "_gp_rn", "_gp_off")
     )
@@ -199,7 +296,17 @@ def distributed_ntile(
     pos = with_group_position(df, group_cols, order_cols, "_nt_pos")
     if group_cols:
         totals = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_nt_n"))
-        pos = pos.join(F.broadcast(totals), list(group_cols))
+        # null-safe join-back: a NULL group key is a real window partition
+        renamed = totals.select(
+            *[F.col(c).alias(f"_nt_g{i}") for i, c in enumerate(group_cols)],
+            "_nt_n",
+        )
+        cond = F.lit(True)
+        for i, c in enumerate(group_cols):
+            cond = cond & F.col(c).eqNullSafe(F.col(f"_nt_g{i}"))
+        pos = pos.join(F.broadcast(renamed), cond, "inner").drop(
+            *[f"_nt_g{i}" for i in range(len(group_cols))]
+        )
     else:
         total = pos.agg(F.count(F.lit(1)).alias("_nt_n"))
         pos = pos.crossJoin(F.broadcast(total))
@@ -268,7 +375,7 @@ def with_group_position_and_cumsum(
         )
     )
     return (
-        d.join(F.broadcast(offsets), ["_gb_pid", *group_cols])
+        _join_back(d, offsets, "_gb_pid", group_cols)
         .withColumn(pos_out, F.col("_gb_coff") + F.col("_gb_rn"))
         .withColumn(cum_out, F.col("_gb_soff") + F.col("_gb_run"))
         .drop("_gb_pid", "_gb_rn", "_gb_run", "_gb_coff", "_gb_soff")
@@ -343,7 +450,7 @@ def with_group_cumsum(
         .agg(F.coalesce(F.sum("_gc_sum2"), F.lit(0)).alias("_gc_off"))
     )
     return (
-        d.join(F.broadcast(offsets), ["_gc_pid", *group_cols])
+        _join_back(d, offsets, "_gc_pid", group_cols)
         .withColumn(out, F.col("_gc_off") + F.col("_gc_run"))
         .drop("_gc_pid", "_gc_run", "_gc_off")
     )

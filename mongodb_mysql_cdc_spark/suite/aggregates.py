@@ -720,6 +720,14 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapsed = li.groupBy("l_returnflag", "l_extendedprice").agg(
         F.sum("l_quantity").alias("w_at_price")
     )
+    # localCheckpoint: the machinery fans `collapsed` into two branches
+    # (running sums + per-bucket totals); w_at_price is a float sum whose
+    # shuffle-merge order is not bit-deterministic across re-executions,
+    # so the offset a row receives could disagree by an ulp with its own
+    # local running sum (round-7 ADVICE). One materialization pins both
+    # branches to identical bytes; the frame is |distinct prices| rows —
+    # bounded by the 2-decimal price domain, not the corpus.
+    collapsed = collapsed.localCheckpoint(eager=True)
     # the cumulative weight over distinct prices is computed with the
     # distributed per-group cumsum (range partition on (flag, price) +
     # per-partition running sums + broadcast offsets) instead of a
@@ -731,10 +739,13 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mongodb_mysql_cdc_spark.operators.ranking import with_group_cumsum
 
     # boundary proxy: sample the RAW (flag, price) columns — a pruned
-    # parquet scan — instead of re-executing the collapse aggregation
-    # for the machinery's count+sample jobs (measured 12.7× → ~4× at
-    # 100×; the raw distribution over-weights duplicated prices, which
-    # only shifts bucket balance, never output)
+    # parquet scan — instead of running the machinery's boundary-sample
+    # job over the collapse aggregation (measured 12.7× → ~4× at 100×
+    # back when that meant two jobs over the collapse lineage; round 8
+    # fused them to one, and `collapsed` is checkpointed above, but the
+    # pruned raw scan stays the cheapest boundary source). The raw
+    # distribution over-weights duplicated prices, which only shifts
+    # bucket balance, never output.
     cum = with_group_cumsum(
         collapsed,
         ["l_returnflag"],

@@ -89,6 +89,17 @@ def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(hround(F.sum("o_totalprice")).alias("spend"))
         .withColumn("_neg", -F.col("spend"))  # machinery orders ASC; DESC = -spend
     )
+    # localCheckpoint BEFORE fanning spend into multiple plan branches
+    # (hist → machinery, the ranks join-back, the totals): a double-sum's
+    # shuffle-merge order is not bit-deterministic, so re-executing the
+    # aggregation per branch could flip hround by 0.01 on a round-half
+    # boundary and silently drop that customer from the float-valued
+    # (nation, spend) equi-join (round-7 ADVICE). Materializing once
+    # pins every branch to identical bytes — and the machinery's
+    # boundary-sample job now reads the checkpointed rows instead of
+    # re-executing the customer⋈orders aggregation (the 4.8×-at-100×
+    # boundary cliff in BASELINE.md round 7).
+    spend = spend.localCheckpoint(eager=True)
     hist = spend.groupBy("c_nationkey", "_neg", "spend").agg(
         F.count(F.lit(1)).alias("_cnt")
     )

@@ -369,3 +369,107 @@ def test_machinery_handles_timestamp_order_keys(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_group_machinery_keeps_null_group_keys(spark):
+    """Window PARTITION BY treats a NULL group key as a real partition;
+    the machinery's join-backs must too (round-7 ADVICE medium: the old
+    name-based equi-joins silently dropped null-group rows)."""
+    from mongodb_mysql_cdc_spark.operators.ranking import (
+        distributed_ntile,
+        with_group_cumsum,
+        with_group_position,
+        with_group_position_and_cumsum,
+    )
+
+    df = (
+        spark.range(600)
+        .repartition(7)
+        .select(
+            F.col("id"),
+            F.when(F.col("id") % 3 == 0, None)
+            .otherwise((F.col("id") % 3).cast("string"))
+            .alias("g"),
+            ((F.col("id") * 37) % 101).alias("v"),
+            (F.col("id") % 7 + 1).alias("w"),
+        )
+    )
+    wpos = Window.partitionBy("g").orderBy("v", "id")
+    wrun = wpos.rowsBetween(Window.unboundedPreceding, 0)
+
+    got = {r["id"]: r["p"] for r in with_group_position(df, ["g"], ["v", "id"], "p").collect()}
+    want = {r["id"]: r["p"] for r in df.withColumn("p", F.row_number().over(wpos)).collect()}
+    assert len(got) == 600 and got == want
+
+    got = {r["id"]: r["c"] for r in with_group_cumsum(df, ["g"], ["v", "id"], "w", "c").collect()}
+    want = {r["id"]: r["c"] for r in df.withColumn("c", F.sum("w").over(wrun)).collect()}
+    assert len(got) == 600 and got == want
+
+    both = {
+        r["id"]: (r["p"], r["c"])
+        for r in with_group_position_and_cumsum(
+            df, ["g"], ["v", "id"], "w", "p", "c"
+        ).collect()
+    }
+    wantb = {
+        r["id"]: (r["p"], r["c"])
+        for r in df.withColumn("p", F.row_number().over(wpos))
+        .withColumn("c", F.sum("w").over(wrun))
+        .collect()
+    }
+    assert len(both) == 600 and both == wantb
+
+    got = {r["id"]: r["b"] for r in distributed_ntile(df, ["v", "id"], 4, "b", ["g"]).collect()}
+    want = {
+        r["id"]: r["b"]
+        for r in df.withColumn("b", F.ntile(4).over(wpos)).collect()
+    }
+    assert len(got) == 600 and got == want
+
+
+def test_bucket_expr_bounded_at_cluster_partition_counts(spark):
+    """Round-7 verdict item 3: at a real cluster's shuffle-partition
+    count (4096) the bucket id must (a) cap its boundary count at
+    _MAX_BUCKETS, (b) keep a constant-depth expression (two-level HOF
+    scans over literal arrays, no O(n_buckets) nested when-chain), and
+    (c) still match the window spelling bit-for-bit."""
+    from mongodb_mysql_cdc_spark.operators import ranking as rk
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4096")
+    try:
+        df = (
+            spark.range(30_000)
+            .repartition(13)
+            .select(F.col("id"), ((F.col("id") * 2654435761) % 30011).alias("v"))
+        )
+        assert rk._n_range_partitions(df) == rk._MAX_BUCKETS
+        bounds = rk._boundary_tuples(df, ["v", "id"], rk._MAX_BUCKETS)
+        assert 2 * rk._CHUNK < len(bounds) <= rk._MAX_BUCKETS - 1  # two-level path
+        out = rk.with_global_position(df, ["v", "id"], "pos")
+        # constant-depth: the analyzed plan tree must not nest per-boundary
+        depth = out._jdf.queryExecution().analyzed().treeString().count("\n")
+        assert depth < 200, depth
+        got = {r["id"]: r["pos"] for r in out.collect()}
+        want = {
+            r["id"]: r["rn"]
+            for r in df.withColumn(
+                "rn", F.row_number().over(Window.orderBy("v", "id"))
+            ).collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_boundary_sample_is_bounded_on_hot_key(spark):
+    """Round-7 ADVICE: the old mod-m sample collected EVERY duplicate of
+    a hot key that hashed to 0 (heavy driver tail). The stratified
+    min-hash sample is hard-bounded: one row per stratum, so a key with
+    100k duplicates occupies exactly one slot."""
+    from mongodb_mysql_cdc_spark.operators import ranking as rk
+
+    hot = spark.range(100_000).select(F.lit(7).alias("v"), (F.col("id") % 50).alias("t"))
+    bounds = rk._boundary_tuples(hot, ["v", "t"], 32)
+    # 50 distinct (v, t) tuples → at most 49 interior cut points
+    assert len(bounds) < 50
