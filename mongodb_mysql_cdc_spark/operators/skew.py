@@ -26,6 +26,21 @@ from pyspark.sql import functions as F
 SALT_COL = "_salt"
 
 
+def _contains_map(dt) -> bool:
+    """xxhash64 rejects MAP types at ANY nesting depth (a struct or array
+    wrapping a map fails with AnalysisException at plan time, not just a
+    top-level map — round-7 ADVICE); recurse through containers."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
 def salted_equi_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -63,18 +78,21 @@ def salted_equi_join(
     # duplicate rows still share a salt — deterministic under task retry,
     # and a 100%-duplicate hot key is a dedup problem, not a join problem.
     if salt_cols is None:
-        from pyspark.sql.types import MapType
-
         salt_cols = [
-            f.name for f in fact.schema.fields if not isinstance(f.dataType, MapType)
+            f.name for f in fact.schema.fields if not _contains_map(f.dataType)
         ]
         if not salt_cols:
             raise ValueError("salted_equi_join: no hashable fact columns to salt on")
-    elif salt_cols == [fact_key]:
-        raise ValueError(
-            "salted_equi_join: salting on the join key alone is constant "
-            "within a hot key — no spread; include columns that vary"
-        )
+    else:
+        # normalize before the key-only check: duplicates and literal
+        # repeats ([key, key]) must not disguise a key-only salt
+        seen: set[str] = set()
+        salt_cols = [c for c in salt_cols if not (c in seen or seen.add(c))]
+        if salt_cols == [fact_key]:
+            raise ValueError(
+                "salted_equi_join: salting on the join key alone is constant "
+                "within a hot key — no spread; include columns that vary"
+            )
     salted_fact = fact.withColumn(
         SALT_COL,
         F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(n_salts)).cast(

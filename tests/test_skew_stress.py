@@ -157,3 +157,20 @@ def test_salt_cols_parameter_surface(spark, skewed):
     # (c) explicit salt column preserves the plain-join identity
     got2 = salted_equi_join(fact, dim, "k", "dk", n_salts=8, salt_cols=["payload"])
     assert got2.count() == fact.join(dim, fact.k == dim.dk).count()
+
+
+def test_salt_cols_nested_map_and_degenerate_inputs(spark, skewed):
+    """Round-7 ADVICE: (a) a map NESTED in a struct or array must also be
+    excluded from the default salt hash (xxhash64 rejects maps at any
+    depth at plan time); (b) [key, key] must not disguise a key-only
+    salt (dedupe-then-check)."""
+    import pytest
+
+    fact, dim = skewed
+    nested = fact.withColumn(
+        "s", F.struct(F.create_map(F.lit("a"), F.col("payload")).alias("m"))
+    ).withColumn("am", F.array(F.create_map(F.lit("b"), F.lit(1))))
+    got = salted_equi_join(nested, dim, "k", "dk", n_salts=4)
+    assert got.count() == nested.join(dim, nested.k == dim.dk).count()
+    with pytest.raises(ValueError, match="join key alone"):
+        salted_equi_join(fact, dim, "k", "dk", salt_cols=["k", "k"])
