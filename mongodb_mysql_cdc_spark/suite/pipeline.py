@@ -409,9 +409,9 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", "source", split.alias("split"))
 
 
-@register(
-    "corpus_prepare_e2e",
-    oracle=f"""
+# shared by corpus_prepare_e2e (per-lang-window exhibit) and
+# corpus_prepare_e2e_production (persist + machinery): identical output
+_CORPUS_PREPARE_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, lang, text, string_split_regex(lower(trim(text)), '\\s+') AS t
   FROM documents
@@ -464,8 +464,10 @@ SELECT lang, bin_id,
        CAST(min(doc_id) AS BIGINT)   AS first_doc
 FROM packed
 GROUP BY lang, bin_id
-""",
-)
+"""
+
+
+@register("corpus_prepare_e2e", oracle=_CORPUS_PREPARE_ORACLE)
 def corpus_prepare_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CAPSTONE composition: the full training-data preparation
     pipeline as ONE dataflow — exact dedup (min-id survivor) → quality
@@ -479,6 +481,31 @@ def corpus_prepare_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays broadcast. The oracle mirrors all four stages as chained CTEs
     — a wrong interaction anywhere (e.g. packing before dedup) flips the
     hash."""
+    counted = _corpus_clean_counted(spark, sf_dir)
+    # The packing cumsum stays a plain per-lang window HERE (unlike the
+    # standalone pack_sequences, re-spelled on the distributed machinery
+    # in round 7): the machinery's boundary jobs re-execute this query's
+    # whole dedup+decon lineage — nothing prunes, the dedup window and
+    # anti-join must run — measured 4.5 s → 11.5 s at sf0.1 (2.6×). As a
+    # single unpersisted dataflow exhibit, the per-lang window is the
+    # honest trade (lowcard-window exemption documents this);
+    # corpus_prepare_e2e_production below is the A/B: persist `counted`,
+    # swap in the machinery — the spelling a real cluster runs.
+    w_pack = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w_pack) - F.col("n_tokens")
+    packed = counted.withColumn("bin_id", F.floor(start / 1024).cast("long"))
+    return _bin_census(packed)
+
+
+def _corpus_clean_counted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stages 1-3 of the corpus-preparation capstone (shared by the
+    window exhibit and the production spelling): exact dedup → quality
+    gate → decontamination, reduced to the (doc_id, lang, n_tokens)
+    columns packing needs."""
     d = load(spark, sf_dir, "documents")
     tok_df = d.select(
         "doc_id", "lang", "text", X.tokens(F.col("text")).alias("t")
@@ -509,28 +536,43 @@ def corpus_prepare_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = quality.filter(F.col("doc_id") >= _BENCH_MAX_ID).join(
         contaminated, "doc_id", "left_anti"
     )
-    counted = clean.select("doc_id", "lang", F.size("t").cast("long").alias("n_tokens"))
-    # The packing cumsum stays a plain per-lang window HERE (unlike the
-    # standalone pack_sequences, re-spelled on the distributed machinery
-    # in round 7): the machinery's boundary jobs re-execute this query's
-    # whole dedup+decon lineage — nothing prunes, the dedup window and
-    # anti-join must run — measured 4.5 s → 11.5 s at sf0.1 (2.6×). In
-    # production `clean` is a persisted intermediate and the
-    # pack_sequences spelling is the one-line swap; as a single
-    # unpersisted dataflow exhibit, the per-lang window is the honest
-    # trade (lowcard-window exemption documents this).
-    w_pack = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    start = F.sum("n_tokens").over(w_pack) - F.col("n_tokens")
-    packed = counted.withColumn("bin_id", F.floor(start / 1024).cast("long"))
+    return clean.select("doc_id", "lang", F.size("t").cast("long").alias("n_tokens"))
+
+
+def _bin_census(packed: DataFrame) -> DataFrame:
     return packed.groupBy("lang", "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@register(
+    "corpus_prepare_e2e_production",
+    oracle=_CORPUS_PREPARE_ORACLE,
+)
+def corpus_prepare_e2e_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION spelling of :func:`corpus_prepare_e2e` (round-7
+    verdict item 5) — same four stages, same oracle, but the shape a
+    real cluster runs: the dedup+decon intermediate is MATERIALIZED
+    (localCheckpoint here; a parquet staging table in production), then
+    the packing cumsum runs on the distributed ranking machinery exactly
+    like standalone pack_sequences. The per-lang window exhibit above
+    pays corpus/|langs| rows through one task at scale; this one pays
+    one materialization of the (doc_id, lang, n_tokens) intermediate —
+    three narrow columns, the cheapest frame in the whole pipeline —
+    after which the machinery's boundary-sample job reads materialized
+    rows instead of re-executing dedup+decon (the 2.6× trade measured in
+    round 7 that made the exhibit keep its window). Registered as a
+    value-checked A/B so the exemption ledger can point at a real
+    alternative, not a comment."""
+    from mongodb_mysql_cdc_spark.operators.ranking import with_group_cumsum
+
+    counted = _corpus_clean_counted(spark, sf_dir).localCheckpoint(eager=True)
+    cum = with_group_cumsum(counted, ["lang"], ["doc_id"], "n_tokens", "_cum")
+    start = F.col("_cum") - F.col("n_tokens")
+    packed = cum.withColumn("bin_id", F.floor(start / 1024).cast("long"))
+    return _bin_census(packed)
 
 
 _CURRICULUM_BUDGET = 10_000  # token budget for the curriculum head

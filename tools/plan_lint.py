@@ -93,9 +93,10 @@ LOWCARD_WINDOW_EXEMPT = {
     # pack_sequences de-listed r7: re-spelled on the distributed cumsum
     # machinery, no per-lang window remains in its plan.
     "corpus_prepare_e2e": "single-dataflow capstone: the machinery's "
-    "boundary jobs would re-execute the whole dedup+decon lineage "
-    "(measured 2.6× at sf0.1); production persists `clean` and swaps in "
-    "the pack_sequences spelling one-line",
+    "boundary job would re-execute the whole dedup+decon lineage "
+    "(measured 2.6× at sf0.1); the REGISTERED A/B variant "
+    "corpus_prepare_e2e_production persists the intermediate and runs "
+    "the machinery — the spelling a real cluster uses (round-8)",
     "ts_calendar_profile": "window over the 24×7 calendar grid per type "
     "(aggregate-bounded)",
     "analytics_pareto": "window over per-band aggregates (|bands| rows)",
