@@ -529,6 +529,13 @@ def analytics_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum("o_totalprice").alias("monetary"),
     )
+    # localCheckpoint: `monetary` is a double sum and the three chained
+    # machinery calls each fan their input into multiple re-executing
+    # plan branches (ranking.py bit-determinism precondition) — a ulp
+    # drift near a bucket boundary would misalign a row's local rank
+    # with its offset. One materialization pins the values AND truncates
+    # the lineage the later calls' branches re-execute.
+    per = per.localCheckpoint(eager=True)
     pos = with_global_position(per, ["last_order", "o_custkey"], "_p_r")
     pos = with_global_position(pos, ["frequency", "o_custkey"], "_p_f")
     pos = with_global_position(pos, ["monetary", "o_custkey"], "_p_m")
