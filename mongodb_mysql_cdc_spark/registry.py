@@ -45,54 +45,47 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 
 
 # The driver verifies the FIRST 50 names in queries() order per round
-# (CORRECTNESS_r01.json = registry positions 1-50 exactly).  The round-6
-# window cleared the whole backlog: all 276 registered queries carry
-# driver evidence (union of CORRECTNESS_r01-r06 — regenerate with
-# `python tools/coverage_report.py`).  Round 7 is a depth round; the
-# registry stays frozen at 276 and the window re-verifies the round-7
-# re-spells plus high-value pads:
-#   - 12 `coverage_report.py --stale` queries re-spelled this round:
-#     agg_stats / quality_winsorize / anomaly_mad / agg_percentile_disc
-#     (operators/percentile.py distinct-value-histogram kernel replacing
-#     Spark's unbounded-state exact percentile), win_pct /
-#     ml_quantile_normalize / quality_buckets / agg_weighted_median /
-#     win_rank_dense (operators/ranking.py per-group distributed
-#     rank/cumsum/ntile replacing Window.partitionBy on ≤25-value keys),
-#     agg_mode (max_by argmax), dedup_ngram_jaccard (df via
-#     groupBy+join, not a window buffering hot postings),
-#     pack_sequences (packing cumsum via the distributed machinery),
-#     corpus_prepare_e2e (comment-only segment change — its packing
-#     window deliberately stays, see its in-code rationale; cheap slot);
-#   - join_salted, manually: salted_equi_join grew a salt_cols parameter
-#     (default behavior unchanged) — an operator-level change --stale
-#     cannot see, same reasoning as its r6 slot;
-#   - the 14 headline bench queries (BENCH_r07 cites their numbers —
-#     fresh evidence beats idle slots), then a §2 core spread.
+# (CORRECTNESS_r01.json = registry positions 1-50 exactly).  Round 8
+# registered one new query (corpus_prepare_e2e_production — the
+# round-7 verdict's A/B item; registry 276 → 277) and reworked the
+# ranking machinery (one-job bounded boundary sample, 1024-bucket cap,
+# constant-depth bucket expression, null-safe join-backs), so the
+# window re-verifies every machinery consumer first:
+#   - `--stale` flags: win_rank_dense / agg_weighted_median /
+#     analytics_rfm (localCheckpoint of float-aggregate machinery
+#     inputs, round-7 ADVICE), corpus_prepare_e2e (stage-1-3 refactor
+#     into the shared helper);
+#   - corpus_prepare_e2e_production: NEW — first driver evidence;
+#   - operator-level machinery changes invisible to --stale: win_pct,
+#     ml_quantile_normalize, quality_buckets, pack_sequences,
+#     dataset_curriculum (ranking.py rework), join_salted (nested-map
+#     salt filter + salt_cols dedupe);
+#   - the 14 headline bench queries (fresh evidence under BENCH_r08's
+#     numbers), then a §2 core spread rotated to rows whose last
+#     evidence predates r07 where possible.
 # Cheap relational/scalar families first, expensive LLM/CDC queries
 # LAST so a time-capped driver run can't starve the cheap ones (the
-# ordering trick from r2-r6).
+# ordering trick from r2-r7).
 _DRIVER_WINDOW = [
-    # round-7 re-spells (--stale) — the point of the round, so first
-    "agg_mode", "agg_stats", "agg_percentile_disc", "win_pct", "win_rank_dense",
-    "ml_quantile_normalize", "quality_winsorize", "anomaly_mad",
-    "quality_buckets", "agg_weighted_median", "dedup_ngram_jaccard",
-    "pack_sequences",
-    # operator-level change invisible to --stale (salt_cols param)
-    "join_salted",
-    # headline bench queries — BENCH_r07's numbers under fresh evidence
+    # round-8 machinery re-verifies — the point of the round, so first
+    "win_pct", "win_rank_dense", "ml_quantile_normalize", "quality_buckets",
+    "agg_weighted_median", "pack_sequences", "dataset_curriculum",
+    "analytics_rfm", "join_salted",
+    "corpus_prepare_e2e", "corpus_prepare_e2e_production",
+    # headline bench queries — BENCH_r08's numbers under fresh evidence
     "pricing_summary", "join_inner_hash", "join_broadcast", "join_asof",
     "topk_per_group", "win_running", "agg_rollup", "cdc_apply_batch",
     "dedup_exact", "dedup_minhash_lsh", "sim_search_topk",
     "sim_search_lsh", "tfidf", "text_stats",
     # pad: §2 core spread under current code, cheap families first
-    "project", "filter_pred", "cast_types", "json_extract",
-    "flatten_struct", "sort_multi", "topk",
-    "agg_hash", "agg_global", "agg_count_distinct", "agg_grouping_sets",
-    "agg_minmax_by", "win_row_number",
-    "join_sort_merge", "join_semi", "join_anti", "join_range",
+    "scan_parquet", "filter_op_type", "null_handling", "limit",
+    "union_all", "union_distinct", "intersect", "except_all",
+    "agg_having", "agg_collect", "agg_cube", "win_lag_lead",
+    "win_first_last", "win_range_frame", "join_theta", "join_self",
+    "fn_string", "fn_datetime", "fn_math", "fn_conditional",
     # LLM-pipeline + CDC spread LAST — most expensive per query
-    "sim_search_ivf", "knn_classify", "cdc_envelope_parse", "cdc_scd2",
-    "dedup_semantic_keep", "corpus_prepare_e2e",
+    "text_tokenize", "search_rrf_fusion", "dedup_simhash", "cdc_apply_stream",
+    "decontaminate",
 ]
 
 
