@@ -82,10 +82,11 @@ _DRIVER_WINDOW = [
     "union_all", "union_distinct", "intersect", "except_all",
     "agg_having", "agg_collect", "agg_cube", "win_lag_lead",
     "win_first_last", "win_range_frame", "join_theta", "join_self",
-    "fn_string", "fn_datetime", "fn_math", "fn_conditional",
+    "fn_string", "fn_datetime", "fn_math",
     # LLM-pipeline + CDC spread LAST — most expensive per query
-    "text_tokenize", "search_rrf_fusion", "dedup_simhash", "cdc_apply_stream",
-    "decontaminate",
+    # (dedup_clusters/survivors: round-8 star-edge re-spell re-verify)
+    "text_tokenize", "dedup_clusters", "dedup_survivors", "dedup_simhash",
+    "cdc_apply_stream", "decontaminate",
 ]
 
 

@@ -126,10 +126,10 @@ _BANDS_MEMO: dict = {}
 _POSTINGS_MEMO: dict = {}
 
 
-def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate-pair builder shared by dedup_minhash_lsh and
-    dedup_clusters: 3-word shingles → 8-member affine minhash family →
-    4 bands of 2 → self-equi-join on (band_id, band_key).
+def _minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cached (doc_id, band_id, band_key) signature table shared by
+    every minhash consumer: 3-word shingles → 8-member affine minhash
+    family → 4 bands of 2.
 
     Explodes shingles ONCE and hashes in a projection, then takes the 8
     cheap affine mins as aggregates. The tempting alternative — 8
@@ -175,6 +175,16 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # itself is never cached.
         bands = bands.cache()
         _BANDS_MEMO[memo_key] = bands
+    return bands
+
+
+def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All candidate PAIRS with shared-band counts (dedup_minhash_lsh's
+    exhibit output): self-equi-join of the band table on (band_id,
+    band_key). Output is C(g, 2) per g-member bucket — quadratic in
+    dup-group size BY CONTRACT (the oracle computes the same pairs);
+    connectivity consumers use :func:`_minhash_star_edges` instead."""
+    bands = _minhash_bands(spark, sf_dir)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -185,6 +195,32 @@ def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def _minhash_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-LINEAR candidate edges for connectivity consumers
+    (dedup_clusters / dedup_survivors): per (band_id, band_key) bucket,
+    connect every member to the bucket's min doc_id — a STAR instead of
+    the pair join's clique. Within a bucket the star and the clique have
+    identical connected components, so cluster/survivor outputs are
+    bit-identical to the all-pairs spelling (the oracles still reach
+    over the full `cand` pair set) — but the edge count is ≤ |bands
+    table| = 4·|docs| BY CONSTRUCTION, where the clique is C(g, 2) per
+    g-member bucket. At 100 TB a 1M-copy boilerplate doc makes the
+    clique 5·10¹¹ pairs (round-8 100× fixture: 33M pairs from 50k docs)
+    while the star stays corpus-linear. The per-bucket min and the
+    join-back both shuffle on the high-cardinality band key; a hot
+    bucket joins its 1-row min fan-out linearly."""
+    bands = _minhash_bands(spark, sf_dir)
+    roots = bands.groupBy("band_id", "band_key").agg(
+        F.min("doc_id").alias("doc_a")
+    )
+    return (
+        bands.join(roots, ["band_id", "band_key"])
+        .filter(F.col("doc_id") != F.col("doc_a"))
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
+        .distinct()
     )
 
 
@@ -224,8 +260,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation (operators/dedup.py) — an inherently iterative distributed
     algorithm, oracle-checked against DuckDB's recursive-CTE reachability.
     Each doc maps to its cluster's min doc_id; keep one row per cluster_id
-    and the corpus is deduplicated."""
-    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    and the corpus is deduplicated. Candidate edges are the bucket-linear
+    STAR spelling (round 8) — identical components to the all-pairs
+    clique, corpus-linear edge count even when a dup group is huge."""
+    pairs = _minhash_star_edges(spark, sf_dir)
     docs = load(spark, sf_dir, "documents").select("doc_id")
     comp = connected_components(
         docs, pairs, node_col="doc_id", edge_cols=("doc_a", "doc_b")
@@ -259,8 +297,10 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     its cluster size — what a pre-training data pipeline feeds downstream.
     Composition of candidate generation → connected components → keyed
     semi-join back to the corpus; at 100 TB the survivors join is a
-    broadcast of the (tiny) cluster table against the corpus scan."""
-    pairs = _minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    broadcast of the (tiny) cluster table against the corpus scan.
+    Candidate edges are the bucket-linear STAR spelling (round 8) —
+    identical components to the all-pairs clique at corpus-linear cost."""
+    pairs = _minhash_star_edges(spark, sf_dir)
     docs = load(spark, sf_dir, "documents")
     comp = connected_components(
         docs.select("doc_id"), pairs, node_col="doc_id", edge_cols=("doc_a", "doc_b")

@@ -86,3 +86,45 @@ def test_ngram_jaccard_pair_budget_truncates_midsize_groups(spark):
     assert all(r["truncated"] for r in got)
     # identical docs → jaccard is still exact 1.0 within the prefix
     assert all(r["jaccard"] == 1.0 for r in got)
+
+
+def test_minhash_star_edges_match_clique_components(spark):
+    """Round 8: dedup_clusters/survivors consume bucket-linear STAR edges
+    (min-doc-per-band-bucket → member) instead of the all-pairs clique.
+    Same connected components by construction; on a 40-copy dup group the
+    star emits O(g) edges where the clique emits C(40,2)·bands. Assert
+    (a) edge-count boundedness, (b) identical cluster assignments."""
+    from mongodb_mysql_cdc_spark.operators.dedup import connected_components
+    from mongodb_mysql_cdc_spark.suite import llm_dedup
+
+    rows = []
+    # one 40-copy duplicate group + 20 distinct docs
+    for i in range(40):
+        rows.append((i, "the same exact duplicated text body here okay", "en", "a", 46))
+    for i in range(40, 60):
+        rows.append((i, f"unique document number {i} with its own words {i*7}", "en", "a", 40))
+    sf = _write_docs(spark, rows)
+    llm_dedup._BANDS_MEMO.clear()
+
+    bands = llm_dedup._minhash_bands(spark, sf)
+    star = llm_dedup._minhash_star_edges(spark, sf)
+    pairs = llm_dedup._minhash_pairs(spark, sf).select("doc_a", "doc_b")
+    # boundedness: star edges ≤ |bands rows|; clique is quadratic
+    assert star.count() <= bands.count()
+    assert pairs.count() >= 4 * 39 / 2  # the clique really is quadratic here
+
+    docs = spark.range(60).withColumnRenamed("id", "doc_id")
+    comp_star = {
+        (r["node"], r["cluster"])
+        for r in connected_components(
+            docs, star, node_col="doc_id", edge_cols=("doc_a", "doc_b")
+        ).collect()
+    }
+    comp_clique = {
+        (r["node"], r["cluster"])
+        for r in connected_components(
+            docs, pairs, node_col="doc_id", edge_cols=("doc_a", "doc_b")
+        ).collect()
+    }
+    assert comp_star == comp_clique
+    llm_dedup._BANDS_MEMO.clear()
