@@ -473,3 +473,31 @@ def test_boundary_sample_is_bounded_on_hot_key(spark):
     bounds = rk._boundary_tuples(hot, ["v", "t"], 32)
     # 50 distinct (v, t) tuples → at most 49 interior cut points
     assert len(bounds) < 50
+
+
+def test_null_safe_join_backs_still_broadcast_hash(spark):
+    """The round-8 eqNullSafe join-backs must keep planning as
+    BroadcastHashJoin (EqualNullSafe is a supported hash-join key) — a
+    silent fall to BroadcastNestedLoopJoin would be O(rows × buckets)."""
+    from mongodb_mysql_cdc_spark.operators.ranking import (
+        distributed_ntile,
+        with_group_position,
+    )
+
+    df = (
+        spark.range(5000)
+        .repartition(7)
+        .select(
+            F.col("id"),
+            (F.col("id") % 5).cast("string").alias("g"),
+            ((F.col("id") * 37) % 101).alias("v"),
+        )
+    )
+    for out in (
+        with_group_position(df, ["g"], ["v", "id"], "p"),
+        distributed_ntile(df, ["v", "id"], 4, "b", ["g"]),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
