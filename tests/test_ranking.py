@@ -277,12 +277,13 @@ from hypothesis import strategies as st
 @st.composite
 def ranked_frames(draw):
     """Random grouped frames with heavy order-key ties, negative values,
-    and uneven groups — a unique id makes the order total (the
-    machinery's precondition)."""
+    uneven groups, and NULL group keys (round 8: PARTITION BY keeps a
+    null group — the null-safe join-backs must too) — a unique id makes
+    the order total (the machinery's precondition)."""
     n = draw(st.integers(2, 120))
     rows = []
     for i in range(n):
-        g = draw(st.sampled_from(["a", "b", "c"]))
+        g = draw(st.sampled_from(["a", "b", "c", None]))
         v = draw(st.integers(-5, 5))  # heavy ties
         w = draw(st.integers(1, 9))
         rows.append((g, v, i, w))
