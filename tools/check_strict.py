@@ -143,8 +143,13 @@ def main() -> int:
     spark = get_session("check_strict")
     con = duckdb.connect()
     for t in TABLES:
+        # Harness sf dirs hold single parquet FILES; Spark-written scale
+        # fixtures (tools/make_10x.py) hold parquet DIRECTORIES — glob those.
+        p = path_for(args.sf, t)
+        if Path(p).is_dir():
+            p = f"{p}/*.parquet"
         con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{path_for(args.sf, t)}')"
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
         )
 
     n_pass = n_fail = n_rows_only = 0
