@@ -3,6 +3,7 @@ single-partition window ntile it replaces (the round-5 plan-lint fix)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -461,6 +462,59 @@ def test_bucket_expr_bounded_at_cluster_partition_counts(spark):
         assert got == want
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@pytest.mark.parametrize(
+    "aqe,parts",
+    [("true", "3"), ("false", "3"), ("true", "64"), ("false", "64")],
+)
+def test_machinery_stable_under_config_matrix(spark, aqe, parts):
+    """The round-7 silent-row-loss bug was CONFIG-dependent: AQE laid the
+    two consuming plan branches out differently and the old pid-based
+    bucket ids disagreed. The literal-boundary rework is branch-consistent
+    by construction — pin that across the AQE × shuffle-partition matrix
+    (including a partition count below the group count and one above the
+    row count per partition), with NULL group keys in play."""
+    from mongodb_mysql_cdc_spark.operators.ranking import (
+        with_group_position_and_cumsum,
+    )
+
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try:
+        df = (
+            spark.range(6000)
+            .repartition(11)
+            .select(
+                F.col("id"),
+                F.when(F.col("id") % 7 == 0, F.lit(None))
+                .otherwise((F.col("id") % 5).cast("string"))
+                .alias("g"),
+                ((F.col("id") * 37) % 41).alias("v"),  # heavy ties
+                (F.col("id") % 9 + 1).alias("w"),
+            )
+        )
+        out = with_group_position_and_cumsum(
+            df, ["g"], ["v", "id"], "w", "pos", "cum"
+        )
+        got = {r["id"]: (r["pos"], r["cum"]) for r in out.collect()}
+        w = Window.partitionBy("g").orderBy("v", "id")
+        want = {
+            r["id"]: (r["rn"], r["cs"])
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .withColumn(
+                "cs",
+                F.sum("w").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            )
+            .collect()
+        }
+        assert len(got) == 6000
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
 
 
 def test_boundary_sample_is_bounded_on_hot_key(spark):
