@@ -217,18 +217,41 @@ def main() -> int:
         "cardinality lives in the data, so no mechanical flag — read "
         "the list and judge)",
     )
+    ap.add_argument(
+        "--shuffle-partitions",
+        default=None,
+        help="override spark.sql.shuffle.partitions before building plans "
+        "— lint at a cluster-scale count (e.g. 4096) to catch plans whose "
+        "SIZE grows with the partition count (the round-7 machinery "
+        "bucket-chain class)",
+    )
+    ap.add_argument(
+        "--plan-size-report",
+        action="store_true",
+        help="print per-query analyzed-plan line counts (sorted desc) "
+        "instead of linting — diff a default run against a "
+        "--shuffle-partitions 4096 run to find partition-count-dependent "
+        "plan construction",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
     spark = get_session("plan_lint")
+    if args.shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", args.shuffle_partitions)
     reg = queries()
     names = args.names or list(reg)
     n_bad = 0
+    sizes: list[tuple[int, str]] = []
     for name in names:
         try:
             df = reg[name](spark, args.sf)
         except Exception as ex:
             print(f"ERR  {name}: {type(ex).__name__}: {str(ex)[:120]}")
             n_bad += 1
+            continue
+        if args.plan_size_report:
+            lines = df._jdf.queryExecution().analyzed().treeString().count("\n")
+            sizes.append((lines, name))
             continue
         if args.report_windows:
             plan = df._jdf.queryExecution().executedPlan().toString()
@@ -242,6 +265,11 @@ def main() -> int:
         if problems:
             n_bad += 1
             print(f"FLAG {name}: {'; '.join(problems)}")
+    if args.plan_size_report:
+        for lines, name in sorted(sizes, reverse=True):
+            print(f"{lines:6d}  {name}")
+        print(f"\n{len(names)} checked (plan-size report mode)")
+        return 0
     if args.report_windows:
         print(f"\n{len(names)} checked (report mode)")
         return 0
