@@ -847,13 +847,17 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return direct.join(merged, "event_type")
 
 
+_PROD = "product(1.0 + l_discount / 10.0)"
+
+
 @register(
     "agg_product",
     oracle=f"""
 SELECT l_returnflag,
        CAST(count(*) AS BIGINT) AS n,
-       {sql_round('product(1.0 + l_discount / 10.0)', 4)} AS compounded,
-       {sql_round('exp(sum(ln(1.0 + l_discount / 10.0)))', 4)} AS compounded_logspace
+       {sql_round(f'{_PROD} / pow(10.0, floor(log10({_PROD})))', 6)} AS mantissa,
+       CAST(floor(log10({_PROD})) AS BIGINT) AS exponent,
+       {sql_round('sum(ln(1.0 + l_discount / 10.0))', 6)} AS log_compounded
 FROM lineitem
 WHERE l_linenumber = 1 AND l_orderkey % 50 = 0
 GROUP BY l_returnflag
@@ -861,21 +865,31 @@ GROUP BY l_returnflag
 )
 def agg_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PRODUCT aggregate (compounding factors — chained returns, survival
-    probabilities): Spark has no product(), so both the log-space form
-    (exp∘sum∘ln — the numerically safe spelling at scale, and fully
-    map-side combinable) are computed and pinned against DuckDB's native
-    product() PLUS DuckDB's own log-space spelling. Positive domain by
-    construction; the group is thinned so the product stays inside
-    double range (~300 factors/group)."""
+    probabilities): Spark has no product(), so the log-space form
+    (sum∘ln — fully map-side combinable, overflow-free at any corpus
+    size) is pinned against DuckDB's NATIVE product() plus DuckDB's own
+    log-space sum. The product is reported as (mantissa, exponent) +
+    the raw log — all three have corpus-size-INDEPENDENT relative
+    precision. The round-8 sf1 strict sweep caught the previous
+    spelling: it rounded the product itself to 4 decimals, and since
+    the product grows exponentially with group size, at 10× data
+    (~1.1e12) that demanded ~17 significant digits of cross-engine
+    agreement where float64 holds ~16 — a comparison contract that
+    silently tightens with scale. Positive domain by construction."""
     li = load(spark, sf_dir, "lineitem").where(
         (F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 50 == 0)
     )
+    import math
+
     factor = 1.0 + F.col("l_discount") / 10.0
-    logspace = F.exp(F.sum(F.log(factor)))
+    sum_ln = F.sum(F.log(factor))
+    log10p = sum_ln / math.log(10.0)
+    expo = F.floor(log10p)
     return li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        hround(logspace, 4).alias("compounded"),
-        hround(logspace, 4).alias("compounded_logspace"),
+        hround(F.pow(F.lit(10.0), log10p - expo), 6).alias("mantissa"),
+        expo.cast("long").alias("exponent"),
+        hround(sum_ln, 6).alias("log_compounded"),
     )
 
 
