@@ -80,9 +80,10 @@ _DRIVER_WINDOW = [
     # pad: §2 core spread under current code, cheap families first
     "scan_parquet", "filter_op_type", "null_handling", "limit",
     "union_all", "union_distinct", "intersect", "except_all",
-    # agg_product: re-spelled mid-r8 (mantissa/exponent + log-space — the
-    # sf1 strict sweep caught the old scale-tightening rounding contract)
-    "agg_product",
+    # re-spelled mid-r8 (scale-stable comparison contracts — the sf1
+    # strict sweep caught agg_product's rounding contract tightening
+    # with corpus size; agg_incremental_merge had the linear-sum form)
+    "agg_product", "agg_incremental_merge",
     "agg_having", "agg_collect", "agg_cube", "win_lag_lead",
     "win_first_last", "win_range_frame", "join_theta", "join_self",
     "fn_string", "fn_datetime", "fn_math",

@@ -447,10 +447,10 @@ def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT event_type,
        count(*)                       AS n,
-       {sql_round('sum(value)', 4)}   AS total,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
        {sql_round('min(value)', 4)}   AS vmin,
        {sql_round('max(value)', 4)}   AS vmax,
-       {sql_round('sum(value) / count(*)', 4)} AS mean
+       {sql_round('CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)', 4)} AS mean
 FROM events
 GROUP BY event_type
 """,
@@ -466,22 +466,33 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregation relies on per shuffle).
 
     The mean is derived from merged (sum, count) at the END — never
-    averaged-of-averages, the classic incremental-rollup bug."""
+    averaged-of-averages, the classic incremental-rollup bug.
+
+    The running total is an EXACT decimal accumulator (value is a
+    2-decimal grid — FIXTURES.md): a double sum rounded to 4 decimals
+    is a contract that TIGHTENS with corpus size (the sum grows
+    linearly, the 5e-5 absolute tolerance doesn't — it breaks around
+    1000× harness scale; the same class the sf1 sweep caught in
+    agg_product). Decimal partials merge exactly at any scale and are
+    what a real incremental rollup over money-like values keeps."""
     ev = load(spark, sf_dir, "events")
     # deterministic "ingest chunk" stand-in
     chunked = ev.withColumn("chunk", F.col("event_id") % 8)
     partial = chunked.groupBy("event_type", "chunk").agg(
         F.count(F.lit(1)).alias("p_n"),
-        F.sum("value").alias("p_sum"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("p_sum"),
         F.min("value").alias("p_min"),
         F.max("value").alias("p_max"),
     )
     return partial.groupBy("event_type").agg(
         F.sum("p_n").alias("n"),
-        hround(F.sum("p_sum"), 4).alias("total"),
+        # exact decimal → double at the very END: both engines cast the
+        # SAME exact number, so the doubles are bit-identical at any scale
+        # (DuckDB's pandas bridge returns decimal sums as float64 anyway)
+        F.sum("p_sum").cast("double").alias("total"),
         hround(F.min("p_min"), 4).alias("vmin"),
         hround(F.max("p_max"), 4).alias("vmax"),
-        hround(F.sum("p_sum") / F.sum("p_n"), 4).alias("mean"),
+        hround(F.sum("p_sum").cast("double") / F.sum("p_n"), 4).alias("mean"),
     )
 
 
