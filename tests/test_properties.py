@@ -373,3 +373,78 @@ def test_asof_join_matches_pandas_merge_asof(spark, case):
         for r in mp.itertuples()
     )
     assert got == want
+
+
+# --- scale-stable comparison contracts (suite/aggregates.py, round 8) -------
+
+
+def test_product_contract_is_scale_stable_vs_duckdb(spark):
+    """The round-8 sf1 sweep caught agg_product's old contract (round the
+    raw product to 4 decimals) silently tightening with group size. The
+    re-spelled contract — (mantissa, exponent) derived in log space +
+    the raw log sum — must hold cross-engine at a magnitude (~1e28) far
+    beyond where the old contract breaks (~1e16, float64's significand).
+    Differential: Spark's log-space derivation vs DuckDB's NATIVE
+    product(), the same cross-spelling pin the registered query makes."""
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    from mongodb_mysql_cdc_spark.functions.compat import hround
+
+    n = 3000
+    rows = [("a" if i % 2 else "b", 1.0 + ((i * 37) % 10) / 100.0) for i in range(n)]
+    df = spark.createDataFrame(rows, "g string, factor double")
+    sum_ln = F.sum(F.log("factor"))
+    log10p = sum_ln / math.log(10.0)
+    expo = F.floor(log10p)
+    got = {
+        r["g"]: (r["m"], r["e"], r["l"])
+        for r in df.groupBy("g")
+        .agg(
+            hround(F.pow(F.lit(10.0), log10p - expo), 6).alias("m"),
+            expo.cast("long").alias("e"),
+            hround(sum_ln, 6).alias("l"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["g", "factor"]))
+    want = {
+        g: (m, e, l)
+        for g, m, e, l in con.sql(
+            "SELECT g,"
+            " CAST(floor((product(factor) / pow(10.0, floor(log10(product(factor)))))"
+            "   * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE),"
+            " CAST(floor(log10(product(factor))) AS BIGINT),"
+            " CAST(floor(sum(ln(factor)) * 1000000.0 + 0.5) / 1000000.0 AS DOUBLE)"
+            " FROM t GROUP BY g"
+        ).fetchall()
+    }
+    assert got == want
+    # the magnitude really is beyond the old contract's breaking point
+    assert all(e > 16 for (_, e, _) in got.values())
+
+
+def test_decimal_total_is_exact_at_large_magnitude(spark):
+    """agg_incremental_merge's running total: DECIMAL(18,2) partials merge
+    exactly, and casting the exact decimal to DOUBLE at the end gives the
+    bit-identical value on both engines regardless of summation order —
+    unlike a double sum, whose order-dependent error grows with corpus
+    size while a fixed-decimal rounding tolerance doesn't."""
+    import duckdb
+    import pandas as pd
+
+    n = 50_000
+    rows = [((i * 7919) % 49999 / 100.0 + 10_000_000.0,) for i in range(n)]
+    df = spark.createDataFrame(rows, "v double")
+    got = df.agg(
+        F.sum(F.col("v").cast("decimal(18,2)")).cast("double").alias("total")
+    ).collect()[0]["total"]
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["v"]))
+    want = con.sql(
+        "SELECT CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) FROM t"
+    ).fetchall()[0][0]
+    assert got == want  # bit-identical, no tolerance
