@@ -82,8 +82,10 @@ _DRIVER_WINDOW = [
     "union_all", "union_distinct", "intersect", "except_all",
     # re-spelled mid-r8 (scale-stable comparison contracts — the sf1
     # strict sweep caught agg_product's rounding contract tightening
-    # with corpus size; agg_incremental_merge had the linear-sum form)
-    "agg_product", "agg_incremental_merge",
+    # with corpus size; agg_incremental_merge had the linear-sum form;
+    # analytics_pareto's revenue sums hit the same class at sf1 — now
+    # exact decimal accumulators, cast to double at the end)
+    "agg_product", "agg_incremental_merge", "analytics_pareto",
     "agg_having", "agg_collect", "agg_cube", "win_lag_lead",
     "win_first_last", "win_range_frame", "join_theta", "join_self",
     "fn_string", "fn_datetime", "fn_math",

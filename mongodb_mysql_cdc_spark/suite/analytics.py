@@ -707,10 +707,10 @@ WITH ranked AS (
 )
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_orders,
-       {sql_round('sum(o_totalprice)')} AS total_revenue,
-       {sql_round('sum(CASE WHEN pr <= 0.1 THEN o_totalprice ELSE 0 END)')} AS top_decile_revenue,
-       {sql_round('''sum(CASE WHEN pr <= 0.1 THEN o_totalprice ELSE 0 END)
-                     / sum(o_totalprice)''', 6)} AS top_decile_share
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+       CAST(sum(CAST(CASE WHEN pr <= 0.1 THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS top_decile_revenue,
+       {sql_round('''CAST(sum(CAST(CASE WHEN pr <= 0.1 THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE)
+                     / CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)''', 6)} AS top_decile_share
 FROM ranked
 GROUP BY o_orderpriority
 """,
@@ -720,7 +720,17 @@ def analytics_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority band's revenue the top decile of orders captures — the
     revenue-concentration KPI behind account tiering. One ranking window
     per band (unique-key tiebreak) + one conditional rollup; at 100 TB
-    the window shards by band exactly like analytics_rfm's quintiles."""
+    the window shards by band exactly like analytics_rfm's quintiles.
+
+    Revenue sums are EXACT decimal accumulators (o_totalprice is a
+    2-decimal grid — FIXTURES.md), cast to DOUBLE only at the end: a
+    double sum rounded to 2 decimals is a comparison contract that
+    tightens with corpus size — the sf1 strict sweep caught exactly that
+    (74789125840.49 vs .5, a one-ulp merge-order difference landing on a
+    round-half boundary; same class as agg_product/agg_incremental_merge).
+    Decimal partials merge exactly at any corpus size, so both engines
+    cast the SAME number and the hash is scale-stable. The share divides
+    the two exact casts — bit-identical inputs, bit-identical ratio."""
     o = load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
@@ -731,9 +741,17 @@ def analytics_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pr"),
     )
     top = F.when(F.col("pr") <= 0.1, F.col("o_totalprice")).otherwise(0.0)
-    return ranked.groupBy("o_orderpriority").agg(
+    agged = ranked.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        hround(F.sum("o_totalprice")).alias("total_revenue"),
-        hround(F.sum(top)).alias("top_decile_revenue"),
-        hround(F.sum(top) / F.sum("o_totalprice"), 6).alias("top_decile_share"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_total_dec"),
+        F.sum(top.cast("decimal(18,2)")).alias("_top_dec"),
+    )
+    return agged.select(
+        "o_orderpriority",
+        "n_orders",
+        F.col("_total_dec").cast("double").alias("total_revenue"),
+        F.col("_top_dec").cast("double").alias("top_decile_revenue"),
+        hround(
+            F.col("_top_dec").cast("double") / F.col("_total_dec").cast("double"), 6
+        ).alias("top_decile_share"),
     )
