@@ -77,15 +77,20 @@ _DRIVER_WINDOW = [
     "topk_per_group", "win_running", "agg_rollup", "cdc_apply_batch",
     "dedup_exact", "dedup_minhash_lsh", "sim_search_topk",
     "sim_search_lsh", "tfidf", "text_stats",
-    # pad: §2 core spread under current code, cheap families first
-    "scan_parquet", "filter_op_type", "null_handling", "limit",
-    "union_all", "union_distinct", "intersect", "except_all",
-    # re-spelled mid-r8 (scale-stable comparison contracts — the sf1
-    # strict sweep caught agg_product's rounding contract tightening
-    # with corpus size; agg_incremental_merge had the linear-sum form;
-    # analytics_pareto's revenue sums hit the same class at sf1 — now
-    # exact decimal accumulators, cast to double at the end)
+    # re-spelled mid-r8: scale-stable comparison contracts. The sf1
+    # strict sweep caught agg_product (rounding contract tightening with
+    # corpus size) and analytics_pareto (double-sum merge-order ulp on a
+    # round-half boundary); the systematic audit then re-spelled every
+    # corpus-group sum/avg of a money-grid double onto exact decimal
+    # accumulators with via-string double casts (the sf10x re-validation
+    # caught DuckDB's decimal→double cast double-rounding above 2^53 on
+    # pricing_summary's charge sum — functions/compat.py). All fresh
+    # evidence REQUIRED; the evicted §2 pads (scan_parquet, filters,
+    # set-ops…) are unchanged code with green r≤07 evidence.
     "agg_product", "agg_incremental_merge", "analytics_pareto",
+    "agg_hash", "agg_global", "agg_grouping_sets", "agg_count_if",
+    "analytics_shipping_priority", "analytics_local_supplier_volume",
+    "ts_twap", "cdc_warehouse_report",
     "agg_having", "agg_collect", "agg_cube", "win_lag_lead",
     "win_first_last", "win_range_frame", "join_theta", "join_self",
     "fn_string", "fn_datetime", "fn_math",

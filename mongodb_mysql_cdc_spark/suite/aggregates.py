@@ -12,15 +12,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mongodb_mysql_cdc_spark.catalog import load
-from mongodb_mysql_cdc_spark.functions.compat import hround, sql_round
+from mongodb_mysql_cdc_spark.functions.compat import (
+    dec_avg,
+    dec_sum,
+    hround,
+    sql_dec_avg,
+    sql_dec_sum,
+    sql_round,
+)
 from mongodb_mysql_cdc_spark.registry import register
+
+# Round 8: every corpus-group sum/avg of a money-grid double in this file
+# runs on exact decimal partials (scale-stable comparison contract —
+# functions/compat.py). Integral columns (l_quantity) keep double sums:
+# integers sum exactly below 2^53 in any order.
 
 
 @register(
     "agg_hash",
     oracle=f"""
 SELECT event_type,
-       {sql_round('sum(value)')} AS sum_value,
+       {sql_dec_sum('value')}    AS sum_value,
        min(value)                AS min_value,
        max(value)                AS max_value,
        count(*)                  AS n
@@ -31,7 +43,7 @@ GROUP BY event_type
 def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        hround(F.sum("value")).alias("sum_value"),
+        dec_sum(F.col("value")).alias("sum_value"),
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
         F.count(F.lit(1)).alias("n"),
@@ -43,7 +55,7 @@ def agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT count(*)                        AS n_rows,
        {sql_round('sum(l_quantity)')}  AS total_qty,
-       {sql_round('avg(l_extendedprice)', 4)} AS avg_price,
+       {sql_round(sql_dec_avg('l_extendedprice'), 4)} AS avg_price,
        min(l_shipdate)                 AS first_ship,
        max(l_shipdate)                 AS last_ship
 FROM lineitem
@@ -54,7 +66,7 @@ def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         hround(F.sum("l_quantity")).alias("total_qty"),
-        hround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        hround(dec_avg(F.col("l_extendedprice")), 4).alias("avg_price"),
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
     )
@@ -94,7 +106,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT r_name, n_name,
        count(*) AS n,
-       {sql_round('sum(s_acctbal)')} AS total_bal
+       {sql_dec_sum('s_acctbal')} AS total_bal
 FROM supplier
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -113,7 +125,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         SELECT r_name, n_name,
                count(*) AS n,
-               {sql_round('sum(s_acctbal)')} AS total_bal
+               {sql_dec_sum('s_acctbal')} AS total_bal
         FROM _gs_supplier_geo
         GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
         """
@@ -125,7 +137,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT r_name, n_name,
        count(*) AS n_customers,
-       {sql_round('sum(c_acctbal)')} AS total_bal
+       {sql_dec_sum('c_acctbal')} AS total_bal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -143,7 +155,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
     return joined.rollup("r_name", "n_name").agg(
         F.count(F.lit(1)).alias("n_customers"),
-        hround(F.sum("c_acctbal")).alias("total_bal"),
+        dec_sum(F.col("c_acctbal")).alias("total_bal"),
     )
 
 
@@ -170,7 +182,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT o_custkey,
        count(*) AS n_orders,
-       {sql_round('sum(o_totalprice)')} AS spend
+       {sql_dec_sum('o_totalprice')} AS spend
 FROM orders
 GROUP BY o_custkey
 HAVING count(*) >= 12
@@ -182,7 +194,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            hround(F.sum("o_totalprice")).alias("spend"),
+            dec_sum(F.col("o_totalprice")).alias("spend"),
         )
         .filter(F.col("n_orders") >= 12)
     )
@@ -447,10 +459,10 @@ def agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT event_type,
        count(*)                       AS n,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total,
        {sql_round('min(value)', 4)}   AS vmin,
        {sql_round('max(value)', 4)}   AS vmax,
-       {sql_round('CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)', 4)} AS mean
+       {sql_round('CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS STRING) AS DOUBLE) / count(*)', 4)} AS mean
 FROM events
 GROUP BY event_type
 """,
@@ -489,10 +501,10 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact decimal → double at the very END: both engines cast the
         # SAME exact number, so the doubles are bit-identical at any scale
         # (DuckDB's pandas bridge returns decimal sums as float64 anyway)
-        F.sum("p_sum").cast("double").alias("total"),
+        F.sum("p_sum").cast("string").cast("double").alias("total"),
         hround(F.min("p_min"), 4).alias("vmin"),
         hround(F.max("p_max"), 4).alias("vmax"),
-        hround(F.sum("p_sum").cast("double") / F.sum("p_n"), 4).alias("mean"),
+        hround(F.sum("p_sum").cast("string").cast("double") / F.sum("p_n"), 4).alias("mean"),
     )
 
 
@@ -568,7 +580,7 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag,
        count(*) FILTER (l_discount > 0.05)                    AS n_discounted,
        count(*) FILTER (l_quantity >= 25)                     AS n_bulk,
-       {sql_round('sum(l_extendedprice) FILTER (l_tax > 0.04)')} AS taxed_revenue,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (l_tax > 0.04) AS STRING) AS DOUBLE) AS taxed_revenue,
        {sql_round("avg(l_quantity) FILTER (l_linestatus = 'F')", 4)} AS avg_qty_f,
        max(l_shipdate) FILTER (l_returnflag = 'R')            AS last_return_ship
 FROM lineitem
@@ -584,7 +596,7 @@ def agg_count_if(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
         F.count_if(F.col("l_quantity") >= 25).alias("n_bulk"),
-        hround(F.sum(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice")))).alias(
+        dec_sum(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice"))).alias(
             "taxed_revenue"
         ),
         hround(F.avg(F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))), 4).alias(

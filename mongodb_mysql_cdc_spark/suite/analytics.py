@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from mongodb_mysql_cdc_spark.catalog import load
 from mongodb_mysql_cdc_spark.functions import vectors as V
 from mongodb_mysql_cdc_spark.functions.compat import hround, sql_round
+from mongodb_mysql_cdc_spark.functions.compat import DISC_REV_SQL, disc_rev_dec
 from mongodb_mysql_cdc_spark.operators.ranking import ntile_expr, with_global_position
 from mongodb_mysql_cdc_spark.registry import register
 
@@ -339,7 +340,7 @@ def event_seq_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     "analytics_shipping_priority",
     oracle=f"""
 SELECT l.l_orderkey,
-       {sql_round('sum(l.l_extendedprice * (1 - l.l_discount))')} AS revenue,
+       {DISC_REV_SQL.format(p='l.')} AS revenue,
        o.o_orderdate
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -372,9 +373,7 @@ def analytics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            hround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-                "revenue"
-            )
+            disc_rev_dec().alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -386,7 +385,7 @@ def analytics_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "analytics_local_supplier_volume",
     oracle=f"""
 SELECT n.n_name,
-       {sql_round('sum(l.l_extendedprice * (1 - l.l_discount))')} AS revenue,
+       {DISC_REV_SQL.format(p='l.')} AS revenue,
        CAST(count(*) AS BIGINT) AS n_lineitems
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -425,9 +424,7 @@ def analytics_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFra
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            hround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-                "revenue"
-            ),
+            disc_rev_dec().alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
@@ -707,10 +704,10 @@ WITH ranked AS (
 )
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
-       CAST(sum(CAST(CASE WHEN pr <= 0.1 THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS top_decile_revenue,
-       {sql_round('''CAST(sum(CAST(CASE WHEN pr <= 0.1 THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE)
-                     / CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)''', 6)} AS top_decile_share
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total_revenue,
+       CAST(CAST(sum(CAST(CASE WHEN pr <= 0.1 THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS top_decile_revenue,
+       {sql_round('''CAST(CAST(sum(CAST(CASE WHEN pr <= 0.1 THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
+                     / CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE)''', 6)} AS top_decile_share
 FROM ranked
 GROUP BY o_orderpriority
 """,
@@ -749,9 +746,11 @@ def analytics_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agged.select(
         "o_orderpriority",
         "n_orders",
-        F.col("_total_dec").cast("double").alias("total_revenue"),
-        F.col("_top_dec").cast("double").alias("top_decile_revenue"),
+        F.col("_total_dec").cast("string").cast("double").alias("total_revenue"),
+        F.col("_top_dec").cast("string").cast("double").alias("top_decile_revenue"),
         hround(
-            F.col("_top_dec").cast("double") / F.col("_total_dec").cast("double"), 6
+            F.col("_top_dec").cast("string").cast("double")
+            / F.col("_total_dec").cast("string").cast("double"),
+            6,
         ).alias("top_decile_share"),
     )

@@ -13,20 +13,37 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mongodb_mysql_cdc_spark.catalog import load
-from mongodb_mysql_cdc_spark.functions.compat import hround, sql_round
+from mongodb_mysql_cdc_spark.functions.compat import (
+    dec_avg,
+    dec_sum,
+    dec_to_double,
+    hround,
+    sql_dec_avg,
+    sql_dec_sum,
+    sql_round,
+)
 from mongodb_mysql_cdc_spark.registry import register
+
+# Exact-decimal comparison contract (round 8): l_quantity is integral
+# (double sums exact to 2^53 — safe at any corpus size), but the money
+# sums are corpus-sized accumulations of 2/4/6-decimal grids, so they run
+# on decimal partials and cast to DOUBLE at the end — the scale-stable
+# contract (see functions/compat.py). The grid arithmetic is exact in
+# decimal: extprice(2dp) × (1-disc)(2dp) → 4dp, × (1+tax)(2dp) → 6dp.
+_DISC_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(4,2))"
+_CHARGE_SQL = f"({_DISC_SQL}) * CAST((1 + l_tax) AS DECIMAL(4,2))"
 
 PRICING_SUMMARY_ORACLE = f"""
 SELECT
   l_returnflag,
   l_linestatus,
   {sql_round('sum(l_quantity)')}                                       AS sum_qty,
-  {sql_round('sum(l_extendedprice)')}                                  AS sum_base_price,
-  {sql_round('sum(l_extendedprice * (1 - l_discount))')}               AS sum_disc_price,
-  {sql_round('sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))')} AS sum_charge,
+  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(sum({_DISC_SQL}) AS STRING) AS DOUBLE)                     AS sum_disc_price,
+  CAST(CAST(sum({_CHARGE_SQL}) AS STRING) AS DOUBLE)                   AS sum_charge,
   {sql_round('avg(l_quantity)', 4)}                                    AS avg_qty,
-  {sql_round('avg(l_extendedprice)', 4)}                               AS avg_price,
-  {sql_round('avg(l_discount)', 4)}                                    AS avg_disc,
+  {sql_round(sql_dec_avg('l_extendedprice'), 4)}                       AS avg_price,
+  {sql_round(sql_dec_avg('l_discount', 4, 2), 4)}                      AS avg_disc,
   count(*)                                                             AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
@@ -36,20 +53,26 @@ GROUP BY l_returnflag, l_linestatus
 
 @register("pricing_summary", oracle=PRICING_SUMMARY_ORACLE)
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """scan_parquet + filter_pred + project + agg_hash (TPC-H Q1 shape)."""
+    """scan_parquet + filter_pred + project + agg_hash (TPC-H Q1 shape).
+
+    Money sums are exact decimal accumulators (scale-stable comparison
+    contract — functions/compat.py); quantity stays a double sum
+    (integral values sum exactly below 2^53)."""
     li = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc_dec = price_dec * (1 - F.col("l_discount")).cast("decimal(4,2)")
+    charge_dec = disc_dec * (1 + F.col("l_tax")).cast("decimal(4,2)")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             hround(F.sum("l_quantity")).alias("sum_qty"),
-            hround(F.sum("l_extendedprice")).alias("sum_base_price"),
-            hround(F.sum(disc_price)).alias("sum_disc_price"),
-            hround(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dec_to_double(F.sum(disc_dec)).alias("sum_disc_price"),
+            dec_to_double(F.sum(charge_dec)).alias("sum_charge"),
             hround(F.avg("l_quantity"), 4).alias("avg_qty"),
-            hround(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            hround(F.avg("l_discount"), 4).alias("avg_disc"),
+            hround(dec_avg(F.col("l_extendedprice")), 4).alias("avg_price"),
+            hround(dec_avg(F.col("l_discount"), 4, 2), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

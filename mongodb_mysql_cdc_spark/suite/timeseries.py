@@ -438,7 +438,7 @@ capped AS (
 )
 SELECT user_id, bucket,
        CAST(count(*) AS BIGINT) AS n_segments,
-       {sql_round('sum(value * w) / sum(w)', 6)} AS twap
+       {sql_round('CAST(CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(w AS DECIMAL(12,0))) AS STRING) AS DOUBLE) / CAST(sum(w) AS DOUBLE)', 6)} AS twap
 FROM capped
 GROUP BY user_id, bucket
 """,
@@ -465,7 +465,16 @@ def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return capped.groupBy("user_id", "bucket").agg(
         F.count(F.lit(1)).alias("n_segments"),
-        hround(F.sum(F.col("value") * F.col("w")) / F.sum("w"), 6).alias("twap"),
+        # exact decimal numerator (2-dec-grid value × integer µs weight
+        # is an exact decimal product) over an exact integer denominator:
+        # the scale-stable contract for a weighted mean
+        hround(
+            F.sum(
+                F.col("value").cast("decimal(18,2)") * F.col("w").cast("decimal(12,0)")
+            ).cast("string").cast("double")
+            / F.sum("w").cast("double"),
+            6,
+        ).alias("twap"),
     )
 
 

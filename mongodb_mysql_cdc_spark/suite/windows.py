@@ -157,9 +157,16 @@ def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RUNNING_SUM = sql_round(
-    "sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id"
-    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+# Exact decimal running sum (round 8): a cumulative double sum's
+# magnitude grows with the partition length while the 2-decimal rounding
+# granularity doesn't, and the two engines associate frame sums
+# differently (sequential vs segment tree) — the scale-tightening
+# contract class (functions/compat.py). value is a 2-decimal grid, so
+# decimal partials make every prefix sum exact on both engines.
+_RUNNING_SUM = (
+    "CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))"
+    " OVER (PARTITION BY user_id ORDER BY ts, event_id"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS STRING) AS DOUBLE)"
 )
 _MOVING_AVG = sql_round(
     "avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id"
@@ -188,9 +195,11 @@ def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id",
         "event_id",
-        hround(
-            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0))
-        ).alias("running_sum"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("string")
+        .cast("double")
+        .alias("running_sum"),
         hround(F.avg("value").over(w.rowsBetween(-3, 0)), 4).alias("moving_avg"),
         F.count(F.lit(1)).over(w_range).alias("n_nearby"),
     )
@@ -271,7 +280,7 @@ def win_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT event_id, user_id, ts,
        count(*) OVER w                    AS n_last_hour,
-       {sql_round('sum(value) OVER w')}   AS val_last_hour
+       CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS STRING) AS DOUBLE) AS val_last_hour
 FROM (SELECT event_id, user_id, ts, value,
              epoch_us(ts) // 1000000 AS ts_sec
       FROM events)
@@ -312,7 +321,14 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "ts",
             F.count(F.lit(1)).over(w).alias("n_last_hour"),
-            hround(F.sum("value").over(w)).alias("val_last_hour"),
+            # exact decimal frame sum — the sliding-frame double sum is
+            # evaluated sequentially by Spark but via segment tree by
+            # DuckDB (different association); decimal is order-free
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .over(w)
+            .cast("string")
+            .cast("double")
+            .alias("val_last_hour"),
         )
     )
 

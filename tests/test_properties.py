@@ -448,3 +448,33 @@ def test_decimal_total_is_exact_at_large_magnitude(spark):
         "SELECT CAST(sum(CAST(v AS DECIMAL(18,2))) AS DOUBLE) FROM t"
     ).fetchall()[0][0]
     assert got == want  # bit-identical, no tolerance
+
+
+def test_via_string_double_cast_is_engine_agnostic_beyond_2pow53(spark):
+    """Above 2^53 in the SCALED integer, the direct decimal→double cast is
+    engine-specific: DuckDB computes (double)int128 / (double)10^scale —
+    two roundings — while Java's BigDecimal.doubleValue is correctly
+    rounded; the sf10x sweep caught them one ulp apart on
+    pricing_summary's 6-decimal charge sum (…137.374750 → DuckDB
+    …137.374752, Spark …137.37475). The via-string conversion
+    (decimal→string is exact on both; string→double is strtod /
+    Double.parseDouble, both correctly rounded) must agree bit-for-bit —
+    pinned here on the exact value from that sweep, where the scaled
+    integer 29791346137374750 > 2^53."""
+    import duckdb
+
+    val = "29791346137.374750"
+    got = spark.sql(
+        f"SELECT CAST(CAST(CAST('{val}' AS DECIMAL(38,6)) AS STRING) AS DOUBLE) AS v"
+    ).collect()[0]["v"]
+    con = duckdb.connect()
+    want = con.sql(
+        f"SELECT CAST(CAST(CAST('{val}' AS DECIMAL(38,6)) AS STRING) AS DOUBLE)"
+    ).fetchall()[0][0]
+    assert got == want == float(val)  # correctly rounded, all three agree
+    # and the direct DuckDB cast really is the double-rounding outlier
+    # this contract exists to dodge
+    duck_direct = con.sql(
+        f"SELECT CAST(CAST('{val}' AS DECIMAL(38,6)) AS DOUBLE)"
+    ).fetchall()[0][0]
+    assert duck_direct != float(val)
