@@ -90,10 +90,10 @@ _DRIVER_WINDOW = [
     "agg_product", "agg_incremental_merge", "analytics_pareto",
     "agg_hash", "agg_global", "agg_grouping_sets", "agg_count_if",
     "analytics_shipping_priority", "analytics_local_supplier_volume",
-    "ts_twap", "cdc_warehouse_report",
+    "ts_twap", "cdc_warehouse_report", "sql_parameterized",
+    "sql_pipe_syntax", "scan_observe_metrics", "join_sort_merge",
     "agg_having", "agg_collect", "agg_cube", "win_lag_lead",
-    "win_first_last", "win_range_frame", "join_theta", "join_self",
-    "fn_string", "fn_datetime", "fn_math",
+    "win_first_last", "win_range_frame", "join_self",
     # LLM-pipeline + CDC spread LAST — most expensive per query
     # (dedup_clusters/survivors: round-8 star-edge re-spell re-verify)
     "text_tokenize", "dedup_clusters", "dedup_survivors", "dedup_simhash",

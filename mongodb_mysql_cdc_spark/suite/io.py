@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mongodb_mysql_cdc_spark.catalog import SCHEMAS, load
-from mongodb_mysql_cdc_spark.functions.compat import hround, sql_round
+from mongodb_mysql_cdc_spark.functions.compat import hround, sql_dec_avg, sql_dec_sum, sql_round
 from mongodb_mysql_cdc_spark.registry import register
 
 
@@ -713,9 +713,9 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_observe_metrics",
     oracle=f"""
 SELECT CAST(count(*) AS BIGINT)                 AS n_rows,
-       {sql_round('sum(o_totalprice)')}          AS total_revenue,
+       {sql_dec_sum('o_totalprice')}             AS total_revenue,
        CAST(count(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_filled,
-       {sql_round('avg(o_totalprice)', 4)}       AS avg_price
+       {sql_round(sql_dec_avg('o_totalprice'), 4)} AS avg_price
 FROM orders
 """,
 )
@@ -735,20 +735,25 @@ def scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed = o.observe(
         obs,
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum("o_totalprice").alias("total_revenue"),
+        # exact decimal revenue metric (scale-stable contract, compat.py);
+        # the avg is derived from it below exactly as the oracle does
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_revenue"),
         F.count_if(F.col("o_orderstatus") == "F").alias("n_filled"),
-        F.avg("o_totalprice").alias("avg_price"),
     )
     observed.write.format("noop").mode("overwrite").save()  # the action
     m = obs.get
-    row = [(int(m["n_rows"]), float(m["total_revenue"]), int(m["n_filled"]),
-            float(m["avg_price"]))]
+    # Decimal → float in CPython is correctly rounded (same as the
+    # oracle's via-string cast); the mean divides that exact double by
+    # the exact count, matching sql_dec_avg's spelling bit-for-bit.
+    revenue = float(m["total_revenue"])
+    row = [(int(m["n_rows"]), revenue, int(m["n_filled"]),
+            revenue / int(m["n_rows"]))]
     out = spark.createDataFrame(
         row, "n_rows long, total_revenue double, n_filled long, avg_price double"
     )
     return out.select(
         "n_rows",
-        hround(F.col("total_revenue")).alias("total_revenue"),
+        "total_revenue",
         "n_filled",
         hround(F.col("avg_price"), 4).alias("avg_price"),
     )

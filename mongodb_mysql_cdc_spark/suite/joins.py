@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mongodb_mysql_cdc_spark.catalog import load
-from mongodb_mysql_cdc_spark.functions.compat import hround, sql_round
+from mongodb_mysql_cdc_spark.functions.compat import dec_sum, hround, sql_dec_sum, sql_round
 from mongodb_mysql_cdc_spark.operators.joins import asof_join
 from mongodb_mysql_cdc_spark.registry import register
 
@@ -64,7 +64,7 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_sort_merge",
     oracle=f"""
 SELECT l_orderkey, o_orderdate, count(*) AS n_lines,
-       {sql_round('sum(l_extendedprice)')} AS order_value
+       {sql_dec_sum('l_extendedprice')} AS order_value
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderstatus = 'F'
 GROUP BY l_orderkey, o_orderdate
@@ -81,7 +81,7 @@ def join_sort_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
-            hround(F.sum("l_extendedprice")).alias("order_value"),
+            dec_sum(F.col("l_extendedprice")).alias("order_value"),
         )
     )
 

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mongodb_mysql_cdc_spark.catalog import load
-from mongodb_mysql_cdc_spark.functions.compat import hround, sql_round
+from mongodb_mysql_cdc_spark.functions.compat import DISC_REV_SQL, hround, sql_dec_sum, sql_round
 from mongodb_mysql_cdc_spark.registry import register
 
 # Synthetic hierarchy over customers: node n's parent is n DIV 2 (a binary
@@ -198,7 +198,7 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n,
-       {sql_round('sum(o_totalprice)')} AS revenue
+       {sql_dec_sum('o_totalprice')} AS revenue
 FROM orders
 WHERE o_totalprice >= 50000.0 AND o_orderstatus = 'O'
 GROUP BY o_orderpriority
@@ -219,7 +219,7 @@ SELECT o_orderpriority,
 FROM param_orders
 WHERE o_totalprice >= :min_price AND o_orderstatus = :status
 GROUP BY o_orderpriority
-""".format(rounded=sql_round("sum(o_totalprice)")),
+""".format(rounded=sql_dec_sum("o_totalprice")),
         args={"min_price": 50000.0, "status": "O"},
     )
 
@@ -256,7 +256,7 @@ def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
        CAST(count(*) AS BIGINT) AS n,
-       {sql_round('sum(l_extendedprice * (1 - l_discount))')} AS revenue
+       {DISC_REV_SQL.format(p='')} AS revenue
 FROM lineitem
 WHERE l_quantity >= 10
 GROUP BY l_returnflag, l_linestatus
@@ -275,7 +275,7 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
 FROM pipe_lineitem
 |> WHERE l_quantity >= 10
 |> AGGREGATE count(*) AS n,
-             {sql_round('sum(l_extendedprice * (1 - l_discount))')} AS revenue
+             {DISC_REV_SQL.format(p='')} AS revenue
    GROUP BY l_returnflag, l_linestatus
 |> SELECT l_returnflag, l_linestatus, n, revenue
 """
