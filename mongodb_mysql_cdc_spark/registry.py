@@ -95,9 +95,12 @@ _DRIVER_WINDOW = [
     "agg_having", "agg_collect", "agg_cube", "win_lag_lead",
     "win_first_last", "win_range_frame", "join_self",
     # LLM-pipeline + CDC spread LAST — most expensive per query
-    # (dedup_clusters/survivors: round-8 star-edge re-spell re-verify)
-    "text_tokenize", "dedup_clusters", "dedup_survivors", "dedup_simhash",
-    "cdc_apply_stream", "decontaminate",
+    # (dedup_clusters/survivors: round-8 star-edge re-spell re-verify).
+    # Exactly 50 names — the driver verifies queries()[:50] and the
+    # window tests pin that count; dedup_simhash / cdc_apply_stream /
+    # decontaminate were evicted by the exact-decimal re-spells
+    # (unchanged code, green r<=07 evidence).
+    "text_tokenize", "dedup_clusters", "dedup_survivors",
 ]
 
 

@@ -580,7 +580,7 @@ def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag,
        count(*) FILTER (l_discount > 0.05)                    AS n_discounted,
        count(*) FILTER (l_quantity >= 25)                     AS n_bulk,
-       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (l_tax > 0.04) AS STRING) AS DOUBLE) AS taxed_revenue,
+       CAST(CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS DECIMAL(18,0))) FILTER (l_tax > 0.04) AS STRING) AS DOUBLE) / 100.0 AS taxed_revenue,
        {sql_round("avg(l_quantity) FILTER (l_linestatus = 'F')", 4)} AS avg_qty_f,
        max(l_shipdate) FILTER (l_returnflag = 'R')            AS last_return_ship
 FROM lineitem

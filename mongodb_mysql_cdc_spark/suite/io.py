@@ -735,17 +735,21 @@ def scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed = o.observe(
         obs,
         F.count(F.lit(1)).alias("n_rows"),
-        # exact decimal revenue metric (scale-stable contract, compat.py);
-        # the avg is derived from it below exactly as the oracle does
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_revenue"),
+        # exact grid revenue metric (scale-stable contract, compat.py
+        # grid notes); the avg is derived from it below as the oracle does
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("long")
+            .cast("decimal(18,0)")
+        ).alias("total_revenue"),
         F.count_if(F.col("o_orderstatus") == "F").alias("n_filled"),
     )
     observed.write.format("noop").mode("overwrite").save()  # the action
     m = obs.get
-    # Decimal → float in CPython is correctly rounded (same as the
-    # oracle's via-string cast); the mean divides that exact double by
-    # the exact count, matching sql_dec_avg's spelling bit-for-bit.
-    revenue = float(m["total_revenue"])
+    # float(Decimal cents) is correctly rounded (= the oracle's
+    # via-string cast of the exact integer), then the /100.0 and the
+    # count division replay sql_grid_sum / sql_dec_avg bit-for-bit.
+    revenue = float(m["total_revenue"]) / 100.0
     row = [(int(m["n_rows"]), revenue, int(m["n_filled"]),
             revenue / int(m["n_rows"]))]
     out = spark.createDataFrame(

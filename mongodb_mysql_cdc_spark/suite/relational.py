@@ -15,32 +15,32 @@ from pyspark.sql import functions as F
 from mongodb_mysql_cdc_spark.catalog import load
 from mongodb_mysql_cdc_spark.functions.compat import (
     dec_avg,
-    dec_sum,
-    dec_to_double,
+    grid_sum,
     hround,
     sql_dec_avg,
-    sql_dec_sum,
+    sql_grid_sum,
     sql_round,
 )
 from mongodb_mysql_cdc_spark.registry import register
 
-# Exact-decimal comparison contract (round 8): l_quantity is integral
-# (double sums exact to 2^53 — safe at any corpus size), but the money
-# sums are corpus-sized accumulations of 2/4/6-decimal grids, so they run
-# on decimal partials and cast to DOUBLE at the end — the scale-stable
-# contract (see functions/compat.py). The grid arithmetic is exact in
-# decimal: extprice(2dp) × (1-disc)(2dp) → 4dp, × (1+tax)(2dp) → 6dp.
-_DISC_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST((1 - l_discount) AS DECIMAL(4,2))"
-_CHARGE_SQL = f"({_DISC_SQL}) * CAST((1 + l_tax) AS DECIMAL(4,2))"
+# Exact comparison contract (round 8): l_quantity is integral (double sums
+# exact to 2^53 — safe at any corpus size), but the money sums are
+# corpus-sized accumulations of 2/4/6-decimal grids, so they run on the
+# grid accumulator (exact integer recovery via pure double ops, long cast,
+# decimal(18,0) partials — the scale-stable contract at near-double speed;
+# see functions/compat.py grid notes). Grids: extprice is a 2-grid, ×
+# (1-disc)(2-grid) → exact 4-grid product, × (1+tax)(2-grid) → 6-grid.
+_DISC_EXPR = "l_extendedprice * (1 - l_discount)"
+_CHARGE_EXPR = f"({_DISC_EXPR}) * (1 + l_tax)"
 
 PRICING_SUMMARY_ORACLE = f"""
 SELECT
   l_returnflag,
   l_linestatus,
   {sql_round('sum(l_quantity)')}                                       AS sum_qty,
-  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS sum_base_price,
-  CAST(CAST(sum({_DISC_SQL}) AS STRING) AS DOUBLE)                     AS sum_disc_price,
-  CAST(CAST(sum({_CHARGE_SQL}) AS STRING) AS DOUBLE)                   AS sum_charge,
+  {sql_grid_sum('l_extendedprice', 2)}                                 AS sum_base_price,
+  {sql_grid_sum(_DISC_EXPR, 4)}                                        AS sum_disc_price,
+  {sql_grid_sum(_CHARGE_EXPR, 6)}                                      AS sum_charge,
   {sql_round('avg(l_quantity)', 4)}                                    AS avg_qty,
   {sql_round(sql_dec_avg('l_extendedprice'), 4)}                       AS avg_price,
   {sql_round(sql_dec_avg('l_discount', 4, 2), 4)}                      AS avg_disc,
@@ -55,21 +55,20 @@ GROUP BY l_returnflag, l_linestatus
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """scan_parquet + filter_pred + project + agg_hash (TPC-H Q1 shape).
 
-    Money sums are exact decimal accumulators (scale-stable comparison
-    contract — functions/compat.py); quantity stays a double sum
-    (integral values sum exactly below 2^53)."""
+    Money sums are exact grid accumulators (scale-stable comparison
+    contract at near-double speed — functions/compat.py grid notes);
+    quantity stays a double sum (integral values sum exactly below 2^53)."""
     li = load(spark, sf_dir, "lineitem")
-    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc_dec = price_dec * (1 - F.col("l_discount")).cast("decimal(4,2)")
-    charge_dec = disc_dec * (1 + F.col("l_tax")).cast("decimal(4,2)")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             hround(F.sum("l_quantity")).alias("sum_qty"),
-            dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
-            dec_to_double(F.sum(disc_dec)).alias("sum_disc_price"),
-            dec_to_double(F.sum(charge_dec)).alias("sum_charge"),
+            grid_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            grid_sum(disc, 4).alias("sum_disc_price"),
+            grid_sum(charge, 6).alias("sum_charge"),
             hround(F.avg("l_quantity"), 4).alias("avg_qty"),
             hround(dec_avg(F.col("l_extendedprice")), 4).alias("avg_price"),
             hround(dec_avg(F.col("l_discount"), 4, 2), 4).alias("avg_disc"),

@@ -478,3 +478,50 @@ def test_via_string_double_cast_is_engine_agnostic_beyond_2pow53(spark):
         f"SELECT CAST(CAST('{val}' AS DECIMAL(38,6)) AS DOUBLE)"
     ).fetchall()[0][0]
     assert duck_direct != float(val)
+
+
+def test_grid_sum_matches_oracle_spelling_bit_for_bit(spark):
+    """The grid accumulator (functions/compat.py grid notes): recover the
+    fixed-point integer with pure double ops, sum exactly, divide once.
+    Differential-pinned against the DuckDB spelling on adversarial grid
+    values — negatives (floor(x+0.5) must stay exact below zero), values
+    near the double→BigDecimal half-up/half-even divergence class (x.xx5
+    neighbours), NULLs, and magnitudes that push the summed integer past
+    2^31. No tolerance: the doubles must be bit-identical."""
+    import duckdb
+    import pandas as pd
+
+    from mongodb_mysql_cdc_spark.functions.compat import grid_sum, sql_grid_sum
+
+    vals = (
+        [round((i * 7919) % 99999 / 100.0 - 300.0, 2) for i in range(20_000)]
+        + [2.675, -2.675, 0.005, -0.005, 1e9 + 0.01, -1e9 - 0.01]
+        + [None, None]
+    )
+    rows = [(i % 7, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    got = {
+        r["g"]: (r["s2"], r["s4"])
+        for r in df.groupBy("g")
+        .agg(
+            grid_sum(F.col("v"), 2).alias("s2"),
+            grid_sum(F.col("v") * (1 - F.lit(0.05)), 4).alias("s4"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["g", "v"]))
+    want = {
+        g: (s2, s4)
+        for g, s2, s4 in con.sql(
+            f"SELECT g, {sql_grid_sum('v', 2)}, "
+            f"{sql_grid_sum('v * (1 - 0.05)', 4)} FROM t GROUP BY g"
+        ).fetchall()
+    }
+    assert got == want  # bit-identical, no tolerance
+    # and the on-grid recovery really is exact: a clean subtotal check
+    sub = [v for i, v in enumerate(vals) if v is not None and i % 7 == 0]
+    from decimal import Decimal
+
+    exact = float(sum(Decimal(str(v)) for v in sub))
+    assert got[0][0] == exact
