@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from mongodb_mysql_cdc_spark.catalog import load
 from mongodb_mysql_cdc_spark.functions import vectors as V
-from mongodb_mysql_cdc_spark.functions.compat import hround, sql_round
+from mongodb_mysql_cdc_spark.functions.compat import grid_sum, hround, sql_grid_sum, sql_round
 from mongodb_mysql_cdc_spark.functions.compat import DISC_REV_SQL, disc_rev_dec
 from mongodb_mysql_cdc_spark.operators.ranking import ntile_expr, with_global_position
 from mongodb_mysql_cdc_spark.registry import register
@@ -704,10 +704,10 @@ WITH ranked AS (
 )
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS total_revenue,
-       CAST(CAST(sum(CAST(CASE WHEN pr <= 0.1 THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS STRING) AS DOUBLE) AS top_decile_revenue,
-       {sql_round('''CAST(CAST(sum(CAST(CASE WHEN pr <= 0.1 THEN o_totalprice ELSE 0 END AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
-                     / CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE)''', 6)} AS top_decile_share
+       {sql_grid_sum('o_totalprice', 2)} AS total_revenue,
+       {sql_grid_sum('CASE WHEN pr <= 0.1 THEN o_totalprice ELSE 0 END', 2)} AS top_decile_revenue,
+       {sql_round(f"({sql_grid_sum('CASE WHEN pr <= 0.1 THEN o_totalprice ELSE 0 END', 2)})"
+                  f" / ({sql_grid_sum('o_totalprice', 2)})", 6)} AS top_decile_share
 FROM ranked
 GROUP BY o_orderpriority
 """,
@@ -719,15 +719,16 @@ def analytics_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     per band (unique-key tiebreak) + one conditional rollup; at 100 TB
     the window shards by band exactly like analytics_rfm's quintiles.
 
-    Revenue sums are EXACT decimal accumulators (o_totalprice is a
-    2-decimal grid — FIXTURES.md), cast to DOUBLE only at the end: a
-    double sum rounded to 2 decimals is a comparison contract that
-    tightens with corpus size — the sf1 strict sweep caught exactly that
+    Revenue sums are EXACT grid accumulators (o_totalprice is a
+    2-decimal grid — FIXTURES.md; compat.py grid notes): a double sum
+    rounded to 2 decimals is a comparison contract that tightens with
+    corpus size — the sf1 strict sweep caught exactly that
     (74789125840.49 vs .5, a one-ulp merge-order difference landing on a
     round-half boundary; same class as agg_product/agg_incremental_merge).
-    Decimal partials merge exactly at any corpus size, so both engines
-    cast the SAME number and the hash is scale-stable. The share divides
-    the two exact casts — bit-identical inputs, bit-identical ratio."""
+    Grid-integer partials merge exactly at any corpus size, so both
+    engines derive the SAME double and the hash is scale-stable. The
+    share divides the two exact sums — bit-identical inputs,
+    bit-identical ratio."""
     o = load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
@@ -740,17 +741,16 @@ def analytics_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = F.when(F.col("pr") <= 0.1, F.col("o_totalprice")).otherwise(0.0)
     agged = ranked.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_total_dec"),
-        F.sum(top.cast("decimal(18,2)")).alias("_top_dec"),
+        grid_sum(F.col("o_totalprice"), 2).alias("total_revenue"),
+        grid_sum(top, 2).alias("top_decile_revenue"),
     )
     return agged.select(
         "o_orderpriority",
         "n_orders",
-        F.col("_total_dec").cast("string").cast("double").alias("total_revenue"),
-        F.col("_top_dec").cast("string").cast("double").alias("top_decile_revenue"),
+        "total_revenue",
+        "top_decile_revenue",
         hround(
-            F.col("_top_dec").cast("string").cast("double")
-            / F.col("_total_dec").cast("string").cast("double"),
+            F.col("top_decile_revenue") / F.col("total_revenue"),
             6,
         ).alias("top_decile_share"),
     )

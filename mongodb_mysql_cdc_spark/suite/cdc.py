@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mongodb_mysql_cdc_spark.catalog import load
-from mongodb_mysql_cdc_spark.functions.compat import hround, sql_round
+from mongodb_mysql_cdc_spark.functions.compat import dec_avg, hround, sql_dec_avg, sql_round
 from mongodb_mysql_cdc_spark.registry import register
 from mongodb_mysql_cdc_spark.sources.cdc import (
     _JSON_OPTS,
@@ -934,7 +934,7 @@ state AS (
 tot AS (SELECT count(*) AS n_total FROM state)
 SELECT s.last_event_type,
        CAST(count(*) AS BIGINT)                       AS n_users,
-       {sql_round('CAST(CAST(sum(CAST(s.last_value AS DECIMAL(18,2))) AS STRING) AS DOUBLE) / CAST(count(s.last_value) AS DOUBLE)', 4)} AS avg_last_value,
+       {sql_round(sql_dec_avg('s.last_value'), 4)} AS avg_last_value,
        {sql_round('count(*) / CAST(t.n_total AS DOUBLE)', 6)} AS share
 FROM state s CROSS JOIN tot t
 GROUP BY s.last_event_type, t.n_total
@@ -956,15 +956,9 @@ def cdc_warehouse_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("last_event_type")
         .agg(
             F.count(F.lit(1)).alias("n_users"),
-            # exact-decimal mean (last_value is a 2-decimal grid; the
-            # group is corpus-sized — scale-stable contract, compat.py)
-            hround(
-                F.sum(F.col("last_value").cast("decimal(18,2)"))
-                .cast("string")
-                .cast("double")
-                / F.count("last_value").cast("double"),
-                4,
-            ).alias("avg_last_value"),
+            # exact grid mean (last_value is a 2-decimal grid; the group
+            # is corpus-sized — scale-stable contract, compat.py grid notes)
+            hround(dec_avg(F.col("last_value")), 4).alias("avg_last_value"),
             hround(F.count(F.lit(1)) / F.any_value("n_total").cast("double"), 6).alias(
                 "share"
             ),

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mongodb_mysql_cdc_spark.catalog import load
-from mongodb_mysql_cdc_spark.functions.compat import hround, sql_round
+from mongodb_mysql_cdc_spark.functions.compat import grid_sum, hround, sql_grid_sum, sql_round
 from mongodb_mysql_cdc_spark.registry import register
 
 
@@ -438,7 +438,7 @@ capped AS (
 )
 SELECT user_id, bucket,
        CAST(count(*) AS BIGINT) AS n_segments,
-       {sql_round('CAST(CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(w AS DECIMAL(12,0))) AS STRING) AS DOUBLE) / CAST(sum(w) AS DOUBLE)', 6)} AS twap
+       {sql_round(f"({sql_grid_sum('value * w', 2)}) / CAST(sum(w) AS DOUBLE)", 6)} AS twap
 FROM capped
 GROUP BY user_id, bucket
 """,
@@ -465,14 +465,12 @@ def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return capped.groupBy("user_id", "bucket").agg(
         F.count(F.lit(1)).alias("n_segments"),
-        # exact decimal numerator (2-dec-grid value × integer µs weight
-        # is an exact decimal product) over an exact integer denominator:
-        # the scale-stable contract for a weighted mean
+        # exact grid numerator (2-grid value × integer µs weight stays on
+        # the 2-grid; |v·w|·100 ≤ 561·3.6e9·100 ≈ 2e14 ≪ 2^52 so the grid
+        # recovery is exact — compat.py grid notes) over an exact
+        # integer denominator: the scale-stable weighted-mean contract
         hround(
-            F.sum(
-                F.col("value").cast("decimal(18,2)") * F.col("w").cast("decimal(12,0)")
-            ).cast("string").cast("double")
-            / F.sum("w").cast("double"),
+            grid_sum(F.col("value") * F.col("w"), 2) / F.sum("w").cast("double"),
             6,
         ).alias("twap"),
     )
