@@ -23,6 +23,15 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def _aqe() -> str:
+    """AQE default (\"true\"). SPARK_GRAFT_AQE=false is a TEST lever for the
+    layout-invariance sweep: every registered query must produce identical
+    results with runtime re-planning disabled — results may depend only on
+    row values, never on how AQE lays the plan out (the round-7
+    branch-consistency bug class). Production keeps AQE on."""
+    return os.environ.get("SPARK_GRAFT_AQE", "true")
+
+
 def get_session(app_name: str = "mongodb_mysql_cdc_spark") -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults."""
     cpus = default_parallelism()
@@ -30,7 +39,7 @@ def get_session(app_name: str = "mongodb_mysql_cdc_spark") -> SparkSession:
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(cpus))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", _aqe())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
@@ -50,7 +59,7 @@ def tune_for_harness(spark: SparkSession) -> SparkSession:
     confs that are safe to set post-startup."""
     for k, v in (
         ("spark.sql.session.timeZone", "UTC"),
-        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.enabled", _aqe()),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.shuffle.partitions", str(default_parallelism())),
