@@ -23,6 +23,14 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
+def shuffle_partitions() -> int:
+    """Shuffle-partition default — cores locally; SPARK_GRAFT_SHUFFLE is a
+    TEST lever for the cluster-shape rehearsal (e.g. 1024: a real
+    cluster's partition count, and the ranking machinery's bucket-cap
+    regime) without changing executor-thread count."""
+    return int(os.environ.get("SPARK_GRAFT_SHUFFLE", default_parallelism()))
+
+
 def _aqe() -> str:
     """AQE default (\"true\"). SPARK_GRAFT_AQE=false is a TEST lever for the
     layout-invariance sweep: every registered query must produce identical
@@ -38,7 +46,7 @@ def get_session(app_name: str = "mongodb_mysql_cdc_spark") -> SparkSession:
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions()))
         .config("spark.sql.adaptive.enabled", _aqe())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -62,7 +70,7 @@ def tune_for_harness(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.enabled", _aqe()),
         ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
-        ("spark.sql.shuffle.partitions", str(default_parallelism())),
+        ("spark.sql.shuffle.partitions", str(shuffle_partitions())),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         # events.ts is parquet TIMESTAMP(NANOS) — read as long, see catalog.load
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
