@@ -40,6 +40,19 @@ def _aqe() -> str:
     return os.environ.get("SPARK_GRAFT_AQE", "true")
 
 
+def _extra_conf() -> list[tuple[str, str]]:
+    """SPARK_GRAFT_EXTRA_CONF="k=v;k=v" — generic TEST lever for
+    execution-path invariance sweeps (e.g. wholeStage codegen off,
+    vectorized parquet reader off). Empty in production."""
+    raw = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    out = []
+    for item in raw.split(";"):
+        if "=" in item:
+            k, v = item.split("=", 1)
+            out.append((k.strip(), v.strip()))
+    return out
+
+
 def get_session(app_name: str = "mongodb_mysql_cdc_spark") -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults."""
     cpus = default_parallelism()
@@ -56,6 +69,8 @@ def get_session(app_name: str = "mongodb_mysql_cdc_spark") -> SparkSession:
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    for k, v in _extra_conf():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
@@ -76,6 +91,7 @@ def tune_for_harness(spark: SparkSession) -> SparkSession:
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         # custom Python DataSource filter pushdown (scan_python_datasource_pushdown)
         ("spark.sql.python.filterPushdown.enabled", "true"),
+        *_extra_conf(),
     ):
         try:
             spark.conf.set(k, v)

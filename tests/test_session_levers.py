@@ -9,7 +9,7 @@ import pytest
 
 @pytest.fixture()
 def clean_env(monkeypatch):
-    for k in ("SPARK_GRAFT_AQE", "SPARK_GRAFT_SHUFFLE"):
+    for k in ("SPARK_GRAFT_AQE", "SPARK_GRAFT_SHUFFLE", "SPARK_GRAFT_EXTRA_CONF"):
         monkeypatch.delenv(k, raising=False)
     yield monkeypatch
 
@@ -19,6 +19,20 @@ def test_defaults_are_production(clean_env):
 
     assert s._aqe() == "true"
     assert s.shuffle_partitions() == s.default_parallelism()
+
+
+def test_extra_conf_lever(clean_env):
+    from mongodb_mysql_cdc_spark import session as s
+
+    assert s._extra_conf() == []
+    clean_env.setenv(
+        "SPARK_GRAFT_EXTRA_CONF",
+        "spark.sql.codegen.wholeStage=false; spark.sql.parquet.enableVectorizedReader=false",
+    )
+    assert s._extra_conf() == [
+        ("spark.sql.codegen.wholeStage", "false"),
+        ("spark.sql.parquet.enableVectorizedReader", "false"),
+    ]
 
 
 def test_levers_take_effect(clean_env):

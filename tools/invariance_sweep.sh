@@ -16,13 +16,17 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "== invariance 1/3: default (local[cores], AQE on) =="
+echo "== invariance 1/4: default (local[cores], AQE on) =="
 python tools/check_strict.py "$@"
 
-echo "== invariance 2/3: local[7], shuffle.partitions=7 =="
+echo "== invariance 2/4: local[7], shuffle.partitions=7 =="
 SPARK_GRAFT_CPUS=7 python tools/check_strict.py "$@"
 
-echo "== invariance 3/3: AQE off =="
+echo "== invariance 3/4: AQE off =="
 SPARK_GRAFT_AQE=false python tools/check_strict.py "$@"
+
+echo "== invariance 4/4: interpreted path (codegen off, vectorized reader off) =="
+SPARK_GRAFT_EXTRA_CONF="spark.sql.codegen.wholeStage=false;spark.sql.parquet.enableVectorizedReader=false" \
+  python tools/check_strict.py "$@"
 
 echo "INVARIANCE SWEEP GREEN"
