@@ -146,6 +146,109 @@ def sql_dec_avg(expr: str, prec: int = 18, scale: int = 2) -> str:
     return f"({sql_grid_sum(expr, scale)}) / CAST(count({expr}) AS DOUBLE)"
 
 
+# --- grid second moments: exact-input stddev / variance / correlation ------
+#
+# The sf1 × AQE-off invariance cell (round 8, second catch of the class)
+# showed the same contract instability applies to corpus-group AVG/STDDEV
+# of grid columns: ts_calendar_profile's 6-dec rounded avg(value) flipped a
+# round-half boundary when AQE-off changed the double-sum merge order. The
+# fix family: recover the scaled integer per row (same precondition as
+# grid_sum), accumulate Σc and Σc² (and cross-sums for corr) EXACTLY in
+# decimal, convert via-string to bit-identical doubles, and evaluate ONE
+# agreed IEEE formula on both engines. The final double math is not exact —
+# it does not need to be: both engines compute the identical operations on
+# identical inputs, so the results are bit-identical at any corpus size and
+# under any physical layout.
+#
+# Per-row bounds (FIXTURES.md domains): c = value·10² ≤ 4.9e4 → c² ≤ 2.4e9
+# (long-safe, decimal(18,0)-safe); Σc² at 4e11 rows ≈ 1e21 < decimal(28,0)
+# exact sum. Non-null inputs assumed (the harness columns verify none);
+# callers coalesce/filter first otherwise — count(*) is the n on both sides.
+
+
+def _grid_long(expr: Column, k: int) -> Column:
+    """Exact scaled-integer recovery (the grid_sum precondition)."""
+    return F.floor(expr * float(10**k) + 0.5).cast("long")
+
+
+def _sql_grid_long(expr: str, k: int) -> str:
+    return f"CAST(floor(({expr}) * {float(10 ** k)} + 0.5) AS BIGINT)"
+
+
+def _dsum(col: Column) -> Column:
+    """Exact decimal sum of a long column → bit-identical double."""
+    return dec_to_double(F.sum(col.cast("decimal(18,0)")))
+
+
+def _sql_dsum(expr: str) -> str:
+    return sql_dec_to_double(f"sum(CAST(({expr}) AS DECIMAL(18,0)))")
+
+
+def grid_var_samp(expr: Column, k: int = 2) -> Column:
+    """Sample variance of a 10^-k-grid double from exact integer sums:
+    ((Σc² − (Σc)²/n) / (n−1)) / 10^2k — bit-identical cross-engine."""
+    c = _grid_long(expr, k)
+    n = F.count(F.lit(1)).cast("double")
+    s1, s2 = _dsum(c), _dsum(c * c)
+    return F.when(
+        F.count(F.lit(1)) > 1,
+        (s2 - s1 * s1 / n) / (n - F.lit(1.0)) / F.lit(float(10 ** (2 * k))),
+    )
+
+
+def sql_grid_var_samp(expr: str, k: int = 2) -> str:
+    c = _sql_grid_long(expr, k)
+    s1, s2 = _sql_dsum(c), _sql_dsum(f"({c}) * ({c})")
+    n = "CAST(count(*) AS DOUBLE)"
+    return (
+        f"CASE WHEN count(*) > 1 THEN "
+        f"(({s2}) - ({s1}) * ({s1}) / ({n})) / (({n}) - 1.0) / {float(10 ** (2 * k))} END"
+    )
+
+
+def grid_stddev_samp(expr: Column, k: int = 2) -> Column:
+    """Sample stddev via :func:`grid_var_samp` (sqrt is correctly rounded
+    IEEE — identical input → identical output)."""
+    return F.sqrt(grid_var_samp(expr, k))
+
+
+def sql_grid_stddev_samp(expr: str, k: int = 2) -> str:
+    return f"sqrt({sql_grid_var_samp(expr, k)})"
+
+
+def grid_corr(expr: Column, other: Column, k: int = 2) -> Column:
+    """Pearson correlation of a 10^-k-grid double against an INTEGER
+    column, from exact cross-sums. Correlation is scale-invariant, so it
+    is computed directly on the cents — no rescaling divisions at all."""
+    c = _grid_long(expr, k)
+    u = other.cast("long")
+    n = F.count(F.lit(1)).cast("double")
+    sv, su = _dsum(c), _dsum(u)
+    svv, suu, svu = _dsum(c * c), _dsum(u * u), _dsum(c * u)
+    return F.when(
+        F.count(F.lit(1)) > 1,
+        (svu - sv * su / n)
+        / F.sqrt(svv - sv * sv / n)
+        / F.sqrt(suu - su * su / n),
+    )
+
+
+def sql_grid_corr(expr: str, other: str, k: int = 2) -> str:
+    c = _sql_grid_long(expr, k)
+    u = f"CAST(({other}) AS BIGINT)"
+    n = "CAST(count(*) AS DOUBLE)"
+    sv, su = _sql_dsum(c), _sql_dsum(u)
+    svv = _sql_dsum(f"({c}) * ({c})")
+    suu = _sql_dsum(f"({u}) * ({u})")
+    svu = _sql_dsum(f"({c}) * ({u})")
+    return (
+        f"CASE WHEN count(*) > 1 THEN "
+        f"(({svu}) - ({sv}) * ({su}) / ({n}))"
+        f" / sqrt(({svv}) - ({sv}) * ({sv}) / ({n}))"
+        f" / sqrt(({suu}) - ({su}) * ({su}) / ({n})) END"
+    )
+
+
 # TPC-H discounted revenue Σ extprice·(1−disc): both factors live on
 # 2-decimal grids, so the product is an exact 4-decimal grid value and the
 # grid accumulator sums it exactly. ``{p}`` is the table alias prefix in SQL.

@@ -75,8 +75,7 @@ _DRIVER_WINDOW = [
     # headline bench queries — BENCH_r08's numbers under fresh evidence
     "pricing_summary", "join_inner_hash", "join_broadcast", "join_asof",
     "topk_per_group", "win_running", "agg_rollup", "cdc_apply_batch",
-    "dedup_exact", "dedup_minhash_lsh", "sim_search_topk",
-    "sim_search_lsh", "tfidf", "text_stats",
+    "dedup_minhash_lsh", "sim_search_topk", "sim_search_lsh", "tfidf",
     # re-spelled mid-r8: scale-stable comparison contracts. The sf1
     # strict sweep caught agg_product (rounding contract tightening with
     # corpus size) and analytics_pareto (double-sum merge-order ulp on a
@@ -92,15 +91,27 @@ _DRIVER_WINDOW = [
     "analytics_shipping_priority", "analytics_local_supplier_volume",
     "ts_twap", "cdc_warehouse_report", "sql_parameterized",
     "sql_pipe_syntax", "scan_observe_metrics", "join_sort_merge",
-    "agg_having", "agg_collect", "agg_cube", "win_lag_lead",
-    "win_first_last", "win_range_frame", "join_self",
+    "agg_having", "win_range_frame",
+    # re-spelled LATE r8: the sf1 × AQE-off invariance sweep caught
+    # ts_calendar_profile's 6dp-rounded corpus-group avg(value) flipping
+    # a round-half boundary under a different merge order — the same
+    # scale-unstable contract class as the money sums, in the stats
+    # family. All eight corpus-group avg/stddev/var/corr sites over the
+    # 2-grid `value` column re-spelled onto exact grid accumulators
+    # (compat.dec_avg / grid_stddev_samp / grid_var_samp / grid_corr);
+    # fresh driver evidence REQUIRED. Evicted for these slots (unchanged
+    # code, green r<=07 evidence): agg_collect, agg_cube, win_lag_lead,
+    # win_first_last, join_self, text_tokenize, dedup_exact, text_stats.
+    "ts_calendar_profile", "ts_seasonal_residual", "ts_gapfill",
+    "ts_interpolate_linear", "anomaly_zscore", "sql_qualify",
+    "agg_moments", "agg_stats",
     # LLM-pipeline + CDC spread LAST — most expensive per query
     # (dedup_clusters/survivors: round-8 star-edge re-spell re-verify).
     # Exactly 50 names — the driver verifies queries()[:50] and the
     # window tests pin that count; dedup_simhash / cdc_apply_stream /
     # decontaminate were evicted by the exact-decimal re-spells
     # (unchanged code, green r<=07 evidence).
-    "text_tokenize", "dedup_clusters", "dedup_survivors",
+    "dedup_clusters", "dedup_survivors",
 ]
 
 

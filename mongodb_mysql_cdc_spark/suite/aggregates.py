@@ -15,9 +15,15 @@ from mongodb_mysql_cdc_spark.catalog import load
 from mongodb_mysql_cdc_spark.functions.compat import (
     dec_avg,
     dec_sum,
+    grid_corr,
+    grid_stddev_samp,
+    grid_var_samp,
     hround,
     sql_dec_avg,
     sql_dec_sum,
+    sql_grid_corr,
+    sql_grid_stddev_samp,
+    sql_grid_var_samp,
     sql_round,
 )
 from mongodb_mysql_cdc_spark.registry import register
@@ -236,16 +242,22 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_stats",
     oracle=f"""
 SELECT event_type,
-       {sql_round('stddev_samp(value)', 4)} AS sd_value,
-       {sql_round('var_samp(value)', 4)}    AS var_value,
-       {sql_round('corr(value, CAST(user_id AS DOUBLE))', 4)} AS corr_vu,
+       {sql_round(sql_grid_stddev_samp('value'), 4)} AS sd_value,
+       {sql_round(sql_grid_var_samp('value'), 4)}    AS var_value,
+       {sql_round(sql_grid_corr('value', 'user_id'), 4)} AS corr_vu,
        {sql_round('quantile_cont(value, 0.5)', 4)} AS median_value
 FROM events
 GROUP BY event_type
 """,
 )
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Moment statistics are O(1)-state aggregates; the median is NOT —
+    """Moment statistics are O(1)-state aggregates, computed here from
+    EXACT grid cross-sums (functions/compat.grid_var_samp family):
+    built-in stddev/var/corr on doubles carry a merge-order ulp that a
+    fixed-decimal comparison contract turns into phantom mismatches as
+    the corpus grows (the class the round-8 sf1 AQE-off sweep caught) —
+    the grid forms accumulate exact decimal Σc/Σc²/Σcu and evaluate one
+    agreed IEEE formula on both engines. The median is NOT O(1) —
     Spark's exact ``percentile`` buffers every group member, and an
     event-type group grows with the corpus. It is computed instead via
     :mod:`operators.percentile`'s distinct-value histogram (state ∝
@@ -255,9 +267,9 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load(spark, sf_dir, "events")
     moments = ev.groupBy("event_type").agg(
-        hround(F.stddev_samp("value"), 4).alias("sd_value"),
-        hround(F.var_samp("value"), 4).alias("var_value"),
-        hround(F.corr("value", F.col("user_id").cast("double")), 4).alias("corr_vu"),
+        hround(grid_stddev_samp(F.col("value")), 4).alias("sd_value"),
+        hround(grid_var_samp(F.col("value")), 4).alias("var_value"),
+        hround(grid_corr(F.col("value"), F.col("user_id")), 4).alias("corr_vu"),
     )
     med = group_quantiles(ev, ["event_type"], "value", {"med": 0.5})
     return moments.join(F.broadcast(med), "event_type", "left").select(
@@ -648,7 +660,7 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_moments",
     oracle=f"""
 WITH mu AS (
-  SELECT event_type, avg(value) AS mean_v FROM events GROUP BY event_type
+  SELECT event_type, {sql_dec_avg('value')} AS mean_v FROM events GROUP BY event_type
 ),
 cm AS (
   SELECT e.event_type,
@@ -673,11 +685,15 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     kurtosis) computed from explicit two-pass moments rather than the
     built-in skewness()/kurtosis() — engines disagree on bias correction
     (sample vs population, g1 vs G1), so the formula is pinned once and
-    evaluated identically on both sides. Pass 1 is a 5-row mean table
+    evaluated identically on both sides; the pass-1 mean is the EXACT
+    grid average (bit-identical across engines and layouts), so the
+    centered powers see identical inputs — their own avg() keeps a
+    merge-order ulp, within the 6dp contract by ~6 orders of magnitude
+    at any plausible per-group size. Pass 1 is a 5-row mean table
     (broadcast back); pass 2 is one map-side-combined aggregate of three
     centered powers — two corpus scans, zero corpus-sized shuffles."""
     ev = load(spark, sf_dir, "events")
-    mu = ev.groupBy("event_type").agg(F.avg("value").alias("mean_v"))
+    mu = ev.groupBy("event_type").agg(dec_avg(F.col("value")).alias("mean_v"))
     dev = ev.join(F.broadcast(mu), "event_type").withColumn(
         "d", F.col("value") - F.col("mean_v")
     )

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mongodb_mysql_cdc_spark.catalog import load
-from mongodb_mysql_cdc_spark.functions.compat import DISC_REV_SQL, hround, sql_dec_sum, sql_round
+from mongodb_mysql_cdc_spark.functions.compat import dec_avg, DISC_REV_SQL, hround, sql_dec_sum, sql_round
 from mongodb_mysql_cdc_spark.registry import register
 
 # Synthetic hierarchy over customers: node n's parent is n DIV 2 (a binary
@@ -282,14 +282,26 @@ FROM pipe_lineitem
     )
 
 
+# Window-form exact grid average for the QUALIFY oracle — the same
+# value dec_avg computes aggregate-side: exact decimal cent sum via
+# string to a bit-identical double, /100, /count. The round-8 sf1
+# AQE-off sweep showed 6-dec-rounded double averages are a
+# scale-unstable comparison contract; with an EXACT average the
+# QUALIFY predicate compares raw doubles identically on both engines.
+_QUALIFY_DEC_AVG = (
+    "CAST(CAST(sum(CAST(floor(value * 100.0 + 0.5) AS DECIMAL(18,0)))"
+    " OVER (PARTITION BY event_type) AS STRING) AS DOUBLE) / 100.0"
+    " / CAST(count(value) OVER (PARTITION BY event_type) AS DOUBLE)"
+)
+
+
 @register(
     "sql_qualify",
     oracle=f"""
 SELECT event_type, event_id, value,
-       {sql_round('avg(value) OVER (PARTITION BY event_type)', 6)} AS type_avg
+       {_QUALIFY_DEC_AVG} AS type_avg
 FROM events
-QUALIFY {sql_round('value', 6)}
-      > {sql_round('avg(value) OVER (PARTITION BY event_type)', 6)}
+QUALIFY value > {_QUALIFY_DEC_AVG}
 """,
 )
 def sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -305,17 +317,21 @@ def sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate (5 rows) broadcast back onto the corpus, filter evaluated
     in the scan stage — fully parallel, zero WindowExec. The oracle
     keeps the QUALIFY spelling, proving the two forms equivalent. The
-    filter compares 6dp-ROUNDED values on both engines: summation order
-    inside avg() differs across engines, so a value within ulps of its
-    group average could otherwise pass the strict > on one engine and
-    fail on the other (the same hazard tfidf rounds away)."""
+    average is the EXACT grid accumulator (functions/compat.dec_avg;
+    the oracle spells the same value as a window over decimal cent
+    sums): the earlier 6dp-rounded double average was a scale-unstable
+    comparison contract — a merge-order ulp could flip the rounding and
+    with it a row's QUALIFY membership (the class the round-8 sf1
+    AQE-off sweep caught in ts_calendar_profile). With bit-identical
+    averages on both engines the strict > compares raw doubles
+    safely."""
     ev = load(spark, sf_dir, "events")
-    avgs = ev.groupBy("event_type").agg(F.avg("value").alias("_type_avg"))
+    avgs = ev.groupBy("event_type").agg(dec_avg(F.col("value")).alias("_type_avg"))
     return (
         ev.join(F.broadcast(avgs), "event_type")
-        .filter(hround(F.col("value"), 6) > hround(F.col("_type_avg"), 6))
+        .filter(F.col("value") > F.col("_type_avg"))
         .select(
             "event_type", "event_id", "value",
-            hround(F.col("_type_avg"), 6).alias("type_avg"),
+            F.col("_type_avg").alias("type_avg"),
         )
     )

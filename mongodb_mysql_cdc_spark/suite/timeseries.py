@@ -17,7 +17,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mongodb_mysql_cdc_spark.catalog import load
-from mongodb_mysql_cdc_spark.functions.compat import grid_sum, hround, sql_grid_sum, sql_round
+from mongodb_mysql_cdc_spark.functions.compat import (
+    dec_avg,
+    grid_stddev_samp,
+    grid_sum,
+    hround,
+    sql_dec_avg,
+    sql_grid_stddev_samp,
+    sql_grid_sum,
+    sql_round,
+)
 from mongodb_mysql_cdc_spark.registry import register
 
 
@@ -26,7 +35,7 @@ from mongodb_mysql_cdc_spark.registry import register
     oracle=f"""
 WITH hourly AS (
   SELECT user_id, date_trunc('hour', ts) AS bucket,
-         avg(value) AS avg_value, count(*) AS n_events
+         {sql_dec_avg('value')} AS avg_value, count(*) AS n_events
   FROM events GROUP BY 1, 2
 ),
 span AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM hourly GROUP BY 1),
@@ -54,7 +63,7 @@ def ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     hourly = (
         ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
-        .agg(F.avg("value").alias("avg_value"), F.count("*").alias("n_events"))
+        .agg(dec_avg(F.col("value")).alias("avg_value"), F.count("*").alias("n_events"))
     )
     grid = (
         hourly.groupBy("user_id")
@@ -141,7 +150,8 @@ def ts_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anomaly_zscore",
     oracle=f"""
 WITH stats AS (
-  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+  SELECT event_type, {sql_dec_avg('value')} AS mu,
+         {sql_grid_stddev_samp('value')} AS sigma
   FROM events GROUP BY 1
 )
 SELECT event_id, e.event_type, value,
@@ -159,7 +169,8 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate-then-broadcast-back shape as the curation quality gates."""
     ev = load(spark, sf_dir, "events")
     stats = ev.groupBy("event_type").agg(
-        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+        dec_avg(F.col("value")).alias("mu"),
+        grid_stddev_samp(F.col("value")).alias("sigma"),
     )
     z = (F.col("value") - F.col("mu")) / F.col("sigma")
     return (
@@ -174,7 +185,7 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH hourly AS (
   SELECT user_id, date_trunc('hour', ts) AS bucket,
-         avg(value) AS avg_value
+         {sql_dec_avg('value')} AS avg_value
   FROM events GROUP BY 1, 2
 ),
 span AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi FROM hourly GROUP BY 1),
@@ -216,7 +227,7 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     hourly = (
         ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
-        .agg(F.avg("value").alias("avg_value"))
+        .agg(dec_avg(F.col("value")).alias("avg_value"))
     )
     grid = (
         hourly.groupBy("user_id")
@@ -385,7 +396,7 @@ WITH grid AS (
          dayofweek(ts) + 1 AS dow,
          hour(ts)          AS hod,
          count(*)          AS n,
-         avg(value)        AS avg_v
+         {sql_dec_avg('value')} AS avg_v
   FROM events
   GROUP BY ALL
 )
@@ -407,7 +418,7 @@ def ts_calendar_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.dayofweek("ts").cast("long").alias("dow"),
         F.hour("ts").cast("long").alias("hod"),
-    ).agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("avg_v"))
+    ).agg(F.count(F.lit(1)).alias("n"), dec_avg(F.col("value")).alias("avg_v"))
     w = Window.partitionBy("event_type").orderBy(
         F.col("n").desc(), F.col("dow"), F.col("hod")
     )
@@ -621,9 +632,9 @@ WITH base AS (
          dayofweek(ts) + 1   AS dow
   FROM events
 ),
-hod_m AS (SELECT hod, avg(value) AS m_hod FROM base GROUP BY hod),
-dow_m AS (SELECT dow, avg(value) AS m_dow FROM base GROUP BY dow),
-grand AS (SELECT avg(value) AS m_all FROM base)
+hod_m AS (SELECT hod, {sql_dec_avg('value')} AS m_hod FROM base GROUP BY hod),
+dow_m AS (SELECT dow, {sql_dec_avg('value')} AS m_dow FROM base GROUP BY dow),
+grand AS (SELECT {sql_dec_avg('value')} AS m_all FROM base)
 SELECT b.event_id, b.hod, b.dow,
        {sql_round('b.value - h.m_hod - d.m_dow + g.m_all', 6)} AS residual
 FROM base b
@@ -647,9 +658,9 @@ def ts_seasonal_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").alias("hod"),
         F.dayofweek("ts").alias("dow"),
     )
-    hod_m = base.groupBy("hod").agg(F.avg("value").alias("m_hod"))
-    dow_m = base.groupBy("dow").agg(F.avg("value").alias("m_dow"))
-    grand = base.agg(F.avg("value").alias("m_all"))
+    hod_m = base.groupBy("hod").agg(dec_avg(F.col("value")).alias("m_hod"))
+    dow_m = base.groupBy("dow").agg(dec_avg(F.col("value")).alias("m_dow"))
+    grand = base.agg(dec_avg(F.col("value")).alias("m_all"))
     return (
         base.join(F.broadcast(hod_m), "hod")
         .join(F.broadcast(dow_m), "dow")

@@ -525,3 +525,71 @@ def test_grid_sum_matches_oracle_spelling_bit_for_bit(spark):
 
     exact = float(sum(Decimal(str(v)) for v in sub))
     assert got[0][0] == exact
+
+
+def test_grid_moments_match_oracle_spelling_bit_for_bit(spark):
+    """grid_var_samp / grid_stddev_samp / grid_corr (functions/compat.py
+    grid second moments): exact decimal cross-sums, one agreed IEEE
+    formula on both engines. Differential-pinned against the DuckDB
+    spellings on adversarial 2-grid values — no tolerance."""
+    import duckdb
+    import pandas as pd
+
+    from mongodb_mysql_cdc_spark.functions.compat import (
+        grid_corr,
+        grid_stddev_samp,
+        grid_var_samp,
+        sql_grid_corr,
+        sql_grid_stddev_samp,
+        sql_grid_var_samp,
+    )
+
+    vals = [round((i * 6007) % 49003 / 100.0, 2) for i in range(30_000)] + [
+        2.675,
+        0.005,
+        490.02,
+        0.01,
+    ]
+    rows = [(i % 5, v, (i * 13) % 151) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g int, v double, u long")
+    got = {
+        r["g"]: (r["sd"], r["var"], r["c"])
+        for r in df.groupBy("g")
+        .agg(
+            grid_stddev_samp(F.col("v")).alias("sd"),
+            grid_var_samp(F.col("v")).alias("var"),
+            grid_corr(F.col("v"), F.col("u")).alias("c"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["g", "v", "u"]))
+    want = {
+        g: (sd, var, c)
+        for g, sd, var, c in con.sql(
+            f"SELECT g, {sql_grid_stddev_samp('v')}, {sql_grid_var_samp('v')}, "
+            f"{sql_grid_corr('v', 'u')} FROM t GROUP BY g"
+        ).fetchall()
+    }
+    assert got == want  # bit-identical, no tolerance
+    # sanity: within float tolerance of the reference statistics of the
+    # GRID-SNAPPED values (the adversarial list includes off-grid
+    # half-cent values like 2.675 precisely to pin that both engines
+    # snap them identically; the contract is defined on the snapped grid)
+    import math
+    import statistics
+
+    sub_v = [
+        math.floor(v * 100.0 + 0.5) / 100.0
+        for i, v in enumerate(vals)
+        if i % 5 == 0
+    ]
+    sub_u = [(i * 13) % 151 for i in range(len(vals)) if i % 5 == 0]
+    assert abs(got[0][1] - statistics.variance(sub_v)) < 1e-6
+    mu_v = sum(sub_v) / len(sub_v)
+    mu_u = sum(sub_u) / len(sub_u)
+    cov = sum((a - mu_v) * (b - mu_u) for a, b in zip(sub_v, sub_u))
+    den = (
+        sum((a - mu_v) ** 2 for a in sub_v) * sum((b - mu_u) ** 2 for b in sub_u)
+    ) ** 0.5
+    assert abs(got[0][2] - cov / den) < 1e-9
