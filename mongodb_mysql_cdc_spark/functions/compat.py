@@ -146,6 +146,21 @@ def sql_dec_avg(expr: str, prec: int = 18, scale: int = 2) -> str:
     return f"({sql_grid_sum(expr, scale)}) / CAST(count({expr}) AS DOUBLE)"
 
 
+def sql_dec_avg_over(expr: str, partition: str, scale: int = 2) -> str:
+    """Window-form ``sql_dec_avg``: the identical exact grid average as a
+    window aggregate (``OVER (PARTITION BY …)``). Lives here, next to the
+    aggregate spelling, so the two move in lockstep — a hand-copied window
+    literal at a call site would silently drift (and break the bit-identity
+    QUALIFY membership depends on) if the grid spelling ever changed."""
+    s = float(10**scale)
+    win = f"OVER (PARTITION BY {partition})"
+    inner = f"sum(CAST(floor(({expr}) * {s} + 0.5) AS DECIMAL(18,0))) {win}"
+    return (
+        f"{sql_dec_to_double(inner)} / {s}"
+        f" / CAST(count({expr}) {win} AS DOUBLE)"
+    )
+
+
 # --- grid second moments: exact-input stddev / variance / correlation ------
 #
 # The sf1 × AQE-off invariance cell (round 8, second catch of the class)
@@ -186,13 +201,23 @@ def _sql_dsum(expr: str) -> str:
 
 def grid_var_samp(expr: Column, k: int = 2) -> Column:
     """Sample variance of a 10^-k-grid double from exact integer sums:
-    ((Σc² − (Σc)²/n) / (n−1)) / 10^2k — bit-identical cross-engine."""
+    ((Σc² − (Σc)²/n) / (n−1)) / 10^2k — bit-identical cross-engine.
+
+    The Σc² − (Σc)²/n form is cancellation-prone: a near-constant group
+    (50M rows of 490.02 plus one 490.03) can produce a tiny NEGATIVE
+    variance, which grid_stddev_samp would feed to sqrt — NaN in Spark
+    but an OutOfRangeException (oracle crash) in DuckDB. Both spellings
+    clamp with the same greatest(·, 0.0) — one identical extra IEEE op
+    on identical inputs, so bit-identity is preserved."""
     c = _grid_long(expr, k)
     n = F.count(F.lit(1)).cast("double")
     s1, s2 = _dsum(c), _dsum(c * c)
     return F.when(
         F.count(F.lit(1)) > 1,
-        (s2 - s1 * s1 / n) / (n - F.lit(1.0)) / F.lit(float(10 ** (2 * k))),
+        F.greatest(
+            (s2 - s1 * s1 / n) / (n - F.lit(1.0)) / F.lit(float(10 ** (2 * k))),
+            F.lit(0.0),
+        ),
     )
 
 
@@ -201,8 +226,9 @@ def sql_grid_var_samp(expr: str, k: int = 2) -> str:
     s1, s2 = _sql_dsum(c), _sql_dsum(f"({c}) * ({c})")
     n = "CAST(count(*) AS DOUBLE)"
     return (
-        f"CASE WHEN count(*) > 1 THEN "
-        f"(({s2}) - ({s1}) * ({s1}) / ({n})) / (({n}) - 1.0) / {float(10 ** (2 * k))} END"
+        f"CASE WHEN count(*) > 1 THEN greatest("
+        f"(({s2}) - ({s1}) * ({s1}) / ({n})) / (({n}) - 1.0) / {float(10 ** (2 * k))}"
+        f", 0.0) END"
     )
 
 
@@ -217,35 +243,47 @@ def sql_grid_stddev_samp(expr: str, k: int = 2) -> str:
 
 
 def grid_corr(expr: Column, other: Column, k: int = 2) -> Column:
-    """Pearson correlation of a 10^-k-grid double against an INTEGER
+    """Pearson correlation of a 10^-k-grid double against a NUMERIC
     column, from exact cross-sums. Correlation is scale-invariant, so it
-    is computed directly on the cents — no rescaling divisions at all."""
+    is computed directly on the cents — no rescaling divisions at all.
+
+    ``other`` goes through the same half-up grid recovery at k=0
+    (exact for integral input, the only current call-site shape): a bare
+    Spark cast("long") TRUNCATES toward zero while DuckDB CAST(.. AS
+    BIGINT) ROUNDS to nearest — a latent silent cross-engine mismatch if
+    the helper were ever reused on a non-integral double. Both sqrt
+    arguments are clamped to ≥ 0 (same cancellation hazard as
+    grid_var_samp) and zero denominators return NULL on both engines —
+    the clamp and the > 0 guard are identical IEEE ops on bit-identical
+    inputs, so membership flips identically."""
     c = _grid_long(expr, k)
-    u = other.cast("long")
+    u = _grid_long(other, 0)
     n = F.count(F.lit(1)).cast("double")
     sv, su = _dsum(c), _dsum(u)
     svv, suu, svu = _dsum(c * c), _dsum(u * u), _dsum(c * u)
+    dv = F.greatest(svv - sv * sv / n, F.lit(0.0))
+    du = F.greatest(suu - su * su / n, F.lit(0.0))
     return F.when(
-        F.count(F.lit(1)) > 1,
-        (svu - sv * su / n)
-        / F.sqrt(svv - sv * sv / n)
-        / F.sqrt(suu - su * su / n),
+        (F.count(F.lit(1)) > 1) & (dv > 0) & (du > 0),
+        (svu - sv * su / n) / F.sqrt(dv) / F.sqrt(du),
     )
 
 
 def sql_grid_corr(expr: str, other: str, k: int = 2) -> str:
     c = _sql_grid_long(expr, k)
-    u = f"CAST(({other}) AS BIGINT)"
+    u = _sql_grid_long(other, 0)
     n = "CAST(count(*) AS DOUBLE)"
     sv, su = _sql_dsum(c), _sql_dsum(u)
     svv = _sql_dsum(f"({c}) * ({c})")
     suu = _sql_dsum(f"({u}) * ({u})")
     svu = _sql_dsum(f"({c}) * ({u})")
+    dv = f"greatest(({svv}) - ({sv}) * ({sv}) / ({n}), 0.0)"
+    du = f"greatest(({suu}) - ({su}) * ({su}) / ({n}), 0.0)"
     return (
-        f"CASE WHEN count(*) > 1 THEN "
+        f"CASE WHEN count(*) > 1 AND ({dv}) > 0 AND ({du}) > 0 THEN "
         f"(({svu}) - ({sv}) * ({su}) / ({n}))"
-        f" / sqrt(({svv}) - ({sv}) * ({sv}) / ({n}))"
-        f" / sqrt(({suu}) - ({su}) * ({su}) / ({n})) END"
+        f" / sqrt({dv})"
+        f" / sqrt({du}) END"
     )
 
 

@@ -45,73 +45,51 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 
 
 # The driver verifies the FIRST 50 names in queries() order per round
-# (CORRECTNESS_r01.json = registry positions 1-50 exactly).  Round 8
-# registered one new query (corpus_prepare_e2e_production — the
-# round-7 verdict's A/B item; registry 276 → 277) and reworked the
-# ranking machinery (one-job bounded boundary sample, 1024-bucket cap,
-# constant-depth bucket expression, null-safe join-backs), so the
-# window re-verifies every machinery consumer first:
-#   - `--stale` flags: win_rank_dense / agg_weighted_median /
-#     analytics_rfm (localCheckpoint of float-aggregate machinery
-#     inputs, round-7 ADVICE), corpus_prepare_e2e (stage-1-3 refactor
-#     into the shared helper);
-#   - corpus_prepare_e2e_production: NEW — first driver evidence;
-#   - operator-level machinery changes invisible to --stale: win_pct,
-#     ml_quantile_normalize, quality_buckets, pack_sequences,
-#     dataset_curriculum (ranking.py rework), join_salted (nested-map
-#     salt filter + salt_cols dedupe);
-#   - the 14 headline bench queries (fresh evidence under BENCH_r08's
-#     numbers), then a §2 core spread rotated to rows whose last
-#     evidence predates r07 where possible.
-# Cheap relational/scalar families first, expensive LLM/CDC queries
-# LAST so a time-capped driver run can't starve the cheap ones (the
-# ordering trick from r2-r7).
+# (CORRECTNESS_r01.json = registry positions 1-50 exactly).  Round 9
+# rotation (verdict item 1): nothing was code-stale after the r08
+# artifacts landed (`coverage_report.py --stale` → 0), so the window
+# holds the 3 queries whose ORACLE SPELLING changed this round plus the
+# 47 oldest-evidence rows — all 20 remaining r01-evidence queries and
+# the 27 lowest-position r02-evidence queries, whose last driver runs
+# predate the exact-decimal compat layer, the session levers, and the
+# ranking machinery.  Evicted: the r08 re-verify set (all green in
+# CORRECTNESS_r08, code unchanged since).  Cheap relational/scalar
+# families first, expensive streaming/LLM queries LAST so a time-capped
+# driver run can't starve the cheap ones (the ordering trick from
+# r2-r8).
 _DRIVER_WINDOW = [
-    # round-8 machinery re-verifies — the point of the round, so first
-    "win_pct", "win_rank_dense", "ml_quantile_normalize", "quality_buckets",
-    "agg_weighted_median", "pack_sequences", "dataset_curriculum",
-    "analytics_rfm", "join_salted",
-    "corpus_prepare_e2e", "corpus_prepare_e2e_production",
-    # headline bench queries — BENCH_r08's numbers under fresh evidence
-    "pricing_summary", "join_inner_hash", "join_broadcast", "join_asof",
-    "topk_per_group", "win_running", "agg_rollup", "cdc_apply_batch",
-    "dedup_minhash_lsh", "sim_search_topk", "sim_search_lsh", "tfidf",
-    # re-spelled mid-r8: scale-stable comparison contracts. The sf1
-    # strict sweep caught agg_product (rounding contract tightening with
-    # corpus size) and analytics_pareto (double-sum merge-order ulp on a
-    # round-half boundary); the systematic audit then re-spelled every
-    # corpus-group sum/avg of a money-grid double onto exact decimal
-    # accumulators with via-string double casts (the sf10x re-validation
-    # caught DuckDB's decimal→double cast double-rounding above 2^53 on
-    # pricing_summary's charge sum — functions/compat.py). All fresh
-    # evidence REQUIRED; the evicted §2 pads (scan_parquet, filters,
-    # set-ops…) are unchanged code with green r≤07 evidence.
-    "agg_product", "agg_incremental_merge", "analytics_pareto",
-    "agg_hash", "agg_global", "agg_grouping_sets", "agg_count_if",
-    "analytics_shipping_priority", "analytics_local_supplier_volume",
-    "ts_twap", "cdc_warehouse_report", "sql_parameterized",
-    "sql_pipe_syntax", "scan_observe_metrics", "join_sort_merge",
-    "agg_having", "win_range_frame",
-    # re-spelled LATE r8: the sf1 × AQE-off invariance sweep caught
-    # ts_calendar_profile's 6dp-rounded corpus-group avg(value) flipping
-    # a round-half boundary under a different merge order — the same
-    # scale-unstable contract class as the money sums, in the stats
-    # family. All eight corpus-group avg/stddev/var/corr sites over the
-    # 2-grid `value` column re-spelled onto exact grid accumulators
-    # (compat.dec_avg / grid_stddev_samp / grid_var_samp / grid_corr);
-    # fresh driver evidence REQUIRED. Evicted for these slots (unchanged
-    # code, green r<=07 evidence): agg_collect, agg_cube, win_lag_lead,
-    # win_first_last, join_self, text_tokenize, dedup_exact, text_stats.
-    "ts_calendar_profile", "ts_seasonal_residual", "ts_gapfill",
-    "ts_interpolate_linear", "anomaly_zscore", "sql_qualify",
-    "agg_moments", "agg_stats",
-    # LLM-pipeline + CDC spread LAST — most expensive per query
-    # (dedup_clusters/survivors: round-8 star-edge re-spell re-verify).
-    # Exactly 50 names — the driver verifies queries()[:50] and the
-    # window tests pin that count; dedup_simhash / cdc_apply_stream /
-    # decontaminate were evicted by the exact-decimal re-spells
-    # (unchanged code, green r<=07 evidence).
-    "dedup_clusters", "dedup_survivors",
+    # round-9 re-spells — ADVICE fixes changed these oracle strings
+    # (grid_var/stddev clamp → agg_stats, anomaly_zscore; grid_corr
+    # half-up `other` recovery → agg_stats; sql_dec_avg_over derivation
+    # → sql_qualify). Values identical on fixture data (clamp only
+    # engages on near-constant groups; user_id is integral; the window
+    # string is semantically the same) but fresh evidence REQUIRED for
+    # any changed spelling.
+    "agg_stats", "anomaly_zscore", "sql_qualify",
+    # oldest evidence: r01 relational/scalar core (last seen by the
+    # driver in round 1 under since-evolved session defaults)
+    "scan_parquet", "null_handling", "limit",
+    "join_left", "join_right", "join_full", "join_theta", "join_self",
+    "join_cross", "win_lag_lead", "win_first_last",
+    "union_all", "union_distinct", "intersect", "except_distinct",
+    "except_all", "fn_string", "fn_datetime", "agg_collect",
+    "agg_cube",
+    # oldest evidence: r02 scalar families + batch CDC/io
+    "fn_math", "fn_conditional", "fn_array", "fn_explode",
+    "fn_struct_map", "fn_json", "fn_hash", "filter_op_type",
+    "read_json", "read_csv", "sink_append", "snapshot_load",
+    "sink_upsert", "dedup_state",
+    # oldest evidence: r02 LLM spread (mid-cost)
+    "dedup_simhash", "dedup_embedding_cosine", "text_tokenize",
+    "text_quality", "multimodal_meta", "multimodal_frames", "udf_surface",
+    # oldest evidence: r02 streaming LAST — each spins a micro-batch
+    # query (most expensive per name). Exactly 50 names — the driver
+    # verifies queries()[:50] and the window tests pin that count;
+    # agg_approx_distinct (rows-only — a window slot only earns the
+    # weak rows>0 record) / multimodal_decode / win_tumbling wait for
+    # the r10 rotation.
+    "cdc_apply_stream", "cdc_apply_stateful", "stream_source",
+    "stream_dedup", "stream_tumbling", "output_mode_update",
 ]
 
 

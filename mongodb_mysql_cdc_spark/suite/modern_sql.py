@@ -12,7 +12,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mongodb_mysql_cdc_spark.catalog import load
-from mongodb_mysql_cdc_spark.functions.compat import dec_avg, DISC_REV_SQL, hround, sql_dec_sum, sql_round
+from mongodb_mysql_cdc_spark.functions.compat import (
+    dec_avg,
+    DISC_REV_SQL,
+    hround,
+    sql_dec_avg_over,
+    sql_dec_sum,
+    sql_round,
+)
 from mongodb_mysql_cdc_spark.registry import register
 
 # Synthetic hierarchy over customers: node n's parent is n DIV 2 (a binary
@@ -284,15 +291,13 @@ FROM pipe_lineitem
 
 # Window-form exact grid average for the QUALIFY oracle — the same
 # value dec_avg computes aggregate-side: exact decimal cent sum via
-# string to a bit-identical double, /100, /count. The round-8 sf1
+# string to a bit-identical double, /scale, /count. The round-8 sf1
 # AQE-off sweep showed 6-dec-rounded double averages are a
 # scale-unstable comparison contract; with an EXACT average the
 # QUALIFY predicate compares raw doubles identically on both engines.
-_QUALIFY_DEC_AVG = (
-    "CAST(CAST(sum(CAST(floor(value * 100.0 + 0.5) AS DECIMAL(18,0)))"
-    " OVER (PARTITION BY event_type) AS STRING) AS DOUBLE) / 100.0"
-    " / CAST(count(value) OVER (PARTITION BY event_type) AS DOUBLE)"
-)
+# Derived from compat.sql_dec_avg_over so the aggregate and window
+# spellings of the exact average move in lockstep.
+_QUALIFY_DEC_AVG = sql_dec_avg_over("value", "event_type")
 
 
 @register(

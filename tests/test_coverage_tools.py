@@ -96,3 +96,24 @@ def test_stale_warns_on_unresolvable_round_marker(capsys):
     out = cr.stale_queries({"tfidf": "99"})
     assert out == []
     assert "no 'round 99:' marker" in capsys.readouterr().err
+
+
+def test_subsets_are_registered_and_headline_synced():
+    """tools/subsets.py mechanizes the sweep subsets (round 9). A typo'd
+    name would silently shrink a sweep's coverage — every subset member
+    must be a registered query, and the HEADLINE list must stay in
+    lockstep with bench.py's (the bench and the sweeps must measure the
+    same queries)."""
+    import subsets
+
+    from mongodb_mysql_cdc_spark import registry
+
+    qs = registry.queries()
+    for label, names in subsets.SUBSETS.items():
+        missing = [n for n in names if n not in qs]
+        assert not missing, f"subset {label}: unregistered {missing}"
+        assert len(names) == len(set(names)), f"subset {label}: duplicates"
+
+    bench_ns = {"__file__": str(ROOT / "bench.py")}
+    exec((ROOT / "bench.py").read_text().split("def main")[0], bench_ns)
+    assert subsets.HEADLINE == bench_ns["HEADLINE"]

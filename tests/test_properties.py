@@ -593,3 +593,114 @@ def test_grid_moments_match_oracle_spelling_bit_for_bit(spark):
         sum((a - mu_v) ** 2 for a in sub_v) * sum((b - mu_u) ** 2 for b in sub_u)
     ) ** 0.5
     assert abs(got[0][2] - cov / den) < 1e-9
+
+
+def test_grid_var_clamp_near_constant_group(spark):
+    """The Σc² − (Σc)²/n spelling is cancellation-prone: on a CONSTANT
+    group of 2685 × 999.91 the raw formula yields −1.455e-10 (the
+    (Σc)² product rounds above 2^53). Unclamped, grid_stddev_samp feeds
+    that to sqrt — NaN in Spark but an OutOfRangeException (oracle
+    CRASH) in DuckDB. Round-9 ADVICE fix: both spellings clamp with the
+    same greatest(·, 0.0). Pin: var and sd come back exactly 0.0 on
+    BOTH engines, no crash, still bit-identical."""
+    import duckdb
+    import pandas as pd
+
+    from mongodb_mysql_cdc_spark.functions.compat import (
+        grid_stddev_samp,
+        grid_var_samp,
+        sql_grid_stddev_samp,
+        sql_grid_var_samp,
+    )
+
+    # sanity-pin the repro: the raw (unclamped) IEEE formula IS negative
+    n, c = 2685, 99991
+    s1, s2 = float(c * n), float(c * c * n)
+    raw = (s2 - s1 * s1 / float(n)) / (n - 1.0) / 10000.0
+    assert raw < 0
+
+    rows = [(i % 2, 999.91) for i in range(2 * n)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    got = {
+        r["g"]: (r["var"], r["sd"])
+        for r in df.groupBy("g")
+        .agg(
+            grid_var_samp(F.col("v")).alias("var"),
+            grid_stddev_samp(F.col("v")).alias("sd"),
+        )
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["g", "v"]))
+    want = {
+        g: (var, sd)
+        for g, var, sd in con.sql(
+            f"SELECT g, {sql_grid_var_samp('v')}, {sql_grid_stddev_samp('v')} "
+            "FROM t GROUP BY g"
+        ).fetchall()
+    }
+    assert got == want == {0: (0.0, 0.0), 1: (0.0, 0.0)}
+
+
+def test_grid_corr_non_integral_other_parity(spark):
+    """grid_corr's ``other`` column goes through the same half-up grid
+    recovery on both engines (round-9 ADVICE): a bare Spark
+    cast("long") TRUNCATES toward zero (2.7→2) while DuckDB CAST(.. AS
+    BIGINT) ROUNDS to nearest (2.7→3) — a silent cross-engine mismatch
+    on any non-integral reuse. Pin bit-identity on fractional ``u``."""
+    import duckdb
+    import pandas as pd
+
+    from mongodb_mysql_cdc_spark.functions.compat import grid_corr, sql_grid_corr
+
+    rows = [
+        (0, round((i * 37) % 997 / 100.0, 2), (i * 29) % 83 + 0.7)
+        for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "g int, v double, u double")
+    got = (
+        df.groupBy("g")
+        .agg(grid_corr(F.col("v"), F.col("u")).alias("c"))
+        .collect()[0]["c"]
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["g", "v", "u"]))
+    want = con.sql(
+        f"SELECT {sql_grid_corr('v', 'u')} FROM t GROUP BY g"
+    ).fetchall()[0][0]
+    assert got == want  # bit-identical, no tolerance
+    assert got is not None and abs(got) <= 1.0
+
+
+def test_sql_dec_avg_over_matches_aggregate_spelling(spark):
+    """sql_dec_avg_over (the window-form exact grid average behind
+    sql_qualify's QUALIFY oracle) must compute the identical value as
+    the aggregate-form dec_avg/sql_dec_avg — the two spellings now
+    derive from one compat.py builder (round-9 ADVICE) so they cannot
+    drift. Differential-pin window-vs-aggregate on both engines."""
+    import duckdb
+    import pandas as pd
+
+    from mongodb_mysql_cdc_spark.functions.compat import (
+        dec_avg,
+        sql_dec_avg,
+        sql_dec_avg_over,
+    )
+
+    rows = [(i % 3, round((i * 6007) % 49003 / 100.0, 2)) for i in range(9001)]
+    df = spark.createDataFrame(rows, "g int, v double")
+    got = {
+        r["g"]: r["a"]
+        for r in df.groupBy("g").agg(dec_avg(F.col("v")).alias("a")).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["g", "v"]))
+    agg = dict(
+        con.sql(f"SELECT g, {sql_dec_avg('v')} FROM t GROUP BY g").fetchall()
+    )
+    win = dict(
+        con.sql(
+            f"SELECT DISTINCT g, {sql_dec_avg_over('v', 'g')} FROM t"
+        ).fetchall()
+    )
+    assert got == agg == win

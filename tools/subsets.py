@@ -1,0 +1,110 @@
+"""Named query subsets for targeted sweeps — mechanized in round 9.
+
+Rounds 7/8 assembled "the 35 layout-sensitive queries" ad hoc per sweep
+command; this module pins the membership so every sweep (scale,
+execution-config, data-shape) runs the SAME reproducible subset and the
+evidence tables in BASELINE.md are regenerable.
+
+Usage:
+    python tools/check_strict.py --sf /tmp/sfskew $(python tools/subsets.py skew)
+    bash tools/invariance_sweep.sh --sf /tmp/sf10x $(python tools/subsets.py layout)
+"""
+
+from __future__ import annotations
+
+import sys
+
+# Distributed-machinery consumers (operators/ranking.py bounded boundary
+# sample + bucket expressions): the round-7/8 rework surface.
+MACHINERY = [
+    "win_pct", "win_rank_dense", "ml_quantile_normalize", "quality_buckets",
+    "agg_weighted_median", "pack_sequences", "dataset_curriculum",
+    "analytics_rfm", "join_salted",
+    "corpus_prepare_e2e", "corpus_prepare_e2e_production",
+]
+
+# The headline bench queries (bench.py HEADLINE — kept in sync by
+# tests/test_coverage_tools.py's subset test).
+HEADLINE = [
+    "pricing_summary", "join_inner_hash", "join_broadcast", "join_asof",
+    "topk_per_group", "win_running", "agg_rollup", "cdc_apply_batch",
+    "dedup_exact", "dedup_minhash_lsh", "sim_search_topk", "sim_search_lsh",
+    "tfidf", "text_stats",
+]
+
+# Exact-decimal / grid-accumulator re-spells (round 8 catch #1): every
+# corpus-group money sum now on decimal(18,0) grid accumulators.
+EXACT_DECIMAL = [
+    "agg_product", "agg_incremental_merge", "analytics_pareto",
+    "agg_hash", "agg_global", "agg_grouping_sets", "agg_count_if",
+    "analytics_shipping_priority", "analytics_local_supplier_volume",
+    "ts_twap", "cdc_warehouse_report", "sql_parameterized",
+    "sql_pipe_syntax", "scan_observe_metrics", "join_sort_merge",
+    "agg_having", "win_range_frame",
+]
+
+# Grid second-moment re-spells (round 8 catch #2): corpus-group
+# stddev/var/corr sites on exact decimal cross-sums.
+GRID_STATS = [
+    "ts_calendar_profile", "ts_seasonal_residual", "ts_gapfill",
+    "ts_interpolate_linear", "anomaly_zscore", "sql_qualify",
+    "agg_moments", "agg_stats",
+]
+
+# Iterative connectivity consumers (star-edge re-spell, round 8).
+CONNECTIVITY = ["dedup_clusters", "dedup_survivors"]
+
+# Every registered join strategy — the family AQE skew-split /
+# salted_equi_join / broadcast thresholds exist for; the skew fixture's
+# primary audience.
+JOIN_FAMILY = [
+    "join_left", "join_right", "join_full", "join_theta", "join_self",
+    "join_cross", "join_inner_hash", "join_broadcast", "join_sort_merge",
+    "join_semi", "join_anti", "join_range", "join_asof", "join_null_safe",
+    "join_interval_overlap", "join_asof_forward", "join_asof_nearest",
+    "join_temporal_scd2", "join_salted", "join_bucketed",
+    "join_partition_pruned_dynamic", "join_lateral",
+]
+
+
+def _dedup(*lists: list[str]) -> list[str]:
+    seen: set[str] = set()
+    out: list[str] = []
+    for lst in lists:
+        for n in lst:
+            if n not in seen:
+                seen.add(n)
+                out.append(n)
+    return out
+
+
+# The r8 "layout-sensitive" sweep set, mechanized (machinery + headline +
+# both re-spell families + connectivity — supersedes the ad-hoc 35).
+LAYOUT_SENSITIVE = _dedup(MACHINERY, HEADLINE, EXACT_DECIMAL, GRID_STATS, CONNECTIVITY)
+
+# Data-shape sweep set (round 9): layout-sensitive ∪ the full join family —
+# skew stresses shuffles AND join strategies.
+SKEW_SWEEP = _dedup(LAYOUT_SENSITIVE, JOIN_FAMILY)
+
+SUBSETS = {
+    "machinery": MACHINERY,
+    "headline": HEADLINE,
+    "exact_decimal": EXACT_DECIMAL,
+    "grid_stats": GRID_STATS,
+    "connectivity": CONNECTIVITY,
+    "joins": JOIN_FAMILY,
+    "layout": LAYOUT_SENSITIVE,
+    "skew": SKEW_SWEEP,
+}
+
+
+def main() -> int:
+    if len(sys.argv) != 2 or sys.argv[1] not in SUBSETS:
+        print(f"usage: subsets.py {{{'|'.join(SUBSETS)}}}", file=sys.stderr)
+        return 2
+    print(" ".join(SUBSETS[sys.argv[1]]))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
