@@ -66,6 +66,25 @@ _DRIVER_WINDOW = [
     # string is semantically the same) but fresh evidence REQUIRED for
     # any changed spelling.
     "agg_stats", "anomaly_zscore", "sql_qualify",
+    # round-9 NULL-fixture catches (tools/make_skew.py + the sweep):
+    # cross-engine NULL-shape divergences fixed and re-spelled —
+    # null-rejecting ASOF equality vs Spark's null-grouping window
+    # (join_asof, join_asof_forward: _pv isNotNull gate), NULLS FIRST
+    # pinned in the ranking oracles (win_pct, ml_quantile_normalize),
+    # null-price exclusion on both engines (agg_weighted_median).
+    # Fresh evidence REQUIRED.
+    "join_asof", "join_asof_forward", "win_pct",
+    "ml_quantile_normalize", "agg_weighted_median",
+    # round-9 NULL-fixture catches, FULL-registry sweep wave: all-null
+    # frame guards (win_rolling_median crash, ts_ewma list_filter),
+    # null-safe flag join-back (win_ratio_to_report), null-safe ghost
+    # filter (stream_session), null-safe Scd2 sink joins
+    # (cdc_scd2_stream), pairwise NULL exclusion in the regression
+    # kernel (udf_grouped_agg), null-propagating channel + cutoff-based
+    # is_evolved (cdc_schema_evolution). agg_collect (all-null-group
+    # flags contract) sits in the r01 block below — already windowed.
+    "win_rolling_median", "win_ratio_to_report", "cdc_scd2_stream",
+    "udf_grouped_agg", "stream_session", "cdc_schema_evolution", "ts_ewma",
     # oldest evidence: r01 relational/scalar core (last seen by the
     # driver in round 1 under since-evolved session defaults)
     "scan_parquet", "null_handling", "limit",
@@ -79,17 +98,17 @@ _DRIVER_WINDOW = [
     "fn_struct_map", "fn_json", "fn_hash", "filter_op_type",
     "read_json", "read_csv", "sink_append", "snapshot_load",
     "sink_upsert", "dedup_state",
-    # oldest evidence: r02 LLM spread (mid-cost)
-    "dedup_simhash", "dedup_embedding_cosine", "text_tokenize",
-    "text_quality", "multimodal_meta", "multimodal_frames", "udf_surface",
-    # oldest evidence: r02 streaming LAST — each spins a micro-batch
-    # query (most expensive per name). Exactly 50 names — the driver
-    # verifies queries()[:50] and the window tests pin that count;
-    # agg_approx_distinct (rows-only — a window slot only earns the
-    # weak rows>0 record) / multimodal_decode / win_tumbling wait for
-    # the r10 rotation.
-    "cdc_apply_stream", "cdc_apply_stateful", "stream_source",
-    "stream_dedup", "stream_tumbling", "output_mode_update",
+    # oldest evidence: r02 streaming — cdc_apply_stream is the oldest
+    # streaming representative still unevicted. Exactly 50 names — the
+    # driver verifies queries()[:50] and the window tests pin that
+    # count. Evicted for the NULL-fixture re-spell waves (unchanged
+    # code, green r02 evidence): dedup_simhash, dedup_embedding_cosine,
+    # multimodal_frames, multimodal_meta, text_tokenize, text_quality,
+    # udf_surface, stream_dedup, stream_tumbling, stream_source,
+    # output_mode_update, cdc_apply_stateful — they join
+    # agg_approx_distinct / multimodal_decode / win_tumbling in the
+    # r10 rotation queue.
+    "cdc_apply_stream",
 ]
 
 

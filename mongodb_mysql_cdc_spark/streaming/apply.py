@@ -303,7 +303,25 @@ class Scd2ParquetSink:
     row in state is CLOSED with the key's first delta timestamp (delete
     envelopes close without opening). Correct under the replay's
     guarantee that per-key (ts, seq) never decreases across micro-batches
-    — the oplog's total order (SURVEY §1.1)."""
+    — the oplog's total order (SURVEY §1.1).
+
+    Crash-replay idempotency (round 9): the state-write → commit-log
+    sequence is not atomic, so a crash between the two replays a batch
+    whose rows are already (even PARTIALLY — the dynamic partition
+    overwrite is per-bucket-directory, not atomic across buckets) in
+    state. CdcParquetSink survives that window because LWW merge is
+    idempotent; the SCD2 fold is made idempotent explicitly, per row:
+    (a) an open row is closed only when the delta's first (ts, seq) is
+    STRICTLY GREATER than the row's own (valid_from, seq) — a replayed
+    batch's first envelope never out-orders the open row it itself
+    created, so re-closing (which would corrupt the interval with an
+    older timestamp) cannot happen; (b) delta version rows are added via
+    a (key, seq) anti-join against the touched state, so rows already
+    folded are not duplicated. Both guards are no-ops on the happy path
+    (per-key monotone (ts, seq) makes the strict comparison true and the
+    anti-join empty for genuinely new batches).
+    tests/test_streaming.py::test_scd2_sink_failure_replay_* pin both
+    interleavings deterministically."""
 
     spark: SparkSession
     state_dir: str
@@ -344,7 +362,7 @@ class Scd2ParquetSink:
             return
         delta_rows = self._bucket(scd2_versions(batch_df))
         first_ts = batch_df.groupBy("key").agg(
-            F.min(F.struct("ts", "seq")).getField("ts").alias("first_delta_ts")
+            F.min(F.struct("ts", "seq")).alias("_first_delta")
         )
         old = self.state()
         path = os.path.join(self.state_dir, "state")
@@ -366,19 +384,49 @@ class Scd2ParquetSink:
                     .collect()
                 ]
                 old_t = old.filter(F.col("bucket").isin(touched))
+                # close-guard: strictly-greater (ts, seq) — replay-safe
+                # (see class docstring). Field names aliased to match the
+                # aggregated struct so the comparison is well-typed. The
+                # key joins are NULL-SAFE: a NULL document key is a real
+                # CDC key group (the window oracle partitions it as one),
+                # and a plain equi-join left the NULL key's open rows
+                # unclosed forever (round-9 NULL-fixture catch).
+                row_pos = F.struct(
+                    F.col("valid_from").alias("ts"), F.col("seq").alias("seq")
+                )
+                ft = first_ts.select(F.col("key").alias("_ft_key"), "_first_delta")
                 closed = (
-                    old_t.join(F.broadcast(first_ts), "key", "left")
+                    old_t.join(
+                        F.broadcast(ft),
+                        F.col("key").eqNullSafe(F.col("_ft_key")),
+                        "left",
+                    )
+                    .drop("_ft_key")
                     .withColumn(
                         "valid_to",
                         F.when(
-                            F.col("is_current") & F.col("first_delta_ts").isNotNull(),
-                            F.col("first_delta_ts"),
+                            F.col("is_current")
+                            & F.col("_first_delta").isNotNull()
+                            & (row_pos < F.col("_first_delta")),
+                            F.col("_first_delta.ts"),
                         ).otherwise(F.col("valid_to")),
                     )
                     .withColumn("is_current", F.col("valid_to").isNull())
-                    .drop("first_delta_ts")
+                    .drop("_first_delta")
                 )
-                new = closed.unionByName(delta_rows)
+                # add-guard: only version rows not already folded (replay /
+                # partial-overwrite safe); (key, seq) is the version PK —
+                # null-safe on key for the same reason as the close-guard.
+                ex = old_t.select(
+                    F.col("key").alias("_ex_key"), F.col("seq").alias("_ex_seq")
+                )
+                fresh = delta_rows.join(
+                    ex,
+                    F.col("key").eqNullSafe(F.col("_ex_key"))
+                    & (F.col("seq") == F.col("_ex_seq")),
+                    "left_anti",
+                )
+                new = closed.unionByName(fresh)
             if new.isEmpty():
                 # nothing to fold (e.g. an all-delete batch for keys the
                 # state never saw) — writing an empty tmp dir would fail on

@@ -211,7 +211,7 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_orderkey,
        array_to_string(list(l_linenumber ORDER BY l_linenumber), ',') AS line_numbers,
-       array_to_string(list(DISTINCT l_returnflag ORDER BY l_returnflag), ',') AS flags
+       coalesce(array_to_string(list(DISTINCT l_returnflag ORDER BY l_returnflag), ','), '') AS flags
 FROM lineitem
 GROUP BY l_orderkey
 """,
@@ -224,7 +224,11 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     The arrays are emitted as a ','-joined string: array-typed result
     columns crash the driver's pandas canonicalizer (unhashable
     numpy.ndarray during sort/factorize, observed in round 1), and the
-    joined form hashes identically on both engines."""
+    joined form hashes identically on both engines. NULL shape: both
+    sides skip NULL elements (collect_set / array_to_string), but on an
+    ALL-null group Spark joins an empty array to '' while DuckDB's
+    array_to_string returns NULL — the oracle's coalesce pins '' as the
+    contract (round-9 NULL-fixture catch)."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey").agg(
         F.array_join(
@@ -717,16 +721,20 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_weighted_median",
     oracle=f"""
-WITH tot AS (
+WITH known AS (
+  SELECT l_returnflag, l_extendedprice, l_quantity
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+),
+tot AS (
   SELECT l_returnflag, sum(l_quantity) AS total_w
-  FROM lineitem GROUP BY l_returnflag
+  FROM known GROUP BY l_returnflag
 ),
 cum AS (
   SELECT l_returnflag, l_extendedprice,
          sum(l_quantity) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
                                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS cum_w
-  FROM lineitem
+  FROM known
 )
 SELECT c.l_returnflag,
        {sql_round('min(c.l_extendedprice)')} AS weighted_median_price,
@@ -744,10 +752,14 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tie run, while RANGE accumulates every peer at once, so the
     crossing price is well-defined on both engines. One window + one
     5-row broadcast join — the same two-pass shape as every robust
-    statistic here."""
+    statistic here. NULL contract (round-9 NULL-fixture catch): rows
+    with a NULL price are excluded on BOTH engines before any weight
+    accumulates — the median of the KNOWN prices; without the filter
+    Spark's NULLS-FIRST window front-loads the null rows' weight while
+    DuckDB's NULLS-LAST tail-loads it, shifting the crossing point."""
     from pyspark.sql import Window
 
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_extendedprice").isNotNull())
     tot = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("total_w"))
     # collapse duplicate prices BEFORE the window: the cumulative weight at
     # each distinct price is unchanged (RANGE accumulates whole peer runs

@@ -325,7 +325,7 @@ SELECT event_id AS seq,
        ts,
        event_type AS after_event_type,
        CASE WHEN ts >= (SELECT max(ts) FROM events) - INTERVAL 2 DAY
-            THEN concat('ch_', CAST(user_id % 3 AS VARCHAR)) END AS channel,
+            THEN 'ch_' || CAST(user_id % 3 AS VARCHAR) END AS channel,
        (ts >= (SELECT max(ts) FROM events) - INTERVAL 2 DAY) AS is_evolved
 FROM events
 """,
@@ -339,7 +339,16 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     branching in the parse path. (The inverse direction is free too:
     from_json silently ignores fields the declared schema lacks, so an
     old consumer keeps working against the new producer.) The cutoff is a
-    broadcast scalar, never collected."""
+    broadcast scalar, never collected.
+
+    NULL shape (round-9 NULL-fixture catches): (a) the oracle derives
+    channel with null-PROPAGATING ``||`` — an unknown user has an
+    unknown channel; DuckDB's concat() would skip the NULL and emit a
+    bare 'ch_' while Spark's concat nulls out. (b) is_evolved is the
+    CUTOFF predicate (the oracle's definition), not channel IS NOT NULL
+    — a late event with a NULL user carries a NULL channel value (and
+    to_json's default ignoreNullFields even drops the key from the wire
+    form), so field-presence is not evidence of schema vintage."""
     from mongodb_mysql_cdc_spark.sources.cdc import _JSON_OPTS
 
     ev = load(spark, sf_dir, "events")
@@ -368,13 +377,13 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = early.unionByName(late).select(
         F.from_json("raw", evolved_schema, _JSON_OPTS).alias("v")
     )
-    return parsed.select(
+    return parsed.crossJoin(F.broadcast(horizon)).select(
         F.col("v.event_id").alias("seq"),
         F.col("v.user_id").alias("key"),
         F.col("v.ts").alias("ts"),
         F.col("v.event_type").alias("after_event_type"),
         F.col("v.channel").alias("channel"),
-        F.col("v.channel").isNotNull().alias("is_evolved"),
+        (F.col("v.ts") >= F.col("_cut")).alias("is_evolved"),
     )
 
 

@@ -250,14 +250,24 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan: ONE events scan, ONE hash shuffle (the window). Rows are tagged
     in-place — purchases sort before clicks at equal ts (inclusive <=) and
     ascending event_id among same-ts purchases makes last() pick the max,
-    which is exactly the pre-aggregate's max_by tie-break."""
+    which is exactly the pre-aggregate's max_by tie-break.
+
+    NULL-key contract (round-9 NULL-fixture catch): the ASOF JOIN's
+    ``ON c.user_id = p.user_id`` is null-REJECTING equality, but Spark's
+    window PARTITION BY groups NULL keys into a real partition — so a
+    NULL-user purchase must never supply a value (the isNotNull gate on
+    ``_pv``); NULL-user clicks then fall through to NULL, exactly the
+    unmatched LEFT-side behavior."""
     ev = load(spark, sf_dir, "events")
     tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
         "user_id",
         "event_id",
         "ts",
         (F.col("event_type") == "click").cast("int").alias("_side"),
-        F.when(F.col("event_type") == "purchase", F.col("event_id")).alias("_pv"),
+        F.when(
+            (F.col("event_type") == "purchase") & F.col("user_id").isNotNull(),
+            F.col("event_id"),
+        ).alias("_pv"),
     )
     w = (
         Window.partitionBy("user_id")
@@ -414,14 +424,19 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     running DESC so first-after fills backward: at equal ts the purchase
     sorts after the click (inclusive <=), and ascending event_id among
     same-ts purchases makes the DESC-scan's last() pick the MIN event_id —
-    exactly the pre-aggregate's arg_min tie-break."""
+    exactly the pre-aggregate's arg_min tie-break. NULL-key contract:
+    same isNotNull gate as join_asof — the ASOF JOIN equality never
+    matches NULL user_ids, so a NULL-user purchase supplies no value."""
     ev = load(spark, sf_dir, "events")
     tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
         "user_id",
         "event_id",
         "ts",
         (F.col("event_type") == "click").cast("int").alias("_side"),  # click=1
-        F.when(F.col("event_type") == "purchase", F.col("event_id")).alias("_pv"),
+        F.when(
+            (F.col("event_type") == "purchase") & F.col("user_id").isNotNull(),
+            F.col("event_id"),
+        ).alias("_pv"),
     )
     # DESC over (ts, side, -event_id): rows later in scan order are earlier
     # in time; last(_pv) = the nearest purchase with pts >= ts.

@@ -208,23 +208,31 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fit(pdf):
-        import pandas as pd
-
-        x = pdf["user_id"].astype("float64")
-        y = pdf["value"].astype("float64")
-        n = len(pdf)
-        mx, my = x.mean(), y.mean()
-        cov = ((x - mx) * (y - my)).sum()
-        var = ((x - mx) ** 2).sum()
-        slope = cov / var
-        intercept = my - slope * mx
         import math
 
+        import pandas as pd
+
+        n = len(pdf)  # the oracle's count(*) counts every group row
+        # SQL regr_* semantics: a pair is excluded when EITHER side is
+        # NULL. pandas' per-Series NaN skipping is NOT that (a row with
+        # only y missing would still feed var(x)) — drop pairwise first
+        # (round-9 NULL-fixture catch).
+        fitf = pdf.dropna(subset=["user_id", "value"])
+        x = fitf["user_id"].astype("float64")
+        y = fitf["value"].astype("float64")
+        slope = intercept = None
+        if len(fitf) > 0:
+            mx, my = x.mean(), y.mean()
+            cov = ((x - mx) * (y - my)).sum()
+            var = ((x - mx) ** 2).sum()
+            if var > 0:  # constant/empty x → NULL, like regr_slope
+                slope = math.floor(cov / var * 1e4 + 0.5) / 1e4
+                intercept = math.floor((my - cov / var * mx) * 1e4 + 0.5) / 1e4
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
-                "slope": [math.floor(slope * 1e4 + 0.5) / 1e4],
-                "intercept": [math.floor(intercept * 1e4 + 0.5) / 1e4],
+                "slope": [slope],
+                "intercept": [intercept],
                 "n": [n],
             }
         )

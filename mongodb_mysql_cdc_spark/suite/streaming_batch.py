@@ -124,7 +124,10 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessions; the ghost user's own session is filtered out batch-side.
     Same oracle as the batch win_session — stream/batch parity for the
     merge semantics of session windows, which are the hardest stateful
-    case (windows merge as late events bridge gaps)."""
+    case (windows merge as late events bridge gaps). The ghost filter is
+    NULL-SAFE: a plain ``!=`` evaluates NULL for a NULL user and
+    silently dropped every NULL-user session (round-9 NULL-fixture
+    catch) — NULL keys are real session groups on both engines."""
     from mongodb_mysql_cdc_spark.streaming.replay import (
         GHOST_USER,
         drain_to_memory_table,
@@ -139,7 +142,7 @@ def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_event_stream(spark, staged).withWatermark("ts", "1 hour")
     sess = session_counts(stream, "30 minutes")
     out = drain_to_memory_table(spark, sess, "sess", "append", settle=True)
-    return out.filter(F.col("user_id") != GHOST_USER)
+    return out.filter(~F.col("user_id").eqNullSafe(F.lit(GHOST_USER)))
 
 
 @register(

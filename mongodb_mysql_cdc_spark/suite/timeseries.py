@@ -333,20 +333,26 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ts_ewma",
     oracle=f"""
-WITH v AS (
+WITH raw AS (
   SELECT user_id, event_id, ts, value,
          list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vals
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS rawvals
   FROM events
+),
+v AS (
+  SELECT user_id, event_id, ts,
+         list_filter(rawvals, x -> x IS NOT NULL) AS vals
+  FROM raw
 )
 SELECT user_id, event_id, ts,
+       CASE WHEN len(vals) = 0 THEN NULL ELSE
        {sql_round('''
          list_reduce(list_transform(range(1, len(vals) + 1),
                                     i -> vals[i] * 0.7 ** (len(vals) - i)),
                      (a, b) -> a + b)
          / list_reduce(list_transform(range(1, len(vals) + 1),
                                       i -> 0.7 ** (len(vals) - i)),
-                       (a, b) -> a + b)''', 6)} AS ewma
+                       (a, b) -> a + b)''', 6)} END AS ewma
 FROM v
 """,
 )
@@ -361,7 +367,12 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic) and reduced with JVM-side higher-order functions; 20
     doubles per row, one shuffle on user_id. Mirrors DuckDB's list() OVER
     + list_reduce on the oracle side — a true cross-engine check of the
-    same algebra in two HOF dialects."""
+    same algebra in two HOF dialects. NULL shape (round-9 NULL-fixture
+    catch): missing observations are SKIPPED — Spark's collect_list
+    already drops them; the oracle list_filters to match (DuckDB's
+    list() keeps NULL elements, which would null the whole reduce). An
+    all-null frame yields NULL on both sides (explicit size guard —
+    DuckDB's init-less list_reduce crashes on empty lists)."""
     ev = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -383,7 +394,10 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "event_id",
             "ts",
-            hround(F.expr(num) / F.expr(den), 6).alias("ewma"),
+            F.when(
+                F.size(F.col("vals")) > 0,
+                hround(F.expr(num) / F.expr(den), 6),
+            ).alias("ewma"),
         )
     )
 
@@ -563,7 +577,7 @@ def anomaly_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH ranked AS (
   SELECT event_type, value,
-         percent_rank() OVER (PARTITION BY event_type ORDER BY value, event_id) AS u
+         percent_rank() OVER (PARTITION BY event_type ORDER BY value NULLS FIRST, event_id) AS u
   FROM events
 ),
 bucketed AS (
@@ -591,7 +605,9 @@ def ml_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     feature key would sort corpus/5 rows in ONE task per key); the
     unique event_id tiebreak keeps cross-engine rank order
     deterministic, and with a total order percent_rank is exactly
-    (pos−1)/(n−1)."""
+    (pos−1)/(n−1). NULL order pinned NULLS FIRST on both engines (the
+    machinery's convention; DuckDB windows default NULLS LAST — round-9
+    NULL-fixture catch)."""
     from mongodb_mysql_cdc_spark.operators.ranking import with_group_position
 
     ev = load(spark, sf_dir, "events")

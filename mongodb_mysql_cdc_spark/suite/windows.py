@@ -242,7 +242,7 @@ SELECT event_type, event_id,
        {sql_round('percent_rank() OVER w', 6)} AS pct_rank,
        {sql_round('cume_dist() OVER w', 6)}    AS cum_dist
 FROM events
-WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+WINDOW w AS (PARTITION BY event_type ORDER BY value NULLS FIRST, event_id)
 """,
 )
 def win_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -252,7 +252,11 @@ def win_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     position (range partition on (type, value, event_id) + per-partition
     row_number + broadcast offsets) yields rank with full parallelism;
     the order key is total (event_id unique), so there are no peer rows
-    and percent_rank = (pos−1)/(n−1), cume_dist = pos/n exactly."""
+    and percent_rank = (pos−1)/(n−1), cume_dist = pos/n exactly. NULL
+    order: the machinery ranks NULL values FIRST (bucket 0 + Spark's
+    ascending default); the oracle pins the same with NULLS FIRST —
+    DuckDB's window default is NULLS LAST (round-9 NULL-fixture
+    catch)."""
     from mongodb_mysql_cdc_spark.operators.ranking import with_group_position
 
     ev = load(spark, sf_dir, "events")
@@ -464,7 +468,12 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the midpoint interpolated with HOFs — all JVM-side, ~21 doubles
     per row, one shuffle on user_id. DuckDB's native windowed median
     (quantile_cont 0.5) is the cross-check, so the interpolation rule
-    (avg of the two middles on even counts) is pinned by the oracle."""
+    (avg of the two middles on even counts) is pinned by the oracle.
+    NULL shape: both sides skip NULL values in the frame (collect_list /
+    median both null-skipping); an ALL-null frame leaves svals EMPTY —
+    the size-0 guard returns NULL exactly like DuckDB's median (round-9
+    NULL-fixture catch: the unguarded midpoint indexed svals[-1] and
+    crashed)."""
     ev = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -472,7 +481,8 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-20, Window.currentRow)
     )
     med = F.expr(
-        "CASE WHEN size(svals) % 2 = 1 THEN svals[CAST(size(svals) DIV 2 AS INT)] "
+        "CASE WHEN size(svals) = 0 THEN CAST(NULL AS DOUBLE) "
+        "WHEN size(svals) % 2 = 1 THEN svals[CAST(size(svals) DIV 2 AS INT)] "
         "ELSE (svals[CAST(size(svals) DIV 2 - 1 AS INT)]"
         " + svals[CAST(size(svals) DIV 2 AS INT)]) / 2.0 END"
     )
@@ -509,14 +519,25 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact: group sums by a map-combined hash aggregate (3 rows) + the
     1-row grand total, both broadcast back onto the corpus — every step
     parallel, zero WindowExec. 8dp rounding absorbs the summation-order
-    ulps (it already had to: DuckDB's window sums a different order)."""
+    ulps (it already had to: DuckDB's window sums a different order).
+    The join-back is NULL-SAFE on the flag: window PARTITION BY keeps a
+    NULL group key as a real partition, so the re-spell's join must too
+    (round-9 NULL-fixture catch: the name equi-join silently dropped
+    every NULL-flag row)."""
     li = load(spark, sf_dir, "lineitem")
     flag_sums = li.groupBy("l_returnflag").agg(
         F.sum("l_extendedprice").alias("_flag_sum")
     )
     total = li.agg(F.sum("l_extendedprice").alias("_tot"))
+    renamed = flag_sums.select(
+        F.col("l_returnflag").alias("_rf_j"), "_flag_sum"
+    )
     return (
-        li.join(F.broadcast(flag_sums), "l_returnflag")
+        li.join(
+            F.broadcast(renamed),
+            F.col("l_returnflag").eqNullSafe(F.col("_rf_j")),
+        )
+        .drop("_rf_j")
         .crossJoin(F.broadcast(total))
         .select(
             "l_returnflag",

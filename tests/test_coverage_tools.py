@@ -80,13 +80,17 @@ def test_driver_evidence_keeps_latest_green_round(tmp_path):
 
 
 def test_driver_evidence_monotone_on_real_files():
-    """Against the real repo files: join_asof has been green since r01
-    and re-verified since; its evidence must be ≥ r06 (ordering, not a
-    literal round — the driver appends files every round) and not stale
-    at a HEAD that hasn't touched it since."""
+    """Against the real repo files: pricing_summary has been green since
+    r01 and re-verified since; its evidence must be ≥ r06 (ordering, not
+    a literal round — the driver appends files every round) and not
+    stale at a HEAD that hasn't touched it since. (Was join_asof until
+    the round-9 NULL-fixture re-spell made that one legitimately
+    stale.)"""
     ev = cr.driver_evidence()
-    assert ev["join_asof"] >= "06"
-    assert "join_asof" not in dict(cr.stale_queries({"join_asof": ev["join_asof"]}))
+    assert ev["pricing_summary"] >= "06"
+    assert "pricing_summary" not in dict(
+        cr.stale_queries({"pricing_summary": ev["pricing_summary"]})
+    )
 
 
 def test_stale_warns_on_unresolvable_round_marker(capsys):

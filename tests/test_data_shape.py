@@ -1,0 +1,106 @@
+"""Data-SHAPE correctness gate (round 9): the skew and NULL fixtures as
+a standing pytest stage.
+
+The invariance program covers layout / scale / execution path; this
+suite pins the fourth axis — the shape of the data itself. It builds
+both tools/make_skew.py fixtures from sf0.01 into a session tmp dir
+(self-contained: no dependence on /tmp state) and hash-compares a
+representative query subset against DuckDB on the SAME files with the
+driver-faithful comparator.
+
+The NULL subset is exactly the round-9 catch set: every query here
+FAILED (crash, dropped rows, or cross-engine value divergence) on the
+first NULL-fixture sweep and was fixed with an explicit NULL contract —
+this suite keeps those contracts pinned. Streaming members of the catch
+set (stream_session, cdc_scd2_stream) are exercised by the full sweep
+and their own serialized tests, not here (micro-batch replay is too
+slow for this stage).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(ROOT / "tools"))
+
+from check_strict import compare  # noqa: E402
+from make_skew import build_null, build_skew  # noqa: E402
+
+from mongodb_mysql_cdc_spark.catalog import TABLES, path_for  # noqa: E402
+
+SKEW_SUBSET = [
+    "join_inner_hash",
+    "join_salted",
+    "join_sort_merge",
+    "topk_per_group",
+    "win_pct",
+    "agg_weighted_median",
+    "cdc_apply_batch",
+    "pricing_summary",
+]
+
+NULL_SUBSET = [
+    "join_asof",
+    "join_asof_forward",
+    "win_pct",
+    "ml_quantile_normalize",
+    "agg_weighted_median",
+    "win_rolling_median",
+    "win_ratio_to_report",
+    "ts_ewma",
+    "agg_collect",
+    "udf_grouped_agg",
+    "cdc_schema_evolution",
+]
+
+
+@pytest.fixture(scope="module")
+def shape_dirs(spark, sf_dir, tmp_path_factory):
+    root = tmp_path_factory.mktemp("shape")
+    skew, null = str(root / "sfskew"), str(root / "sfnull")
+    build_skew(spark, sf_dir, skew)
+    build_null(spark, sf_dir, null)
+    return skew, null
+
+
+def _strict(spark, sf: str, names: list[str]) -> dict[str, list[str]]:
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        p = path_for(sf, t)
+        if Path(p).is_dir():
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    bad = {}
+    for name in names:
+        try:
+            problems = compare(qs[name](spark, sf).toPandas(), con.sql(oracles[name]).df())
+        except Exception as ex:  # a crash is a finding, not a test error
+            problems = [f"{type(ex).__name__}: {ex}"]
+        if problems:
+            bad[name] = problems[:3]
+    return bad
+
+
+def test_skew_fixture_strict_subset(spark, shape_dirs):
+    """One hot key holding ~50% of fact rows must not change any result:
+    output is a pure function of the data, whatever its distribution."""
+    skew, _ = shape_dirs
+    bad = _strict(spark, skew, SKEW_SUBSET)
+    assert not bad, bad
+
+
+def test_null_fixture_strict_subset(spark, shape_dirs):
+    """NULL group keys and NULL measure values at a few percent must
+    produce hash-identical results on both engines — the round-9 catch
+    set stays fixed."""
+    _, null = shape_dirs
+    bad = _strict(spark, null, NULL_SUBSET)
+    assert not bad, bad

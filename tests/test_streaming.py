@@ -218,6 +218,109 @@ def test_scd2_sink_is_bucket_bounded_and_matches_batch(spark, sf_dir):
     assert got == want
 
 
+def test_scd2_sink_failure_replay_uncommitted_state(spark, sf_dir):
+    """The deterministic mid-batch crash the randomized stress can't pin:
+    the sink dies BETWEEN the state write and the commit-log save, so the
+    restart replays a batch whose rows are already in state. Pre-round-9
+    this duplicated every delta version row (the union re-added them) and
+    re-closed the new open row with an OLDER timestamp (corrupted
+    interval). The per-row guards (strict (ts, seq) close-guard +
+    (key, seq) anti-join add-guard) make the replay a no-op."""
+    import json
+    import os
+
+    from mongodb_mysql_cdc_spark.streaming.apply import Scd2ParquetSink, scd2_versions
+
+    env = envelopes_from_events(load(spark, sf_dir, "events"))
+    cut = env.agg(F.expr("percentile_approx(seq, 0.5)").alias("c")).collect()[0]["c"]
+    root = tempfile.mkdtemp(prefix="scd2_uncommitted_")
+    sink = Scd2ParquetSink(spark, root, n_buckets=8)
+    sink.apply_batch(env.filter(F.col("seq") <= cut), 0)
+    sink.apply_batch(env.filter(F.col("seq") > cut), 1)
+
+    cols = ["key", "seq", "value", "valid_from", "valid_to", "is_current"]
+    want = _rows(scd2_versions(env), cols)
+    assert _rows(sink.history(), cols) == want
+
+    # simulate the crash window: state for batch 1 is fully written but
+    # the commit log never recorded it — exactly what a kill between
+    # the dynamic-partition-overwrite and _save_commits leaves behind
+    with open(os.path.join(root, "_commits.json"), "w") as f:
+        json.dump([0], f)
+
+    replay_sink = Scd2ParquetSink(spark, root, n_buckets=8)
+    replay_sink.apply_batch(env.filter(F.col("seq") > cut), 1)
+    got = _rows(replay_sink.history(), cols)
+    assert len(got) == len(want)  # no duplicated version rows
+    assert got == want            # and no corrupted close timestamps
+
+
+@pytest.mark.serial
+def test_scd2_sink_failure_replay_between_sinks(spark, sf_dir):
+    """Verdict item 7 (round 9): the two-sink redelivery interleaving,
+    pinned deterministically. One foreachBatch drives BOTH sinks —
+    current-state first, SCD2 second. The poison crashes after the
+    current-state sink commits batch 2 but before the SCD2 sink sees it;
+    the restart replays batch 2, which must be a no-op for the committed
+    sink and a first delivery for the SCD2 sink. Final assert: both
+    sinks equal their one-shot batch folds — no duplicate history rows,
+    no lost close."""
+    from mongodb_mysql_cdc_spark.streaming.apply import (
+        Scd2ParquetSink,
+        scd2_versions,
+    )
+
+    staged = stage_event_chunks(spark, sf_dir, n_chunks=6, dir_prefix="scd2crash")
+    ckpt = tempfile.mkdtemp(prefix="sparkcdc_scd2crash_ckpt_")
+    cur_sink = CdcParquetSink(
+        spark, tempfile.mkdtemp(prefix="scd2crash_cur_"), n_buckets=4
+    )
+    hist_sink = Scd2ParquetSink(
+        spark, tempfile.mkdtemp(prefix="scd2crash_hist_"), n_buckets=4
+    )
+    stream = envelopes_from_events(read_event_stream(spark, staged))
+
+    def apply_both_or_crash(df, batch_id):
+        cur_sink.apply_batch(df, batch_id)
+        if batch_id == 2:
+            raise RuntimeError("poison: crash between the two sinks")
+        hist_sink.apply_batch(df, batch_id)
+
+    q1 = (
+        stream.writeStream.foreachBatch(apply_both_or_crash)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q1.awaitTermination(120)
+    except Exception:
+        pass  # the poison surfaces as StreamingQueryException — expected
+    assert not q1.isActive
+    assert 2 in cur_sink._load_commits()       # committed before the crash
+    assert 2 not in hist_sink._load_commits()  # never reached
+
+    def apply_both(df, batch_id):
+        cur_sink.apply_batch(df, batch_id)
+        hist_sink.apply_batch(df, batch_id)
+
+    q2 = (
+        stream.writeStream.foreachBatch(apply_both)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    run_to_completion(q2)
+    assert max(hist_sink._load_commits()) == 5  # all 6 chunks landed
+
+    env = envelopes_from_events(load(spark, sf_dir, "events"))
+    cur_cols = ["key", "last_ts", "last_event_type", "last_value"]
+    assert _rows(cur_sink.current(), cur_cols) == _rows(cdc_apply_batch(env), cur_cols)
+    hist_cols = ["key", "seq", "value", "valid_from", "valid_to", "is_current"]
+    want = _rows(scd2_versions(env), hist_cols)
+    got = _rows(hist_sink.history(), hist_cols)
+    assert len(got) == len(want)  # no duplicate version rows from the replay
+    assert got == want
+
+
 @pytest.mark.serial
 def test_checkpoint_restart_resumes_without_reprocessing(spark, sf_dir):
     """Kill the stream mid-feed and restart from the SAME checkpoint: the
