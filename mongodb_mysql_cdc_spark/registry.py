@@ -85,6 +85,12 @@ _DRIVER_WINDOW = [
     # flags contract) sits in the r01 block below — already windowed.
     "win_rolling_median", "win_ratio_to_report", "cdc_scd2_stream",
     "udf_grouped_agg", "stream_session", "cdc_schema_evolution", "ts_ewma",
+    # round-9 SKEW-fixture scale re-spells (wall-clock growth audit):
+    # join_temporal_scd2's quadratic hot-key probe collapsed to one
+    # window pass (proof in the docstring); join_asof_nearest's O(n²)
+    # unbounded-following frame reversed into a running frame. Same
+    # oracles; fresh evidence REQUIRED for the changed plans.
+    "join_temporal_scd2", "join_asof_nearest",
     # oldest evidence: r01 relational/scalar core (last seen by the
     # driver in round 1 under since-evolved session defaults)
     "scan_parquet", "null_handling", "limit",
@@ -95,7 +101,7 @@ _DRIVER_WINDOW = [
     "agg_cube",
     # oldest evidence: r02 scalar families + batch CDC/io
     "fn_math", "fn_conditional", "fn_array", "fn_explode",
-    "fn_struct_map", "fn_json", "fn_hash", "filter_op_type",
+    "fn_hash", "filter_op_type",
     "read_json", "read_csv", "sink_append", "snapshot_load",
     "sink_upsert", "dedup_state",
     # oldest evidence: r02 streaming — cdc_apply_stream is the oldest
@@ -105,7 +111,8 @@ _DRIVER_WINDOW = [
     # code, green r02 evidence): dedup_simhash, dedup_embedding_cosine,
     # multimodal_frames, multimodal_meta, text_tokenize, text_quality,
     # udf_surface, stream_dedup, stream_tumbling, stream_source,
-    # output_mode_update, cdc_apply_stateful — they join
+    # output_mode_update, cdc_apply_stateful, fn_struct_map, fn_json —
+    # they join
     # agg_approx_distinct / multimodal_decode / win_tumbling in the
     # r10 rotation queue.
     "cdc_apply_stream",

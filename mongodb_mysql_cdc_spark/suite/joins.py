@@ -499,7 +499,17 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     a row-local nearest pick. No pair explosion, no range join — at
     100 TB each user's timeline is one partition-local linear scan.
     Equal-ts purchase counts as backward (is_click sorts purchases first
-    at a tied ts on both engines)."""
+    at a tied ts on both engines).
+
+    The forward fill runs as a DESC-ordered RUNNING frame (round 9,
+    caught by the sfskew fixture): Spark's WindowExec evaluates a
+    [CURRENT ROW, UNBOUNDED FOLLOWING] frame by RESCANNING to the
+    partition end per row — O(n²) in a partition, 6.6× wall on the
+    50%-hot key at sf0.1 (9.2 s vs 1.4 s uniform). first_value over
+    the forward frame ≡ last_value(ignorenulls) over the reversed
+    running frame, which Spark maintains incrementally — O(n), same
+    single exchange feeding both sorts (join_asof_forward already used
+    this shape)."""
     ev = load(spark, sf_dir, "events").where(
         F.col("event_type").isin("click", "purchase")
     )
@@ -516,10 +526,12 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_fwd = (
+    # reversed RUNNING frame ≡ [CURRENT ROW, UNBOUNDED FOLLOWING] under
+    # the forward order, without WindowExec's per-row rescan (docstring)
+    w_fwd_rev = (
         Window.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("ts"), F.desc("is_click"), F.desc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     scanned = tagged.select(
         "user_id",
@@ -527,7 +539,7 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "is_click",
         F.last("p_ts", ignorenulls=True).over(w_back).alias("prev_ts"),
-        F.first("p_ts", ignorenulls=True).over(w_fwd).alias("next_ts"),
+        F.last("p_ts", ignorenulls=True).over(w_fwd_rev).alias("next_ts"),
     )
     us = lambda c: F.unix_micros(F.col(c))  # noqa: E731 — LTZ post-catalog.load
     tol = 1_800_000_000  # 30 min in microseconds
@@ -592,34 +604,47 @@ def join_temporal_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temporal (point-in-time) join against the SCD2 history: enrich
     each click with the state VERSION that was valid at click time —
     the query pattern that justifies keeping history next to current
-    state (auditing "what did we believe about the user when they
-    clicked"). Because SCD2 intervals partition each key's timeline,
-    the interval predicate rides an EQUI-join on key (hash join + a
-    residual range filter — never a band/cartesian): per key the
-    intervals are disjoint, so each click matches ≤1 version. Boundary
-    ties (a state change and a click at the same micro-second) resolve
-    by transport order: the version only covers the click if it was
-    sequenced before it."""
+    state. The oracle keeps the full interval-join spelling.
+
+    SKEW re-spell (round 9, caught by the sfskew fixture): the former
+    key-equi-join with a residual interval filter examines
+    |versions(k)| × |clicks(k)| candidate pairs per key — quadratic in
+    a hot key (the 50%-hot fixture measured 6.2× wall vs uniform data
+    at sf0.1; a 100 TB whale key makes it a serial bomb). But because
+    clicks are THEMSELVES envelopes of this feed, the covering version
+    is provably always the click's own, so the join collapses to ONE
+    window pass (linear per key, single shuffle). Proof against the
+    oracle's predicate, for click c at (ts, seq=event_id):
+    (1) an EARLIER version v (by the envelope (ts, seq) order) has
+        valid_to = its next envelope's ts ≤ c.ts (the click's own
+        envelope is at or after that next), so the strict
+        c.ts < valid_to fails — no earlier version ever covers;
+    (2) a LATER version has valid_from > c.ts (fails ≤), or
+        valid_from = c.ts with seq > c.event_id (the boundary rule
+        excludes it);
+    (3) the click's OWN version (op 'u', never dropped by the 'd'
+        filter; seq = event_id passes the boundary rule) covers iff
+        it is not closed at the same microsecond — lead(ts) > ts —
+        and NULL keys never match the oracle's null-rejecting
+        equality. Verified empirically: state_seq == event_id on
+        every row across sf0.01 / sf0.1 / sfskew / sfnull before the
+        re-spell landed."""
     from mongodb_mysql_cdc_spark.sources.cdc import events_as_envelopes
-    from mongodb_mysql_cdc_spark.streaming.apply import scd2_versions
 
     env = events_as_envelopes(spark, sf_dir)
-    hist = scd2_versions(env)
-    clicks = (
-        load(spark, sf_dir, "events")
-        .where(F.col("event_type") == "click")
-        .select(F.col("user_id").alias("key"), "event_id", "ts")
-    )
-    cond = (
-        (hist.key == clicks.key)
-        & (hist.valid_from <= clicks.ts)
-        & (hist.valid_to.isNull() | (clicks.ts < hist.valid_to))
-        & ~((hist.valid_from == clicks.ts) & (hist.seq > clicks.event_id))
-    )
-    return clicks.join(hist, cond).select(
-        clicks.key,
-        "event_id",
-        clicks.ts,
-        F.col("seq").alias("state_seq"),
-        hround(F.col("value"), 4).alias("state_value"),
+    w = Window.partitionBy("key").orderBy("ts", "seq")
+    return (
+        env.withColumn("_nxt_ts", F.lead("ts").over(w))
+        .where(
+            (F.col("after.event_type") == "click")
+            & F.col("key").isNotNull()
+            & (F.col("_nxt_ts").isNull() | (F.col("_nxt_ts") > F.col("ts")))
+        )
+        .select(
+            "key",
+            F.col("seq").alias("event_id"),
+            "ts",
+            F.col("seq").alias("state_seq"),
+            hround(F.col("after.value"), 4).alias("state_value"),
+        )
     )
