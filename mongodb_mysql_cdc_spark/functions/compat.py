@@ -105,6 +105,15 @@ def grid_sum(expr: Column, k: int = 2) -> Column:
     return dec_to_double(F.sum(cents)) / float(10**k)
 
 
+def _sql_grid_sum_expr(expr: str, s: float, over: str = "") -> str:
+    """The ONE grid-sum spelling both the aggregate and window forms derive
+    from (``over`` is an optional ``" OVER (…)"`` suffix) — a hand-copied
+    sibling would silently drift if the grid spelling ever changed.
+    tests/test_compat_diff.py pins the derived strings byte-for-byte."""
+    inner = f"sum(CAST(floor(({expr}) * {s} + 0.5) AS DECIMAL(18,0))){over}"
+    return f"{sql_dec_to_double(inner)} / {s}"
+
+
 def sql_grid_sum(expr: str, k: int = 2) -> str:
     """The SQL spelling of ``grid_sum``. Valid AND exact in both dialects —
     some query texts execute in Spark SQL too (sql_parameterized /
@@ -112,9 +121,7 @@ def sql_grid_sum(expr: str, k: int = 2) -> str:
     summing DECIMAL(18,0) is exact in Spark (→ decimal(28,0)) and DuckDB
     (→ wider decimal), and the cast of the integral floor() output is
     exact in both."""
-    s = float(10**k)
-    inner = f"sum(CAST(floor(({expr}) * {s} + 0.5) AS DECIMAL(18,0)))"
-    return f"{sql_dec_to_double(inner)} / {s}"
+    return _sql_grid_sum_expr(expr, float(10**k))
 
 
 def dec_sum(col: Column, prec: int = 18, scale: int = 2) -> Column:
@@ -151,12 +158,13 @@ def sql_dec_avg_over(expr: str, partition: str, scale: int = 2) -> str:
     window aggregate (``OVER (PARTITION BY …)``). Lives here, next to the
     aggregate spelling, so the two move in lockstep — a hand-copied window
     literal at a call site would silently drift (and break the bit-identity
-    QUALIFY membership depends on) if the grid spelling ever changed."""
+    QUALIFY membership depends on) if the grid spelling ever changed.
+    Derived from the same ``_sql_grid_sum_expr`` builder as
+    ``sql_grid_sum`` — not a copy."""
     s = float(10**scale)
     win = f"OVER (PARTITION BY {partition})"
-    inner = f"sum(CAST(floor(({expr}) * {s} + 0.5) AS DECIMAL(18,0))) {win}"
     return (
-        f"{sql_dec_to_double(inner)} / {s}"
+        f"{_sql_grid_sum_expr(expr, s, ' ' + win)}"
         f" / CAST(count({expr}) {win} AS DOUBLE)"
     )
 
@@ -247,11 +255,16 @@ def grid_corr(expr: Column, other: Column, k: int = 2) -> Column:
     column, from exact cross-sums. Correlation is scale-invariant, so it
     is computed directly on the cents — no rescaling divisions at all.
 
-    ``other`` goes through the same half-up grid recovery at k=0
-    (exact for integral input, the only current call-site shape): a bare
-    Spark cast("long") TRUNCATES toward zero while DuckDB CAST(.. AS
-    BIGINT) ROUNDS to nearest — a latent silent cross-engine mismatch if
-    the helper were ever reused on a non-integral double. Both sqrt
+    ``other`` goes through the same half-up grid recovery at k=0. WARNING
+    — this ROUNDS ``other`` to the nearest integer: on non-integral input
+    the result is the correlation of the ROUNDED values, NOT of the input
+    (cross-engine identity is preserved, the values themselves change).
+    Integral ``other`` (the only current call-site shape) is exact. The
+    k=0 recovery exists because a bare Spark cast("long") TRUNCATES
+    toward zero while DuckDB CAST(.. AS BIGINT) ROUNDS to nearest — a
+    latent silent cross-engine mismatch otherwise. For a genuine double
+    ``other``, grid-scale it first (pass it through its own 10^k grid)
+    instead of reusing this helper as-is. Both sqrt
     arguments are clamped to ≥ 0 (same cancellation hazard as
     grid_var_samp) and zero denominators return NULL on both engines —
     the clamp and the > 0 guard are identical IEEE ops on bit-identical

@@ -58,64 +58,44 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 # driver run can't starve the cheap ones (the ordering trick from
 # r2-r8).
 _DRIVER_WINDOW = [
-    # round-9 re-spells — ADVICE fixes changed these oracle strings
-    # (grid_var/stddev clamp → agg_stats, anomaly_zscore; grid_corr
-    # half-up `other` recovery → agg_stats; sql_dec_avg_over derivation
-    # → sql_qualify). Values identical on fixture data (clamp only
-    # engages on near-constant groups; user_id is integral; the window
-    # string is semantically the same) but fresh evidence REQUIRED for
-    # any changed spelling.
-    "agg_stats", "anomaly_zscore", "sql_qualify",
-    # round-9 NULL-fixture catches (tools/make_skew.py + the sweep):
-    # cross-engine NULL-shape divergences fixed and re-spelled —
-    # null-rejecting ASOF equality vs Spark's null-grouping window
-    # (join_asof, join_asof_forward: _pv isNotNull gate), NULLS FIRST
-    # pinned in the ranking oracles (win_pct, ml_quantile_normalize),
-    # null-price exclusion on both engines (agg_weighted_median).
-    # Fresh evidence REQUIRED.
-    "join_asof", "join_asof_forward", "win_pct",
-    "ml_quantile_normalize", "agg_weighted_median",
-    # round-9 NULL-fixture catches, FULL-registry sweep wave: all-null
-    # frame guards (win_rolling_median crash, ts_ewma list_filter),
-    # null-safe flag join-back (win_ratio_to_report), null-safe ghost
-    # filter (stream_session), null-safe Scd2 sink joins
-    # (cdc_scd2_stream), pairwise NULL exclusion in the regression
-    # kernel (udf_grouped_agg), null-propagating channel + cutoff-based
-    # is_evolved (cdc_schema_evolution). agg_collect (all-null-group
-    # flags contract) sits in the r01 block below — already windowed.
-    "win_rolling_median", "win_ratio_to_report", "cdc_scd2_stream",
-    "udf_grouped_agg", "stream_session", "cdc_schema_evolution", "ts_ewma",
-    # round-9 SKEW-fixture scale re-spells (wall-clock growth audit):
-    # join_temporal_scd2's quadratic hot-key probe collapsed to one
-    # window pass (proof in the docstring); join_asof_nearest's O(n²)
-    # unbounded-following frame reversed into a running frame. Same
-    # oracles; fresh evidence REQUIRED for the changed plans.
-    "join_temporal_scd2", "join_asof_nearest",
-    # oldest evidence: r01 relational/scalar core (last seen by the
-    # driver in round 1 under since-evolved session defaults)
-    "scan_parquet", "null_handling", "limit",
-    "join_left", "join_right", "join_full", "join_theta", "join_self",
-    "join_cross", "win_lag_lead", "win_first_last",
-    "union_all", "union_distinct", "intersect", "except_distinct",
-    "except_all", "fn_string", "fn_datetime", "agg_collect",
-    "agg_cube",
-    # oldest evidence: r02 scalar families + batch CDC/io
-    "fn_math", "fn_conditional", "fn_array", "fn_explode",
-    "fn_hash", "filter_op_type",
-    "read_json", "read_csv", "sink_append", "snapshot_load",
-    "sink_upsert", "dedup_state",
-    # oldest evidence: r02 streaming — cdc_apply_stream is the oldest
-    # streaming representative still unevicted. Exactly 50 names — the
-    # driver verifies queries()[:50] and the window tests pin that
-    # count. Evicted for the NULL-fixture re-spell waves (unchanged
-    # code, green r02 evidence): dedup_simhash, dedup_embedding_cosine,
-    # multimodal_frames, multimodal_meta, text_tokenize, text_quality,
-    # udf_surface, stream_dedup, stream_tumbling, stream_source,
-    # output_mode_update, cdc_apply_stateful, fn_struct_map, fn_json —
-    # they join
-    # agg_approx_distinct / multimodal_decode / win_tumbling in the
-    # r10 rotation queue.
-    "cdc_apply_stream",
+    # round-10 NEW registrations (the two round-9 skew-audit weak items,
+    # judge-mandated exceptions to the round-8 registry freeze): the
+    # budgeted interval-overlap sibling and the general-probe range-
+    # bucketed interval join. Zero prior evidence — MUST be windowed.
+    "join_interval_overlap_bounded", "join_interval_bucketed",
+    # round-10 re-spell: the unbudgeted exhibit gained a spread() +
+    # pinned-broadcast probe fan-out (unchanged oracle, changed plan —
+    # fresh evidence REQUIRED).
+    "join_interval_overlap",
+    # r01 rows-only backlog (verdict r9 item 1 names it): the driver
+    # records a rows-only row; the pytest error-bound anchor is the
+    # stronger check.
+    "agg_approx_distinct",
+    # oldest evidence: the FULL r02 backlog (22 names) — scalar families,
+    # streaming live forms, dedup/text/multimodal exhibits, the r9
+    # NULL-wave evictees. This empties the r02 shelf entirely.
+    "fn_struct_map", "fn_json", "cdc_apply_stateful", "stream_source",
+    "stream_dedup", "stream_tumbling", "output_mode_update",
+    "dedup_simhash", "dedup_embedding_cosine", "text_tokenize",
+    "text_quality", "multimodal_meta", "udf_surface", "multimodal_frames",
+    "multimodal_decode", "win_tumbling", "win_sliding", "win_session",
+    "late_data", "stream_stream_join", "stream_stream_join_left",
+    "stream_static_join",
+    # oldest evidence: r03 head (24 of 41 remaining; the 17-name r03
+    # tail — maintenance_cluster, dq_checks, token_count, lang_id,
+    # doc_fingerprint, text_redact, text_repetition, text_ngram_freq,
+    # stream_sliding, subquery_exists/not_exists/in, win_cume_dist,
+    # fn_url, … — rotates in r11). R11 RESERVATION (verdict r9 item 8):
+    # hold ~5 r11 slots for win_rank_dense, analytics_rfm,
+    # dataset_curriculum (oldest re-spelled-code evidence, r08
+    # localCheckpointed machinery consumers) ahead of the r03 tail.
+    "pivot_wide", "unpivot_long", "agg_histogram", "agg_boolean",
+    "join_null_safe", "win_nth_value", "fn_bitwise", "fn_string2",
+    "fn_datetime2", "fn_regex", "fn_trig", "stream_dedup_watermarked",
+    "cdc_route_tables", "cdc_apply_soft_delete", "cdc_state_asof",
+    "cdc_before_after_diff", "decontaminate", "domain_mix",
+    "sample_weighted", "sink_partition_overwrite", "scan_merge_schema",
+    "join_bucketed", "maintenance_compact", "sink_orc_roundtrip",
 ]
 
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from mongodb_mysql_cdc_spark.catalog import load
+from mongodb_mysql_cdc_spark.catalog import load, spread
 from mongodb_mysql_cdc_spark.functions.compat import dec_sum, hround, sql_dec_sum, sql_round
 from mongodb_mysql_cdc_spark.operators.joins import asof_join
 from mongodb_mysql_cdc_spark.registry import register
@@ -378,9 +378,24 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     a hash join with the theta as a residual filter, so cost is bounded
     by per-entity interval counts. Global interval overlap (no entity
     key) would instead bucket time into stride-sized cells and equi-join
-    on the cell — same trick as the LSH band join."""
+    on the cell — same trick as the LSH band join.
+
+    EXHIBIT STATUS (round 10): output is quadratic in a hot entity BY
+    CONTRACT (the oracle computes the same pairs — on the sfskew fixture
+    both engines emit 68,584,839, verified by count parity per the
+    round-9 audit). For production use the registered sibling
+    join_interval_overlap_bounded — per-entity interval cap + `truncated`
+    flag — which bounds work AND output. The probe side is spread()
+    round-robin so the sf-scale single-split scan doesn't serialize pair
+    emission into one task (the other side broadcasts, so the repartition
+    replaces no shuffle; on a hot key a HASH repartition would rebuild
+    the single-task bomb)."""
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
-    a, b = o.alias("a"), o.alias("b")
+    # Pin the build side: without the hint the planner may broadcast the
+    # spread() side instead (both inputs are the same table) and the probe
+    # would collapse back to one split. sf-scale only — at 100 TB neither
+    # side broadcasts and the bounded sibling is the right operator.
+    a, b = spread(o).alias("a"), F.broadcast(o).alias("b")
     month = F.expr("INTERVAL 30 DAYS")
     return (
         a.join(
@@ -397,6 +412,237 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.col("a.o_orderdate"), F.col("b.o_orderdate")).alias(
                 "overlap_start"
             ),
+        )
+    )
+
+
+_OVERLAP_CAP = 20  # per-entity interval prefix: ≤ K·(K-1)/2 pairs per entity
+
+
+@register(
+    "join_interval_overlap_bounded",
+    oracle=f"""
+WITH ranked AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate NULLS FIRST, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_custkey) AS n
+  FROM orders
+),
+kept AS (SELECT * FROM ranked WHERE rn <= {_OVERLAP_CAP})
+SELECT a.o_orderkey AS order_a, b.o_orderkey AS order_b, a.o_custkey AS custkey,
+       greatest(a.o_orderdate, b.o_orderdate) AS overlap_start,
+       a.n > {_OVERLAP_CAP} AS truncated
+FROM kept a JOIN kept b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+ AND a.o_orderdate < b.o_orderdate + INTERVAL 30 DAY
+ AND b.o_orderdate < a.o_orderdate + INTERVAL 30 DAY
+""",
+)
+def join_interval_overlap_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted interval-overlap join: join_interval_overlap with a
+    per-entity interval cap, so work AND output are bounded on a whale
+    key (round-9 skew audit: the unbudgeted exhibit emits 68.6M pairs on
+    the 50%-hot fixture and a 100 TB whale makes unbudgeted pair emission
+    a job-killer on ANY engine — same finding, same cure as
+    dedup_ngram_jaccard's round-5 posting budget).
+
+    Contract: each entity contributes only its first K=20 intervals by
+    (o_orderdate, o_orderkey) — a deterministic prefix, so capped pairs
+    are EXACT, never sampled — and every emitted pair of a capped entity
+    carries ``truncated = true`` (the pair set is a lower bound there).
+    ≤ K·(K-1)/2 pairs per entity: corpus-linear overall.
+
+    Scale discipline — the prefix itself must not re-create the bomb: a
+    bare row_number() over the entity key buffers the WHOLE hot entity
+    in one task before the cap can drop anything (the same trap
+    dedup_ngram_jaccard's df-cap avoids via groupBy). Two-phase prefix
+    instead: (1) per-input-split top-K via map-side-combinable
+    collect_list→sort→slice keyed on (entity, split id) — each task
+    buffers at most its own split, correct because a global top-K row
+    is top-K in its split; (2) global row_number over the ≤ K·splits
+    survivors per entity — a bounded buffer at any scale. The split id
+    never reaches the result, so the output is layout-invariant."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    n_tbl = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    local_topk = (
+        o.withColumn("_split", F.spark_partition_id())
+        .groupBy("o_custkey", "_split")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("o_orderdate", "o_orderkey"))),
+                1,
+                _OVERLAP_CAP,
+            ).alias("cand")
+        )
+        .select("o_custkey", F.explode("cand").alias("c"))
+        .select(
+            "o_custkey",
+            F.col("c.o_orderdate").alias("o_orderdate"),
+            F.col("c.o_orderkey").alias("o_orderkey"),
+        )
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    kept = (
+        local_topk.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _OVERLAP_CAP)
+        .drop("rn")
+        .join(n_tbl, "o_custkey")  # both sides already hashed on the key
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    month = F.expr("INTERVAL 30 DAYS")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.col("a.o_orderdate") < F.col("b.o_orderdate") + month)
+            & (F.col("b.o_orderdate") < F.col("a.o_orderdate") + month),
+        )
+        .select(
+            F.col("a.o_orderkey").alias("order_a"),
+            F.col("b.o_orderkey").alias("order_b"),
+            F.col("a.o_custkey").alias("custkey"),
+            F.greatest(F.col("a.o_orderdate"), F.col("b.o_orderdate")).alias(
+                "overlap_start"
+            ),
+            (F.col("a.n") > _OVERLAP_CAP).alias("truncated"),
+        )
+    )
+
+
+# Grid constants for the bucketed temporal probe. All integer microsecond
+# math so both engines compute bit-identical cells/timestamps (no session-
+# timezone dependency: unix_micros/epoch_us read the stored instant).
+_TJ_BASE_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z — events epoch
+_TJ_SHIP_EPOCH_US = 788_918_400_000_000  # 1995-01-01T00:00:00Z — shipdate epoch
+_TJ_WINDOW_US = 2_592_000_000_000  # 30 days — the events table's span
+_TJ_GRID_US = 900_000_000  # 15-minute bucket stride
+_TJ_LAST_CELL = _TJ_WINDOW_US // _TJ_GRID_US - 1  # probe ts < base+30d ⇒ ≤ 2879
+
+
+@register(
+    "join_interval_bucketed",
+    oracle=f"""
+WITH env AS (
+  SELECT user_id AS key, ts, event_id AS seq,
+         CASE event_type WHEN 'signup' THEN 'c' WHEN 'error' THEN 'd' ELSE 'u' END AS op,
+         value
+  FROM events
+),
+hist AS (
+  SELECT key, ts AS valid_from, seq, op, value,
+         lead(ts) OVER (PARTITION BY key ORDER BY ts, seq) AS valid_to
+  FROM env
+),
+versions AS (SELECT * FROM hist WHERE op <> 'd'),
+probe AS (
+  SELECT l_suppkey AS key, l_orderkey, l_linenumber,
+         make_timestamp({_TJ_BASE_US} +
+           (epoch_us(l_shipdate) - {_TJ_SHIP_EPOCH_US}) % {_TJ_WINDOW_US}) AS probe_ts
+  FROM lineitem
+)
+SELECT p.key, p.l_orderkey, p.l_linenumber, p.probe_ts,
+       v.seq AS state_seq, {sql_round('v.value', 4)} AS state_value
+FROM probe p JOIN versions v
+  ON v.key = p.key AND v.valid_from <= p.probe_ts
+ AND (v.valid_to IS NULL OR p.probe_ts < v.valid_to)
+""",
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-bucketed point-in-time join for an EXTERNAL probe table —
+    the general-purpose bounded interval join the round-9 skew audit
+    identified as the one missing plan shape. join_temporal_scd2's
+    window-collapse fix only works when the probe IS the envelope feed;
+    here the probe is lineitem (ship events mapped onto the SCD2 key and
+    time domain: l_suppkey ⊂ user_id at every sf, shipdate folded into
+    the events month by integer-micros modulo), so no self-coverage
+    argument exists and a plain key-equi-join with a residual interval
+    filter would examine |versions(k)| × |probes(k)| pairs — quadratic
+    on a hot key, and on sfskew the hot supplier and hot user are BOTH
+    the min key, a deliberate double-hot stress.
+
+    Plan: bucket time into 15-minute grid cells; explode each SCD2
+    version into the cells it overlaps (closed versions span few cells;
+    the open tail version is clamped to the probe window's last cell —
+    a constant here because the probe ts is folded into the 30-day
+    window by construction, one broadcast max-agg in the general case);
+    probe rows hash to exactly ONE cell; equi-join on (key, cell) with
+    the interval residual. Candidate pairs per key drop from
+    |V|·|P| to Σ_cell V_cell·P_cell ≈ |V|·|P| / cells — the stride
+    trades version-explode volume (keys × cells) against candidate
+    volume; 15 min ≈ the geometric balance at this shape. Coverage is
+    unique per probe row (zero-width versions are filtered; lead() makes
+    intervals disjoint), so no dedup pass is needed. The oracle keeps
+    the direct interval-join spelling: same rows, different plan."""
+    from mongodb_mysql_cdc_spark.sources.cdc import events_as_envelopes
+
+    env = events_as_envelopes(spark, sf_dir)
+    w = Window.partitionBy("key").orderBy("ts", "seq")
+    vers = (
+        env.withColumn("valid_to", F.lead("ts").over(w))
+        .filter((F.col("op") != "d") & F.col("key").isNotNull())
+        .select(
+            "key",
+            F.col("ts").alias("valid_from"),
+            "seq",
+            F.col("after.value").alias("value"),
+            "valid_to",
+        )
+    )
+    exploded = (
+        vers
+        # zero-width versions (closed at their own microsecond) cover
+        # nothing — and guarantee cell_from ≤ cell_to below.
+        .filter(F.col("valid_to").isNull() | (F.col("valid_to") > F.col("valid_from")))
+        .withColumn(
+            "_cf", F.expr(f"(unix_micros(valid_from) - {_TJ_BASE_US}) DIV {_TJ_GRID_US}")
+        )
+        .withColumn(
+            "_ct",
+            F.when(F.col("valid_to").isNull(), F.lit(_TJ_LAST_CELL)).otherwise(
+                F.least(
+                    F.expr(
+                        f"(unix_micros(valid_to) - 1 - {_TJ_BASE_US}) DIV {_TJ_GRID_US}"
+                    ),
+                    F.lit(_TJ_LAST_CELL),
+                )
+            ),
+        )
+        .filter(F.col("_cf") <= F.col("_ct"))  # drops versions past the probe window
+        .withColumn("cell", F.explode(F.sequence("_cf", "_ct")))
+        .drop("_cf", "_ct")
+    )
+    li = load(spark, sf_dir, "lineitem")
+    probe = (
+        li.filter(F.col("l_suppkey").isNotNull() & F.col("l_shipdate").isNotNull())
+        .select(
+            F.col("l_suppkey").alias("key"),
+            "l_orderkey",
+            "l_linenumber",
+            F.timestamp_micros(
+                F.lit(_TJ_BASE_US)
+                + (F.unix_micros("l_shipdate") - F.lit(_TJ_SHIP_EPOCH_US))
+                % F.lit(_TJ_WINDOW_US)
+            ).alias("probe_ts"),
+        )
+        .withColumn(
+            "cell", F.expr(f"(unix_micros(probe_ts) - {_TJ_BASE_US}) DIV {_TJ_GRID_US}")
+        )
+    )
+    return (
+        probe.join(exploded, ["key", "cell"])
+        .filter(
+            (F.col("valid_from") <= F.col("probe_ts"))
+            & (F.col("valid_to").isNull() | (F.col("probe_ts") < F.col("valid_to")))
+        )
+        .select(
+            "key",
+            "l_orderkey",
+            "l_linenumber",
+            "probe_ts",
+            F.col("seq").alias("state_seq"),
+            hround(F.col("value"), 4).alias("state_value"),
         )
     )
 

@@ -118,6 +118,17 @@ def test_subsets_are_registered_and_headline_synced():
         assert not missing, f"subset {label}: unregistered {missing}"
         assert len(names) == len(set(names)), f"subset {label}: duplicates"
 
-    bench_ns = {"__file__": str(ROOT / "bench.py")}
-    exec((ROOT / "bench.py").read_text().split("def main")[0], bench_ns)
-    assert subsets.HEADLINE == bench_ns["HEADLINE"]
+    # Parse HEADLINE from the AST (like the registry window check) —
+    # exec'ing a text prefix ran bench.py's module-level imports and broke
+    # if any earlier def was named main (round-9 ADVICE).
+    import ast
+
+    tree = ast.parse((ROOT / "bench.py").read_text())
+    headline = None
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and any(
+            isinstance(t, ast.Name) and t.id == "HEADLINE" for t in node.targets
+        ):
+            headline = ast.literal_eval(node.value)
+    assert headline is not None, "bench.py has no literal HEADLINE assignment"
+    assert subsets.HEADLINE == headline

@@ -672,6 +672,27 @@ def test_grid_corr_non_integral_other_parity(spark):
     assert got is not None and abs(got) <= 1.0
 
 
+def test_grid_sum_spellings_pinned_byte_for_byte():
+    """The driver's r09 evidence for sql_qualify hashes the EXACT oracle
+    text; the round-10 shared-builder refactor (_sql_grid_sum_expr) must
+    therefore be a no-op on the emitted SQL. Pin both derived strings
+    byte-for-byte against the pre-refactor literals."""
+    from mongodb_mysql_cdc_spark.functions.compat import (
+        sql_dec_avg_over,
+        sql_grid_sum,
+    )
+
+    assert sql_grid_sum("x") == (
+        "CAST(CAST((sum(CAST(floor((x) * 100.0 + 0.5) AS DECIMAL(18,0))))"
+        " AS STRING) AS DOUBLE) / 100.0"
+    )
+    assert sql_dec_avg_over("x", "g") == (
+        "CAST(CAST((sum(CAST(floor((x) * 100.0 + 0.5) AS DECIMAL(18,0)))"
+        " OVER (PARTITION BY g)) AS STRING) AS DOUBLE) / 100.0"
+        " / CAST(count(x) OVER (PARTITION BY g) AS DOUBLE)"
+    )
+
+
 def test_sql_dec_avg_over_matches_aggregate_spelling(spark):
     """sql_dec_avg_over (the window-form exact grid average behind
     sql_qualify's QUALIFY oracle) must compute the identical value as

@@ -64,6 +64,9 @@ JOIN_FAMILY = [
     "join_interval_overlap", "join_asof_forward", "join_asof_nearest",
     "join_temporal_scd2", "join_salted", "join_bucketed",
     "join_partition_pruned_dynamic", "join_lateral",
+    # round-10 registrations: the budgeted overlap sibling and the
+    # general-probe range-bucketed interval join (both exist FOR skew).
+    "join_interval_overlap_bounded", "join_interval_bucketed",
 ]
 
 
