@@ -109,7 +109,7 @@ def _sql_grid_sum_expr(expr: str, s: float, over: str = "") -> str:
     """The ONE grid-sum spelling both the aggregate and window forms derive
     from (``over`` is an optional ``" OVER (…)"`` suffix) — a hand-copied
     sibling would silently drift if the grid spelling ever changed.
-    tests/test_compat_diff.py pins the derived strings byte-for-byte."""
+    tests/test_properties.py pins the derived strings byte-for-byte."""
     inner = f"sum(CAST(floor(({expr}) * {s} + 0.5) AS DECIMAL(18,0))){over}"
     return f"{sql_dec_to_double(inner)} / {s}"
 
