@@ -470,3 +470,49 @@ def test_ngram_df_count_is_aggregate_not_window(spark):
     # partitions are capped at df <= _NGRAM_DF_CAP rows by the join before it
     for ln in win_lines:
         assert "row_number" in ln, ln
+
+
+def test_bounded_overlap_two_phase_prefix_and_hash_join(spark):
+    """join_interval_overlap_bounded (round 10): the per-entity cap must
+    ride a TWO-phase prefix — a split-local top-K (visible as the
+    spark_partition_id grouping key) before the global row_number — so no
+    task ever buffers a whole hot entity; and the pair join must stay an
+    equi-hash strategy with the overlap as residual, never a nested loop."""
+    plan = explain_str(_q("join_interval_overlap_bounded", spark))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    # the split-local phase survives optimization (it is the scale guard)
+    assert "SPARK_PARTITION_ID" in plan.upper(), plan
+    raw = _raw_plan(_q("join_interval_overlap_bounded", spark))
+    win_lines = [
+        ln for ln in raw.splitlines()
+        if "Window" in ln and "windowspecdefinition" in ln
+    ]
+    # the only window is the global prefix over ≤ K·splits survivors
+    assert win_lines
+    for ln in win_lines:
+        assert "row_number" in ln, ln
+
+
+def test_bucketed_interval_join_is_equi_on_cell_with_pruned_probe(spark):
+    """join_interval_bucketed (round 10): versions explode onto the time
+    grid (a Generate node), the probe joins by EQUI (key, cell) — hash or
+    sort-merge, never a range nested-loop — and the probe-side null
+    guards reach the lineitem parquet scan."""
+    df = _q("join_interval_bucketed", spark)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    assert "Generate explode" in plan or "Generate" in plan, plan
+    pushed = " ".join(pushed_filters(df))
+    assert "l_suppkey" in pushed and "l_shipdate" in pushed, pushed
+
+
+def test_exhibit_spread_parallelizes_pair_emission(spark):
+    """join_interval_overlap's probe side must be round-robin repartitioned
+    (catalog.spread) with the build side broadcast — the sf-scale
+    single-split scan must not serialize 68M-pair emission into one task
+    (round 9: 316 s single-task → round 10: 22.7 s over 64 splits)."""
+    plan = explain_str(_q("join_interval_overlap", spark))
+    assert "RoundRobinPartitioning" in plan, plan
+    assert has_broadcast_join(_q("join_interval_overlap", spark))
