@@ -95,7 +95,13 @@ _DRIVER_WINDOW = [
     "cdc_route_tables", "cdc_apply_soft_delete", "cdc_state_asof",
     "cdc_before_after_diff", "decontaminate", "domain_mix",
     "sample_weighted", "sink_partition_overwrite", "scan_merge_schema",
-    "join_bucketed", "maintenance_compact", "sink_orc_roundtrip",
+    "join_bucketed", "maintenance_compact",
+    # round-10 re-spell: ts_interpolate_linear's forward anchors moved
+    # off the O(n²) [CURRENT ROW, UNBOUNDED FOLLOWING] frame onto a DESC
+    # running frame (unchanged oracle; fresh evidence REQUIRED for the
+    # changed plan). Took sink_orc_roundtrip's slot — that one keeps its
+    # green r03 evidence and rejoins the r11 tail.
+    "ts_interpolate_linear",
 ]
 
 

@@ -217,13 +217,29 @@ FROM anchored
 def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear interpolation across gaps — the TimescaleDB ``interpolate``
     companion to ``ts_gapfill``'s locf: each missing hour gets the value
-    on the straight line between its nearest observed neighbors. Four
-    window expressions over TWO frames (backward and forward) of the SAME
-    (user_id, bucket) ordering — one exchange, one sort, two WindowExec
-    passes. The gap ratio is a quotient of exact integer microsecond
-    deltas, so it is bit-identical cross-engine; span endpoints are
-    observations, so prev/next anchors always exist within the partition.
-    Same users×hours cardinality bound as ts_gapfill at 100 TB."""
+    on the straight line between its nearest observed neighbors.
+
+    SCALE re-spell (round 10, caught by the registry-wide frame lint the
+    round-9 join_asof_nearest fix motivated): the forward anchors used a
+    [CURRENT ROW, UNBOUNDED FOLLOWING] frame, which WindowExec evaluates
+    by RESCANNING to the partition end per row — O(cells²) per user.
+    Invisible on the fixtures (the partition is the hourly GRID, ≤720
+    cells over the 30-day span — sfskew cannot grow it) but quadratic in
+    the TIME SPAN at production scale (a decade of hours is 87k cells →
+    7.6G rescans per user). Same cure as join_asof_nearest: the forward
+    first(ignorenulls) is re-spelled as last(ignorenulls) over a
+    DESC-ordered RUNNING frame — incrementally maintained, O(cells) —
+    at the cost of one extra in-partition sort (same single exchange;
+    the bucket is unique per (user, bucket) so the reversal is exact,
+    no tie to break). The oracle keeps the forward-frame SQL: DuckDB's
+    window engine evaluates it without the rescan, and the round-9
+    lesson is pinned mechanically by plan_lint's fwd_unbounded_frame
+    rule (empty exemption list) rather than by this one site.
+
+    The gap ratio is a quotient of exact integer microsecond deltas, so
+    it is bit-identical cross-engine; span endpoints are observations,
+    so prev/next anchors always exist within the partition. Same
+    users×hours cardinality bound as ts_gapfill at 100 TB."""
     ev = load(spark, sf_dir, "events")
     hourly = (
         ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("bucket"))
@@ -242,10 +258,12 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # DESC running frame ≡ the forward [CURRENT ROW, UNBOUNDED FOLLOWING]
+    # frame, evaluated incrementally instead of by per-row rescan.
     wfwd = (
         Window.partitionBy("user_id")
-        .orderBy("bucket")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     observed_ts = F.when(F.col("avg_value").isNotNull(), F.col("bucket"))
     anchored = grid.join(hourly, ["user_id", "bucket"], "left").select(
@@ -254,8 +272,8 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_value",
         F.last("avg_value", ignorenulls=True).over(wback).alias("prev_val"),
         F.last(observed_ts, ignorenulls=True).over(wback).alias("prev_ts"),
-        F.first("avg_value", ignorenulls=True).over(wfwd).alias("next_val"),
-        F.first(observed_ts, ignorenulls=True).over(wfwd).alias("next_ts"),
+        F.last("avg_value", ignorenulls=True).over(wfwd).alias("next_val"),
+        F.last(observed_ts, ignorenulls=True).over(wfwd).alias("next_ts"),
     )
     ratio = (F.unix_micros("bucket") - F.unix_micros("prev_ts")) / (
         F.unix_micros("next_ts") - F.unix_micros("prev_ts")

@@ -132,3 +132,50 @@ def test_subsets_are_registered_and_headline_synced():
             headline = ast.literal_eval(node.value)
     assert headline is not None, "bench.py has no literal HEADLINE assignment"
     assert subsets.HEADLINE == headline
+
+
+def test_fwd_unbounded_frame_rule_fires_and_spares(spark):
+    """plan_lint's fwd_unbounded_frame rule (round 10) must FLAG a frame
+    that ends at UNBOUNDED FOLLOWING without starting at UNBOUNDED
+    PRECEDING (WindowExec rescans per row — O(n²), the
+    join_asof_nearest / ts_interpolate_linear bug class) and must SPARE
+    the full-partition frame (computed once per partition) and running
+    frames. Exercised on real physical plans, not synthetic strings."""
+    import plan_lint
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, 1.0), (1, 2.0)], "k int, v double")
+    bad = df.withColumn(
+        "x",
+        F.first("v").over(
+            Window.partitionBy("k")
+            .orderBy("v")
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ),
+    )
+    full = df.withColumn(
+        "x",
+        F.last("v").over(
+            Window.partitionBy("k")
+            .orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ),
+    )
+    running = df.withColumn(
+        "x",
+        F.last("v").over(
+            Window.partitionBy("k")
+            .orderBy(F.desc("v"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    assert any(
+        "fwd_unbounded_frame" in p for p in plan_lint.lint_one("synthetic", bad)
+    )
+    assert not any(
+        "fwd_unbounded_frame" in p for p in plan_lint.lint_one("synthetic", full)
+    )
+    assert not any(
+        "fwd_unbounded_frame" in p for p in plan_lint.lint_one("synthetic", running)
+    )

@@ -109,6 +109,16 @@ PY_ROW_UDF_EXEMPT = {
     "udf_surface": "the row-at-a-time tier exhibit itself (documented slow path)",
 }
 
+# Queries allowed a window frame that ENDS at UNBOUNDED FOLLOWING without
+# STARTING at UNBOUNDED PRECEDING. WindowExec evaluates such frames by
+# rescanning from the current row to the partition end PER ROW — O(n²)
+# per partition, the round-9 join_asof_nearest / round-10
+# ts_interpolate_linear bug class. (The full [UNBOUNDED PRECEDING,
+# UNBOUNDED FOLLOWING] frame is fine: computed once per partition.)
+# The cure is always the same: reverse the ordering and use a RUNNING
+# frame (last/ignorenulls over DESC). Keep this list EMPTY.
+FWD_UNBOUNDED_FRAME_EXEMPT: dict[str, str] = {}
+
 # Queries allowed an exact percentile/median aggregate. Each entry is a
 # known per-group-state-∝-group-size site; the ones marked (r7) are
 # queued for the cdc_replication_lag histogram treatment when driver
@@ -172,6 +182,22 @@ def lint_one(name: str, df) -> list[str]:
         problems.append("cartesian: CartesianProduct in physical plan")
     if "BatchEvalPython" in plan and name not in PY_ROW_UDF_EXEMPT:
         problems.append("py_row_udf: row-at-a-time Python UDF in plan")
+    if name not in FWD_UNBOUNDED_FRAME_EXEMPT:
+        # specifiedwindowframe(RowFrame, <lower>, unboundedfollowing$()):
+        # quadratic per-row rescan unless <lower> is unboundedpreceding$()
+        for m in re.finditer(
+            r"specifiedwindowframe\(\w+, ([^,()]*(?:\([^()]*\))?[^,()]*), "
+            r"unboundedfollowing\$\(\)\)",
+            plan,
+        ):
+            if "unboundedpreceding" not in m.group(1):
+                problems.append(
+                    "fwd_unbounded_frame: frame ends at UNBOUNDED FOLLOWING "
+                    "without starting at UNBOUNDED PRECEDING — WindowExec "
+                    "rescans to partition end per row (O(n²)); reverse the "
+                    "ordering and use a running frame"
+                )
+                break
     if name not in GLOBAL_WINDOW_EXEMPT:
         for spec in window_partition_specs(plan):
             if spec == "<GLOBAL>":
