@@ -124,10 +124,37 @@ def build_null(spark, src: str, dst: str) -> None:
         print(f"{name} -> {dst}")
 
 
+def build_span(spark, src: str, dst: str, factor: int = 12) -> None:
+    """SPAN fixture (round 10): stretch the events timeline ×factor
+    (30 days → ~1 year at 12) by exact integer-microsecond affine remap
+    ts' = min_ts + (ts − min_ts)·factor. Ordering, uniqueness, values and
+    every other column survive; only the TIME SPAN grows — the axis the
+    round-10 ts_interpolate_linear catch proved invisible to skew (a hot
+    key doesn't grow an hourly grid; a longer span does, and per-user
+    grids are where frame pathologies turn quadratic). Deterministic and
+    engine-shared like the other fixtures: both engines read the SAME
+    stretched parquet, so the strict hash compare stays meaningful."""
+    min_us = int(
+        load(spark, src, "events").agg(F.min(F.unix_micros("ts"))).collect()[0][0]
+    )
+    for name in TABLES:
+        df = load(spark, src, name)
+        if name == "events":
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(
+                    F.lit(min_us)
+                    + (F.unix_micros("ts") - F.lit(min_us)) * F.lit(int(factor))
+                ),
+            )
+        df.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
+        print(f"{name} -> {dst}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
-    ap.add_argument("--mode", choices=["skew", "null", "both"], default="both")
+    ap.add_argument("--mode", choices=["skew", "null", "span", "both"], default="both")
     ap.add_argument("--dst", default=None, help="target dir (defaults per mode)")
     args = ap.parse_args()
     spark = get_session("make_skew")
@@ -135,6 +162,8 @@ def main() -> None:
         build_skew(spark, args.src, args.dst or "/tmp/sfskew")
     if args.mode in ("null", "both"):
         build_null(spark, args.src, args.dst or "/tmp/sfnull")
+    if args.mode == "span":
+        build_span(spark, args.src, args.dst or "/tmp/sfspan")
     spark.stop()
 
 

@@ -81,6 +81,21 @@ def _dedup(*lists: list[str]) -> list[str]:
     return out
 
 
+# Time-SPAN-sensitive queries (round 10): everything whose per-key work
+# or state grows with the events TIME SPAN rather than the row count —
+# hourly/session grids, event-time frames, as-of scans, watermarks. The
+# audience of /tmp/sfspan (make_skew.py --mode span: timeline ×12).
+TIME_SPAN = [
+    "ts_gapfill", "ts_interpolate_linear", "ts_ohlc_downsample",
+    "ts_ewma", "ts_calendar_profile", "ts_twap", "ts_seasonal_residual",
+    "ts_derivative", "ts_max_drawdown", "ts_autocorr",
+    "win_tumbling", "win_sliding", "win_session", "win_range_frame",
+    "stream_tumbling", "stream_sliding", "stream_session",
+    "stream_session_stateful", "late_data",
+    "join_asof", "join_asof_forward", "join_asof_nearest",
+    "cdc_state_asof", "join_interval_bucketed",
+]
+
 # The r8 "layout-sensitive" sweep set, mechanized (machinery + headline +
 # both re-spell families + connectivity — supersedes the ad-hoc 35).
 LAYOUT_SENSITIVE = _dedup(MACHINERY, HEADLINE, EXACT_DECIMAL, GRID_STATS, CONNECTIVITY)
@@ -98,6 +113,7 @@ SUBSETS = {
     "joins": JOIN_FAMILY,
     "layout": LAYOUT_SENSITIVE,
     "skew": SKEW_SWEEP,
+    "span": TIME_SPAN,
 }
 
 
