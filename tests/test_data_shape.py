@@ -29,7 +29,7 @@ ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT / "tools"))
 
 from check_strict import compare  # noqa: E402
-from make_skew import build_null, build_skew  # noqa: E402
+from make_skew import build_null, build_skew, build_span  # noqa: E402
 
 from mongodb_mysql_cdc_spark.catalog import TABLES, path_for  # noqa: E402
 
@@ -68,6 +68,17 @@ def shape_dirs(spark, sf_dir, tmp_path_factory):
     return skew, null
 
 
+@pytest.fixture(scope="module")
+def span_dir(spark, tmp_path_factory):
+    # built from sf0.01 (not sf0.001): the span axis needs enough events
+    # per user for the stretched grids/sessions to be non-trivial, and
+    # the x12 stretch keeps the grid at ~1.3M rows — still pytest-cheap.
+    root = tmp_path_factory.mktemp("span")
+    span = str(root / "sfspan")
+    build_span(spark, "/root/testdata/sf0.01", span)
+    return span
+
+
 def _strict(spark, sf: str, names: list[str]) -> dict[str, list[str]]:
     import __spark_entry__ as e
 
@@ -103,4 +114,26 @@ def test_null_fixture_strict_subset(spark, shape_dirs):
     set stays fixed."""
     _, null = shape_dirs
     bad = _strict(spark, null, NULL_SUBSET)
+    assert not bad, bad
+
+
+# Round-10 axis: per-key work that grows with the TIME SPAN, not the row
+# count — the ts_interpolate_linear catch class. Grid + frame + session
+# representatives (the full 24-query span subset runs in the per-round
+# sweep; this is the standing self-contained gate).
+SPAN_SUBSET = [
+    "ts_interpolate_linear",
+    "ts_gapfill",
+    "win_session",
+    "join_asof_nearest",
+    "ts_calendar_profile",
+]
+
+
+def test_span_fixture_strict_subset(spark, span_dir):
+    """A 12x-stretched timeline (30 days -> ~1 year) must not change any
+    result: grids grow from 720 to 8,760 cells per user, session gaps all
+    cross the 30-minute threshold, frames span the year — and every
+    output stays a pure function of the data on both engines."""
+    bad = _strict(spark, span_dir, SPAN_SUBSET)
     assert not bad, bad
