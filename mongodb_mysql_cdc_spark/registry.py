@@ -81,21 +81,39 @@ _DRIVER_WINDOW = [
     "multimodal_decode", "win_tumbling", "win_sliding", "win_session",
     "late_data", "stream_stream_join", "stream_stream_join_left",
     "stream_static_join",
-    # oldest evidence: r03 head (24 of 41 remaining; the 17-name r03
-    # tail — maintenance_cluster, dq_checks, token_count, lang_id,
-    # doc_fingerprint, text_redact, text_repetition, text_ngram_freq,
-    # stream_sliding, subquery_exists/not_exists/in, win_cume_dist,
-    # fn_url, … — rotates in r11). R11 RESERVATION (verdict r9 item 8):
-    # hold ~5 r11 slots for win_rank_dense, analytics_rfm,
-    # dataset_curriculum (oldest re-spelled-code evidence, r08
-    # localCheckpointed machinery consumers) ahead of the r03 tail.
-    "pivot_wide", "unpivot_long", "agg_histogram", "agg_boolean",
-    "join_null_safe", "win_nth_value", "fn_bitwise", "fn_string2",
-    "fn_datetime2", "fn_regex", "fn_trig", "stream_dedup_watermarked",
+    # round-10 re-spells (the TEXT + EMPTY data-shape waves, this round):
+    # every coverage_report --stale name gets a slot — changed register
+    # segments need evidence under the NEW spelling. Cheap aggs first.
+    #   - grouping family: oracle gained the HAVING count(*)>0 empty-
+    #     input pin (agg_rollup docstring has the no-op proof);
+    #   - dq_profile: count-arithmetic null counts (sum-over-zero catch);
+    #   - scan_observe_metrics: None-safe metric row;
+    #   - partition-pruned trio: explicit-schema read-backs;
+    #   - graph_pagerank_iter: empty-graph guard;
+    #   - doc_chunk_overlap / dedup_chunk_sig: chunk_starts empty guard
+    #     + the casefold-contract tokenizer (both-engine re-spell).
+    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_grouping_id",
+    "dq_profile", "scan_observe_metrics", "doc_chunk_overlap",
+    "scan_partition_pruned", "join_partition_pruned_dynamic",
+    "graph_pagerank_iter", "dedup_chunk_sig",
+    # oldest evidence: r03 head (12 of 41 remaining; the evicted-this-
+    # round 11 — pivot_wide, unpivot_long, agg_histogram, agg_boolean,
+    # win_nth_value, fn_bitwise, fn_trig, sample_weighted,
+    # scan_merge_schema, join_bucketed, fn_regex — keep their green r03
+    # evidence and rejoin the r11 tail with maintenance_cluster,
+    # dq_checks, token_count, lang_id, doc_fingerprint, text_redact,
+    # text_repetition, text_ngram_freq, stream_sliding,
+    # subquery_exists/not_exists/in, win_cume_dist, fn_url, ….
+    # R11 RESERVATION (verdict r9 item 8): hold ~5 r11 slots for
+    # win_rank_dense, analytics_rfm, dataset_curriculum (oldest
+    # re-spelled-code evidence, r08 localCheckpointed machinery
+    # consumers) ahead of the r03 tail.
+    "join_null_safe", "fn_string2",
+    "fn_datetime2", "stream_dedup_watermarked",
     "cdc_route_tables", "cdc_apply_soft_delete", "cdc_state_asof",
     "cdc_before_after_diff", "decontaminate", "domain_mix",
-    "sample_weighted", "sink_partition_overwrite", "scan_merge_schema",
-    "join_bucketed", "maintenance_compact",
+    "sink_partition_overwrite",
+    "maintenance_compact",
     # round-10 re-spell: ts_interpolate_linear's forward anchors moved
     # off the O(n²) [CURRENT ROW, UNBOUNDED FOLLOWING] frame onto a DESC
     # running frame (unchanged oracle; fresh evidence REQUIRED for the

@@ -246,6 +246,15 @@ class CdcParquetSink:
                 new = self._bucket(
                     merge_states(old.filter(F.col("bucket").isin(touched)), delta)
                 )
+            if new.isEmpty():
+                # an EMPTY micro-batch (zero envelopes after filters —
+                # e.g. a heartbeat-only feed) folds to no state change;
+                # writing an empty tmp dir would fail on read-back
+                # (round-10 EMPTY-fixture catch, same guard as the SCD2
+                # sink) — commit the no-op instead
+                self._committed.add(batch_id)
+                self._save_commits()
+                return
             # Two-phase: materialize the merged buckets to tmp first (the
             # merge READS path, so overwriting path in the same job would
             # clobber its own input), then dynamic-partition-overwrite into
@@ -267,7 +276,15 @@ class CdcParquetSink:
     def current(self) -> DataFrame:
         st = self.state()
         if st is None:
-            raise RuntimeError("no state written yet")
+            # EMPTY feed (round-10 EMPTY-fixture catch): a replay that
+            # carried zero envelopes writes no state files — the correct
+            # sink table is EMPTY, not an error. Schema is static for
+            # this feed (current_state's projection of the envelope).
+            return self.spark.createDataFrame(
+                [],
+                "key long, last_ts timestamp, last_event_type string,"
+                " last_value double, last_k long",
+            )
         return current_state(st)
 
 
@@ -450,7 +467,13 @@ class Scd2ParquetSink:
     def history(self) -> DataFrame:
         st = self.state()
         if st is None:
-            raise RuntimeError("no state written yet")
+            # EMPTY feed: zero envelopes → empty SCD2 history, not an
+            # error (round-10 EMPTY-fixture catch; schema is static).
+            return self.spark.createDataFrame(
+                [],
+                "key long, seq long, value double, valid_from timestamp,"
+                " valid_to timestamp, is_current boolean",
+            )
         return st.select(
             "key", "seq", "value", "valid_from", "valid_to", "is_current"
         )

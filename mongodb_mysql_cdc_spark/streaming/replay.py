@@ -79,6 +79,14 @@ def stage_heartbeats(
     import os
 
     max_ts = load(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+    if max_ts is None:
+        # EMPTY feed (round-10 EMPTY-fixture catch): max(ts) of zero events
+        # is NULL and None + timedelta crashed every heartbeat-staged
+        # stream. An empty feed still needs heartbeats — they are what
+        # advances the watermark so the query drains and the sinks commit
+        # their (empty) results. Any fixed base works; the beats only need
+        # to ascend.
+        max_ts = datetime.datetime(2000, 1, 1)
     for i in range(n):
         hb_ts = max_ts + datetime.timedelta(hours=10 * (i + 1))
         hb = spark.createDataFrame(

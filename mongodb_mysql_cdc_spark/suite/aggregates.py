@@ -117,9 +117,11 @@ FROM supplier
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY GROUPING SETS ((r_name, n_name), (r_name), ())
+HAVING count(*) > 0
 """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level grouping sets over the supplier geography (empty-input contract: see agg_rollup — the oracle's HAVING count(*) > 0 pins Spark's Expand semantics)."""
     sup = load(spark, sf_dir, "supplier")
     nat = load(spark, sf_dir, "nation")
     reg = load(spark, sf_dir, "region")
@@ -148,11 +150,21 @@ FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
+HAVING count(*) > 0
 """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical totals region → nation → grand. nation/region are
-    bounded dims (25/5 rows at ANY scale) — broadcast unconditionally."""
+    bounded dims (25/5 rows at ANY scale) — broadcast unconditionally.
+
+    EMPTY-input contract (round-10 EMPTY-fixture catch, whole grouping
+    family): Spark's Expand-based rollup/cube/grouping-sets emits NO rows
+    on an empty relation — the ANSI ``()`` grouping set's grand-total row
+    (count 0, NULL aggregates; DuckDB and PostgreSQL emit it) never forms
+    because Expand has no input rows to expand. Pinned to Spark's
+    semantics: the oracle adds ``HAVING count(*) > 0``, a provable no-op
+    on any non-empty group (every grouping-set row aggregates ≥1 input
+    row) that drops exactly the degenerate empty-input row."""
     cust = load(spark, sf_dir, "customer")
     nat = load(spark, sf_dir, "nation")
     reg = load(spark, sf_dir, "region")
@@ -173,9 +185,11 @@ SELECT l_returnflag, l_linestatus,
        {sql_round('sum(l_quantity)')} AS sum_qty
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
+HAVING count(*) > 0
 """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over returnflag x linestatus (empty-input contract: see agg_rollup — the oracle's HAVING count(*) > 0 pins Spark's Expand semantics)."""
     li = load(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),

@@ -181,7 +181,10 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for col in cols:
         aggs += [
             F.count(F.lit(1)).alias(f"{col}__rows"),
-            F.sum(F.col(col).isNull().cast("long")).alias(f"{col}__null"),
+            # count arithmetic, not sum(isNull): sum over ZERO rows is
+            # NULL while the profile of an empty table must say 0 nulls
+            # (round-10 EMPTY-fixture catch; matches the oracle spelling)
+            (F.count(F.lit(1)) - F.count(F.col(col))).alias(f"{col}__null"),
             F.count_distinct(F.col(col)).alias(f"{col}__distinct"),
             F.min(col).cast("string").alias(f"{col}__min"),
             F.max(col).cast("string").alias(f"{col}__max"),
@@ -271,6 +274,13 @@ def graph_pagerank_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     contrib_edges = dir_edges.join(deg, "src").persist()
     nodes = contrib_edges.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.count()  # one scalar; the rank loop itself never collects
+    if n_nodes == 0:
+        # EMPTY graph (round-10 EMPTY-fixture catch): the 1/N seed is a
+        # plan-time constant, so ANSI mode raises DIVIDE_BY_ZERO during
+        # constant folding even though no row would evaluate it. PageRank
+        # of an empty graph is the empty ranking on both engines.
+        contrib_edges.unpersist()
+        return spark.createDataFrame([], "node string, rank double")
     ranks = nodes.select("node", (F.lit(1.0) / n_nodes).alias("r"))
     for _ in range(3):
         ranks = (

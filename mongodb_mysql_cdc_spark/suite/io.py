@@ -104,7 +104,12 @@ def sink_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("day")
         .parquet(out)
     )
-    return spark.read.parquet(out).select("event_id", "event_type", "value", "day")
+    # read back with the writer's schema: a restatement that leaves the
+    # table EMPTY (zero events) must read back as empty, not die in
+    # schema inference (round-10 EMPTY-fixture catch)
+    return spark.read.schema(ev.schema).parquet(out).select(
+        "event_id", "event_type", "value", "day"
+    )
 
 
 @register(
@@ -433,8 +438,11 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev.write.mode("overwrite").partitionBy("day").parquet(out)
     target = ev.agg(F.date_add(F.min("day"), 2).alias("d")).first()["d"]
+    # explicit schema: an empty day-partitioned table has no directories
+    # to infer from (round-10 EMPTY-fixture catch); target=None then
+    # filters to the same zero rows the oracle returns
     return (
-        spark.read.parquet(out)
+        spark.read.schema(ev.schema).parquet(out)
         .filter(F.col("day") == F.lit(target))
         .select("event_id", "event_type", "value", "day")
     )
@@ -477,8 +485,10 @@ def join_partition_pruned_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.countDistinct("user_id").alias("n_users"))
         .filter(F.col("n_users") >= 136)
     )
+    # explicit schema for the same reason as scan_partition_pruned: an
+    # empty fact table has no partition directories to infer from
     return (
-        spark.read.parquet(out)
+        spark.read.schema(ev.schema).parquet(out)
         .join(F.broadcast(act), "day")
         .select("event_id", "user_id", "value", "day", "n_users")
     )
@@ -749,9 +759,13 @@ def scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # float(Decimal cents) is correctly rounded (= the oracle's
     # via-string cast of the exact integer), then the /100.0 and the
     # count division replay sql_grid_sum / sql_dec_avg bit-for-bit.
-    revenue = float(m["total_revenue"]) / 100.0
-    row = [(int(m["n_rows"]), revenue, int(m["n_filled"]),
-            revenue / int(m["n_rows"]))]
+    # EMPTY scan (round-10 EMPTY-fixture catch): observe's sum metric is
+    # None over zero rows and the avg divides by n_rows=0 — emit the same
+    # (0, NULL, 0, NULL) row the oracle's aggregation produces.
+    n = int(m["n_rows"])
+    revenue = None if m["total_revenue"] is None else float(m["total_revenue"]) / 100.0
+    avg = None if (revenue is None or n == 0) else revenue / n
+    row = [(n, revenue, int(m["n_filled"]), avg)]
     out = spark.createDataFrame(
         row, "n_rows long, total_revenue double, n_filled long, avg_price double"
     )

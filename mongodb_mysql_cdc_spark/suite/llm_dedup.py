@@ -23,10 +23,7 @@ from mongodb_mysql_cdc_spark.functions.compat import hround, sql_round
 from mongodb_mysql_cdc_spark.registry import register
 
 # Shared DuckDB CTE: lowercased whitespace tokens (matches functions/text.py).
-TOKS_CTE = (
-    "toks AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS t "
-    "FROM documents)"
-)
+TOKS_CTE = X.sql_toks_cte()
 from mongodb_mysql_cdc_spark.operators.dedup import connected_components
 from mongodb_mysql_cdc_spark.operators.partitioning import spread
 from mongodb_mysql_cdc_spark.operators.similarity import blocked_allpairs_cosine
@@ -592,7 +589,7 @@ def dedup_chunk_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
         )
     )
-    starts = F.sequence(F.lit(1), F.length("text"), F.lit(400))
+    starts = X.chunk_starts(F.col("text"))  # empty doc → no chunks (pinned)
     chunks = corpus.select(
         "doc_id", F.explode(starts).alias("start"), F.col("text")
     ).select(

@@ -17,11 +17,8 @@ from mongodb_mysql_cdc_spark.functions import vectors as V
 from mongodb_mysql_cdc_spark.functions.compat import hround, sql_round
 from mongodb_mysql_cdc_spark.registry import register
 
-# Shared DuckDB CTE: lowercased whitespace tokens (matches functions/text.py).
-TOKS_CTE = (
-    "toks AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS t "
-    "FROM documents)"
-)
+# Shared DuckDB CTE — derived from the functions/text.py builder.
+TOKS_CTE = X.sql_toks_cte()
 from mongodb_mysql_cdc_spark.operators.multimodal import (
     audio_features,
     decode_media,

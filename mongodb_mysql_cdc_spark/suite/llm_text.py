@@ -19,11 +19,10 @@ from mongodb_mysql_cdc_spark.functions.compat import hround, sql_round
 from mongodb_mysql_cdc_spark.operators.partitioning import spread
 from mongodb_mysql_cdc_spark.registry import register
 
-# Shared DuckDB CTE: lowercased whitespace tokens (matches functions/text.py).
-TOKS_CTE = (
-    "toks AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS t "
-    "FROM documents)"
-)
+# Shared DuckDB CTE: casefolded whitespace tokens — derived from the
+# functions/text.py builder so the Spark and oracle tokenizers cannot
+# drift (round-10 casefold contract).
+TOKS_CTE = X.sql_toks_cte()
 
 
 # ---------------------------------------------------------------------------
@@ -592,7 +591,7 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines inside the scan stage; chunk count scales with doc length,
     never with corpus size."""
     docs = load(spark, sf_dir, "documents")
-    starts = F.sequence(F.lit(1), F.length("text"), F.lit(400))
+    starts = X.chunk_starts(F.col("text"))  # empty doc → no chunks (pinned)
     return (
         docs.select("doc_id", "text", F.explode(starts).alias("chunk_start"))
         .select(

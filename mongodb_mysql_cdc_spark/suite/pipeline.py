@@ -26,10 +26,7 @@ from mongodb_mysql_cdc_spark.registry import register
 
 # Lowercased whitespace tokens — must match functions/text.py (same CTE as
 # the llm_* modules).
-TOKS_CTE = (
-    "toks AS (SELECT doc_id, lang, source, n_chars,"
-    " string_split_regex(lower(trim(text)), '\\s+') AS t FROM documents)"
-)
+TOKS_CTE = X.sql_toks_cte(" source, n_chars,")
 
 
 # ---------------------------------------------------------------------------
@@ -413,7 +410,7 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus_prepare_e2e_production (persist + machinery): identical output
 _CORPUS_PREPARE_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id, lang, text, string_split_regex(lower(trim(text)), '\\s+') AS t
+  SELECT doc_id, lang, text, {X.sql_tokens('text')} AS t
   FROM documents
 ),
 -- stage 1: exact dedup (min-doc_id survivor per content hash)

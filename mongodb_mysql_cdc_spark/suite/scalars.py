@@ -644,13 +644,15 @@ SELECT coalesce(l_returnflag, '<all>')  AS rf,
        {sql_round('sum(l_quantity)')}   AS sum_qty
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
+HAVING count(*) > 0
 """,
 )
 def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING() flag columns over ROLLUP — how a consumer tells a real
     NULL group from a subtotal row (the §2.4 rollup family's missing
     introspection bit). Same single Expand + two-phase aggregate as
-    agg_rollup; the flags are free metadata from the Expand."""
+    agg_rollup; the flags are free metadata from the Expand. Empty-
+    input contract: see agg_rollup (oracle HAVING count(*) > 0)."""
     li = load(spark, sf_dir, "lineitem")
     rolled = li.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("long").alias("g_rf"),

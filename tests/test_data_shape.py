@@ -29,7 +29,13 @@ ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT / "tools"))
 
 from check_strict import compare  # noqa: E402
-from make_skew import build_null, build_skew, build_span  # noqa: E402
+from make_skew import (  # noqa: E402
+    build_empty,
+    build_null,
+    build_skew,
+    build_span,
+    build_text,
+)
 
 from mongodb_mysql_cdc_spark.catalog import TABLES, path_for  # noqa: E402
 
@@ -136,4 +142,89 @@ def test_span_fixture_strict_subset(spark, span_dir):
     cross the 30-minute threshold, frames span the year — and every
     output stays a pure function of the data on both engines."""
     bad = _strict(spark, span_dir, SPAN_SUBSET)
+    assert not bad, bad
+
+
+# Round-10 axis: adversarial Unicode / degenerate strings. This is
+# exactly the first-sweep catch set — every query here FAILED on the
+# TEXT fixture (Java-vs-utf8proc lower() on Turkish İ, the empty-doc
+# sequence() crash, and their downstream hash flips) and was fixed by
+# the casefold contract (functions/text.py), the chunk_starts empty
+# guard, and the shared sql_toks_cte builder. This gate keeps those
+# contracts pinned.
+TEXT_SUBSET = [
+    "text_tokenize",
+    "text_stats",
+    "text_quality",
+    "token_count",
+    "doc_fingerprint",
+    "doc_chunk_overlap",
+    "tfidf",
+    "tfidf_topk_per_doc",
+    "dedup_chunk_sig",
+    "fn_json",
+]
+
+
+@pytest.fixture(scope="module")
+def text_dir(spark, tmp_path_factory):
+    # sf0.01 (500 docs): every 7th doc swaps to the 16-entry palette, so
+    # each adversarial class appears ~4x; sf0.001's 50 docs would miss
+    # half the palette.
+    root = tmp_path_factory.mktemp("text")
+    text = str(root / "sftext")
+    build_text(spark, "/root/testdata/sf0.01", text)
+    return text
+
+
+def test_text_fixture_strict_subset(spark, text_dir):
+    """Empty/whitespace-only docs, emoji+ZWJ, CJK, NFD marks, Turkish İ /
+    Greek Σ casing traps, a 5000-char token, 500x repetition — tokenizer,
+    chunker, fingerprint and TF-IDF must stay hash-identical across
+    engines under the pinned casefold + empty-chunk contracts."""
+    bad = _strict(spark, text_dir, TEXT_SUBSET)
+    assert not bad, bad
+
+
+# Round-10 axis: EMPTY input — every table 0 rows, schema preserved (the
+# "filter matched nothing / tenant has no data" shape at 100 TB). The
+# non-streaming first-sweep catch set: grouping-family ANSI () row
+# (pinned via oracle HAVING count(*)>0), partitioned-sink read-back
+# schema inference, observe-metrics None arithmetic, pagerank's
+# constant-folded 1/0, dq_profile's sum-over-zero-rows NULL. Streaming
+# members (stream_session, stream_stream_join_left, cdc_apply_stream,
+# cdc_scd2_stream — the heartbeat None+timedelta and empty-state
+# catches) run in the per-round full sweep: micro-batch replay is too
+# slow for this stage, same policy as the NULL set.
+EMPTY_SUBSET = [
+    "agg_grouping_sets",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_id",
+    "sink_partition_overwrite",
+    "scan_partition_pruned",
+    "join_partition_pruned_dynamic",
+    "scan_observe_metrics",
+    "graph_pagerank_iter",
+    "dq_profile",
+    "retention_cohort",
+    "fn_datetime",
+    "fn_datetime2",
+    "fn_interval",
+    "cast_types",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("empty")
+    empty = str(root / "sfempty")
+    build_empty(spark, "/root/testdata/sf0.001", empty)
+    return empty
+
+
+def test_empty_fixture_strict_subset(spark, empty_dir):
+    """Zero-row tables must still plan, run, and agree with the oracle —
+    no crash-on-empty, no lost ANSI rows, no schema-inference death."""
+    bad = _strict(spark, empty_dir, EMPTY_SUBSET)
     assert not bad, bad

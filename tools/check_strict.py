@@ -108,6 +108,13 @@ def compare(sdf_pd: pd.DataFrame, ddf_pd: pd.DataFrame) -> list[str]:
         return [f"duckdb side crashes canonicalizer: {type(ex).__name__}: {ex}"]
     if list(s.columns) != list(d.columns):
         return [f"columns differ: spark={list(s.columns)} duckdb={list(d.columns)}"]
+    if len(s) == 0 and len(d) == 0:
+        # Both empty: the driver's value hash is over zero cells, so only
+        # column names can diverge (checked above). Empty-frame DTYPES are
+        # a toPandas()/duckdb.df() inference artifact (Spark gives object
+        # for a 0-row date column, DuckDB keeps datetime64) — not an
+        # engine result difference. Round-10 EMPTY-fixture calibration.
+        return problems
     if len(s) != len(d):
         problems.append(f"row counts differ: spark={len(s)} duckdb={len(d)}")
     for c in s.columns:

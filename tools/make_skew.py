@@ -34,6 +34,12 @@ Deterministic predicates on never-remapped unique columns, so both
 fixtures are reproducible bit-for-bit and Spark + DuckDB read the SAME
 parquet — the strict sweep's hash compare stays meaningful.
 
+Round 10 added three more modes on the same template: SPAN
+(--mode span: events timeline ×12 — grid/frame growth), TEXT
+(--mode text: adversarial Unicode / degenerate document text — the
+cross-engine string-semantics axis) and EMPTY (--mode empty: every
+table 0 rows, schema preserved — the crash-on-empty axis).
+
 Usage:
     python tools/make_skew.py                      # both fixtures from sf0.1
     python tools/make_skew.py --mode skew --dst /tmp/sfskew
@@ -124,6 +130,104 @@ def build_null(spark, src: str, dst: str) -> None:
         print(f"{name} -> {dst}")
 
 
+# Adversarial text palette (TEXT fixture). Deliberately covers the
+# cross-engine string-semantics hazard classes: empty / whitespace-only
+# strings, astral-plane emoji + ZWJ sequences, CJK (no whitespace
+# tokens), combining marks (NFD), locale-hazard casing (Turkish dotless
+# i, German ß), RTL + bidi marks, one giant unbroken token, massive
+# exact repetition, HTML entities, URLs, punctuation-only. No NUL byte:
+# that would probe the pandas comparator, not the engines.
+TEXT_PALETTE = [
+    "",
+    " \t\n  \r\n ",
+    "café naïve résumé \U0001f600\U0001f600 "
+    "\U0001f469‍\U0001f469‍\U0001f467 emoji stress",
+    "漢字テスト 中文测试 "
+    "한국어 日本語",
+    "éclair ångström combining marks",
+    "x" * 5000,
+    "spam ham " * 500,
+    "İstanbul ı I i TURKISH casing",
+    "STRASSE straße GROSS groß",
+    "مرحبا بالعا"
+    "لم ‏ rtl bidi test",
+    "<p>&amp; &lt;tag&gt; &quot;quoted&quot;</p>",
+    "https://ex.example.com/path%20a/b?q=a%20b&x=1&y=%7B%7D#frag",
+    "!!! ??? ... ,,, ;;; 12345 67890",
+    "a",
+    "ΣΟΦΟΣ ΣΟΦΙΑ ΟΔΥΣΣΕΥΣ greek sigma",
+    # genuinely NFD: base letters + combining marks
+    "e\u0301clair a\u030angstro\u0308m nfd combining",
+]
+
+
+def build_text(spark, src: str, dst: str) -> None:
+    """TEXT fixture (round 10): adversarial Unicode / degenerate strings.
+
+    Every 7th document's ``text`` is replaced (deterministically, cycling
+    ``TEXT_PALETTE`` by doc_id) with a string from a hazard class where
+    Spark (JVM: Java regex, java.lang.String casing, UTF8String lengths)
+    and DuckDB (RE2, utf8proc) are most likely to disagree: empty /
+    whitespace-only, emoji + ZWJ, CJK, NFD combining marks, Turkish /
+    German casing traps, RTL + bidi controls, a 5000-char unbroken token,
+    500× exact repetition, HTML entities, escaped URLs. ``n_chars`` is
+    recomputed as ``length(text)`` so the FIXTURES.md consistency
+    invariant survives; doc_id / lang / source are never touched (PK,
+    group keys). A few ``events.props`` JSON payloads gain unicode-escape
+    and nested-quote content for the JSON-path family. Deterministic and
+    engine-shared like the other fixtures — both engines read the SAME
+    parquet, so strict hash compare stays meaningful."""
+    pal = F.array(*[F.lit(s) for s in TEXT_PALETTE])
+    for name in TABLES:
+        df = load(spark, src, name)
+        if name == "documents":
+            swap = F.col("doc_id") % 7 == 0
+            idx = (F.col("doc_id") / 7).cast("long") % len(TEXT_PALETTE)
+            df = df.withColumn(
+                "text",
+                F.when(swap, F.element_at(pal, (idx + 1).cast("int")))
+                .otherwise(F.col("text")),
+            ).withColumn("n_chars", F.length("text").cast("long"))
+        elif name == "events":
+            # props keeps its generator schema ({"k": <int>} — oracles cast
+            # $.k to a number) but gains adversarial EXTRA fields: unicode
+            # escapes, nested quotes, scientific notation, deep nesting.
+            df = df.withColumn(
+                "props",
+                F.when(
+                    F.col("event_id") % 97 == 0,
+                    F.concat(
+                        F.lit('{"k": '),
+                        (F.col("event_id") % 100).cast("string"),
+                        F.lit(
+                            ', "s": "caf\\u00e9 \\"quoted\\"", "n": 1e-3,'
+                            ' "arr": [1, 2, {"deep": "\\u6f22"}]}'
+                        ),
+                    ),
+                ).otherwise(F.col("props")),
+            )
+        df.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
+        print(f"{name} -> {dst}")
+
+
+def build_empty(spark, src: str, dst: str) -> None:
+    """EMPTY fixture (round 10): every table schema-identical but 0 rows.
+
+    At 100 TB an empty INPUT table is rare but an empty slice is not — a
+    partition-pruned date, a filter that matches nothing, a tenant with
+    no data. Every registered query must still plan, run, and agree with
+    the oracle on zero rows (global aggs return their 1-row form on both
+    engines, driver-side samples must tolerate 0-row collects, iterative
+    ops must not divide by an empty norm). ``limit(0)`` preserves the
+    exact parquet schema, so this is the cheapest fixture and the most
+    total sweep: the full registry runs in one pass."""
+    for name in TABLES:
+        load(spark, src, name).limit(0).write.mode("overwrite").parquet(
+            f"{dst}/{name}.parquet"
+        )
+        print(f"{name} -> {dst} (0 rows)")
+
+
 def build_span(spark, src: str, dst: str, factor: int = 12) -> None:
     """SPAN fixture (round 10): stretch the events timeline ×factor
     (30 days → ~1 year at 12) by exact integer-microsecond affine remap
@@ -154,7 +258,11 @@ def build_span(spark, src: str, dst: str, factor: int = 12) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
-    ap.add_argument("--mode", choices=["skew", "null", "span", "both"], default="both")
+    ap.add_argument(
+        "--mode",
+        choices=["skew", "null", "span", "text", "empty", "both"],
+        default="both",
+    )
     ap.add_argument("--dst", default=None, help="target dir (defaults per mode)")
     args = ap.parse_args()
     spark = get_session("make_skew")
@@ -164,6 +272,10 @@ def main() -> None:
         build_null(spark, args.src, args.dst or "/tmp/sfnull")
     if args.mode == "span":
         build_span(spark, args.src, args.dst or "/tmp/sfspan")
+    if args.mode == "text":
+        build_text(spark, args.src, args.dst or "/tmp/sftext")
+    if args.mode == "empty":
+        build_empty(spark, args.src, args.dst or "/tmp/sfempty")
     spark.stop()
 
 

@@ -96,6 +96,29 @@ TIME_SPAN = [
     "cdc_state_asof", "join_interval_bucketed",
 ]
 
+# String-semantics-sensitive queries (round 10): everything that
+# tokenizes, cases, regexes, shingles, hashes, or measures document
+# TEXT — the audience of /tmp/sftext (make_skew.py --mode text:
+# adversarial Unicode / degenerate strings). This is where the JVM
+# (Java regex, String casing, code-point lengths) and DuckDB (RE2,
+# utf8proc) are most likely to disagree — the NULL-wave playbook,
+# pointed at string semantics.
+TEXT_SENSITIVE = [
+    "text_tokenize", "text_stats", "text_quality", "text_entropy",
+    "text_repetition", "text_ngram_freq", "text_pii_flag", "text_redact",
+    "lang_id", "token_count", "token_oov_rate", "token_bigram_pmi",
+    "token_bpe_merge", "doc_fingerprint", "doc_chunk_overlap",
+    "tfidf", "tfidf_topk_per_doc", "search_bm25",
+    "quality_buckets", "quality_ensemble", "quality_unigram_logprob",
+    "quality_winsorize", "agg_entropy_diversity",
+    "dedup_exact", "dedup_simhash", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_chunk_sig", "dedup_levenshtein",
+    "dedup_url_canonical", "dedup_clusters", "dedup_survivors",
+    "fn_string", "fn_string2", "fn_string3", "fn_regex", "fn_url",
+    "fn_json", "fn_levenshtein_threshold",
+    "decontaminate", "sample_stratified",
+]
+
 # The r8 "layout-sensitive" sweep set, mechanized (machinery + headline +
 # both re-spell families + connectivity — supersedes the ad-hoc 35).
 LAYOUT_SENSITIVE = _dedup(MACHINERY, HEADLINE, EXACT_DECIMAL, GRID_STATS, CONNECTIVITY)
@@ -114,6 +137,7 @@ SUBSETS = {
     "layout": LAYOUT_SENSITIVE,
     "skew": SKEW_SWEEP,
     "span": TIME_SPAN,
+    "text": TEXT_SENSITIVE,
 }
 
 
