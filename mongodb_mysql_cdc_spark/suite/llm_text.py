@@ -283,9 +283,14 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     like text_stats."""
     docs = load(spark, sf_dir, "documents")
     toks = X.tokens(F.col("text"))
+    # no explicit pre-explode size(s)>0 filter: explode drops empty
+    # arrays, and Catalyst's InferFiltersFromGenerate re-adds the guard
+    # below the repartition anyway (so the tokenizer runs 3x per ROW —
+    # the optimizer's floor; the round-10 plan pin bans the per-ELEMENT
+    # re-evaluation that made this query quadratic per document)
     sh = spread(docs, "doc_id").select(
         "doc_id", X.word_shingles(toks, 3).alias("s")
-    ).filter(F.size("s") > 0)
+    )
     ex = sh.select("doc_id", F.size("s").alias("n_shingles"), F.explode("s").alias("g"))
     counts = ex.groupBy("doc_id", "g").agg(
         F.max("n_shingles").alias("n_shingles"), F.count(F.lit(1)).alias("c")

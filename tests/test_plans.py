@@ -516,3 +516,28 @@ def test_exhibit_spread_parallelizes_pair_emission(spark):
     plan = explain_str(_q("join_interval_overlap", spark))
     assert "RoundRobinPartitioning" in plan, plan
     assert has_broadcast_join(_q("join_interval_overlap", spark))
+
+
+def test_shingle_tokenizer_evaluated_once_per_row(spark):
+    """word_shingles must LET-bind the token array (transform(array(toks),
+    t -> ...)) so the inline tokenizer — split(casefold(trim(text))) — is
+    a HOF *argument*, evaluated once per row. The pre-round-10 spelling
+    referenced toks inside the position lambda, and HOF lambda bodies
+    re-evaluate captured expressions PER ELEMENT: the tokenizer re-ran
+    once per shingle position, O(tokens²) per document (8.5 s → 0.67 s at
+    sf0.1 on the single-split documents scan). Pin: exactly one split(
+    in the optimized expression tree, and it sits OUTSIDE every
+    lambdafunction."""
+    df = _q("text_repetition", spark)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # Catalyst's InferFiltersFromGenerate re-adds a size>0/isnotnull guard
+    # whose expression duplicates the projection (a per-ROW constant
+    # factor — the optimizer's floor), so split( appears a few times; the
+    # pin is that EVERY occurrence is in HOF-argument position (before
+    # the first lambdafunction( of its expression), never inside a lambda
+    # body where it would re-run per element.
+    lines = [ln for ln in plan.splitlines() if "split(" in ln]
+    assert lines, plan
+    for ln in lines:
+        assert "lambdafunction" in ln, ln
+        assert ln.index("split(") < ln.index("lambdafunction"), ln

@@ -29,6 +29,31 @@ def test_pipeline_converges_to_batch_fold(spark, sf_dir):
     assert len(status["committed_batches"]) >= 2  # plus streamed epochs
 
 
+def test_pipeline_empty_feed(spark, tmp_path):
+    """An EMPTY source (zero events) must replicate to an empty, VERIFIED
+    state — not crash (round-10 EMPTY-fixture catches: heartbeat staging
+    on max(ts)=None, the foreachBatch no-op guard, commit-log save before
+    the state dir exists — the last found by running the CLI itself)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from make_skew import build_empty
+
+    src = str(tmp_path / "sfempty")
+    build_empty(spark, "/root/testdata/sf0.001", src)
+    pipe = ReplicationPipeline(
+        spark, src, str(tmp_path / "sink"), n_chunks=2
+    )
+    state = pipe.run()
+    assert state.count() == 0
+    want = expected_state(spark, src)
+    assert want.count() == 0
+    status = pipe.status()
+    assert status["state_rows"] == 0
+    assert -1 in status["committed_batches"]  # the (empty) snapshot epoch
+
+
 def test_pipeline_restart_is_idempotent(spark, sf_dir):
     sink = tempfile.mkdtemp(prefix="repl_restart_")
     first = ReplicationPipeline(spark, sf_dir, sink, n_chunks=4)

@@ -1,0 +1,43 @@
+#!/usr/bin/env bash
+# Data-SHAPE sweep (round 10): build every adversarial fixture from a
+# harness sf dir and run the driver-faithful strict sweep on each — the
+# one-command version of the per-round shape evidence (BASELINE.md's
+# skew/NULL/span/TEXT/EMPTY tables). Companion to invariance_sweep.sh
+# (config axes); together they cover: layout, scale, execution path,
+# key skew, NULL shape, time span, string shape, empty input.
+#
+#   bash tools/shape_sweep.sh              # from sf0.01, /tmp fixtures
+#   SRC=/root/testdata/sf0.1 bash tools/shape_sweep.sh   # 10x variant
+#
+# Full registry on skew/null/empty (cheap enough at sf0.01); named
+# subsets on span/text (their sensitive populations — the rest is
+# text/ts-independent by construction). Note: on the skew fixture the
+# unbudgeted join_interval_overlap exhibit is output-quadratic by
+# contract (count-parity-verified separately); at sf0.01 it stays
+# comparable, at sf0.1 use the bounded sibling's row instead.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SRC="${SRC:-/root/testdata/sf0.01}"
+
+echo "== shape 1/5: SKEW (50%-hot keys), full registry =="
+python tools/make_skew.py --src "$SRC" --mode skew --dst /tmp/shape_skew
+python tools/check_strict.py --sf /tmp/shape_skew
+
+echo "== shape 2/5: NULL (null keys/measures), full registry =="
+python tools/make_skew.py --src "$SRC" --mode null --dst /tmp/shape_null
+python tools/check_strict.py --sf /tmp/shape_null
+
+echo "== shape 3/5: EMPTY (0 rows, schema preserved), full registry =="
+python tools/make_skew.py --src "$SRC" --mode empty --dst /tmp/shape_empty
+python tools/check_strict.py --sf /tmp/shape_empty
+
+echo "== shape 4/5: SPAN (timeline x12), span subset =="
+python tools/make_skew.py --src "$SRC" --mode span --dst /tmp/shape_span
+python tools/check_strict.py --sf /tmp/shape_span $(python tools/subsets.py span)
+
+echo "== shape 5/5: TEXT (adversarial unicode/degenerate strings), text subset =="
+python tools/make_skew.py --src "$SRC" --mode text --dst /tmp/shape_text
+python tools/check_strict.py --sf /tmp/shape_text $(python tools/subsets.py text)
+
+echo "SHAPE SWEEP GREEN"
