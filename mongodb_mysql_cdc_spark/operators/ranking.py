@@ -175,7 +175,20 @@ def _bucket_id_expr(df: DataFrame, keys: Sequence[str]) -> Column:
         )
 
     def count_below(arr: Column) -> Column:
-        return F.size(F.filter(arr, lambda b: key_struct > b))
+        # LET-bind the key struct (transform over a 1-element array):
+        # key_struct is built from F.col refs, but when a CALLER's key is
+        # a computed expression (dataset_curriculum: -size(tokens(text)))
+        # ProjectCollapse inlines it here, and a lambda body re-evaluates
+        # captured non-attribute expressions once per boundary ELEMENT —
+        # the round-10 hof_recompute lint class. Bound as a HOF argument
+        # it evaluates once per ROW; the inner lambdas see variables.
+        return F.element_at(
+            F.transform(
+                F.array(key_struct),
+                lambda ks: F.size(F.filter(arr, lambda b: ks > b)),
+            ),
+            1,
+        )
 
     if len(bounds) <= 2 * _CHUNK:
         return count_below(F.array(*[lit_struct(b) for b in bounds]))

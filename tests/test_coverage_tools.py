@@ -179,3 +179,39 @@ def test_fwd_unbounded_frame_rule_fires_and_spares(spark):
     assert not any(
         "fwd_unbounded_frame" in p for p in plan_lint.lint_one("synthetic", running)
     )
+
+
+def test_hof_recompute_rule_fires_and_spares(spark):
+    """plan_lint's hof_recompute rule (round 10) must FLAG an expensive
+    expression (split/regexp/json parse) captured inside a lambda body —
+    re-evaluated per array ELEMENT, the O(tokens²) word_shingles bug
+    class — and must SPARE the LET-bound spelling where the same
+    expression sits in HOF-argument position (evaluated once per row).
+    Exercised on real physical plans."""
+    import plan_lint
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a b c",)], "text string")
+    toks = F.split(F.col("text"), " ")
+    # bad: the split expression referenced inside the position lambda
+    bad = df.select(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks)),
+            lambda i: F.element_at(toks, i),
+        ).alias("s")
+    )
+    # good: split let-bound as the HOF argument; lambda sees a variable
+    good = df.select(
+        F.element_at(
+            F.transform(
+                F.array(toks),
+                lambda t: F.transform(
+                    F.sequence(F.lit(1), F.size(t)),
+                    lambda i: F.element_at(t, i),
+                ),
+            ),
+            1,
+        ).alias("s")
+    )
+    assert any("hof_recompute" in p for p in plan_lint.lint_one("synthetic", bad))
+    assert not any("hof_recompute" in p for p in plan_lint.lint_one("synthetic", good))

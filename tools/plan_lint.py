@@ -175,6 +175,55 @@ def window_partition_specs(plan: str) -> list[str]:
     return out
 
 
+# Functions whose re-evaluation PER ARRAY ELEMENT turns a HOF into a
+# quadratic-per-row plan: a lambdafunction body re-evaluates every
+# captured non-attribute expression once per element (the round-10
+# word_shingles catch: the inline split(casefold(trim(text))) tokenizer
+# ran once per shingle position — O(tokens²) per document, 14× wall).
+# Cheap per-element work on the lambda VARIABLE (concat, hash of the
+# element, arithmetic) is the point of a HOF and is not flagged; these
+# string/regex/JSON parsers have no business re-running per element —
+# LET-bind them as a HOF argument: transform(array(expr), v -> …)[1].
+HOF_RECOMPUTE_FNS = (
+    "split(",
+    "regexp_replace(",
+    "regexp_extract(",
+    "regexp_extract_all(",
+    "get_json_object(",
+    "from_json(",
+    "translate(",
+    "sentences(",
+    "str_to_map(",
+)
+
+HOF_RECOMPUTE_EXEMPT: dict[str, str] = {}
+
+
+def lambda_bodies(plan: str) -> list[str]:
+    """Balanced-paren argument regions of every lambdafunction( in the
+    plan text. Nested HOFs are covered by their enclosing region —
+    correct for this rule: an expression anywhere inside an outer lambda
+    body re-evaluates per outer element, however deeply nested."""
+    out = []
+    i = 0
+    marker = "lambdafunction("
+    while True:
+        j = plan.find(marker, i)
+        if j < 0:
+            break
+        k = j + len(marker)
+        depth, p = 1, k
+        while p < len(plan) and depth:
+            if plan[p] == "(":
+                depth += 1
+            elif plan[p] == ")":
+                depth -= 1
+            p += 1
+        out.append(plan[k:p])
+        i = j + 1
+    return out
+
+
 def lint_one(name: str, df) -> list[str]:
     problems = []
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -212,6 +261,16 @@ def lint_one(name: str, df) -> list[str]:
                 problems.append(
                     f"lowcard_window: WindowExec partitioned only by "
                     f"{sorted(cols)} — ≤|domain| tasks at any scale"
+                )
+                break
+    if name not in HOF_RECOMPUTE_EXEMPT:
+        for body in lambda_bodies(plan):
+            hit = next((f for f in HOF_RECOMPUTE_FNS if f in body), None)
+            if hit:
+                problems.append(
+                    f"hof_recompute: {hit[:-1]} inside a lambdafunction body "
+                    "— re-evaluated per array ELEMENT (O(n²) per row); "
+                    "LET-bind it: transform(array(expr), v -> ...)[1]"
                 )
                 break
     if name not in UNBOUNDED_AGG_EXEMPT:
