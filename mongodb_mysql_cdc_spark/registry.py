@@ -96,10 +96,14 @@ _DRIVER_WINDOW = [
     "dq_profile", "scan_observe_metrics", "doc_chunk_overlap",
     "scan_partition_pruned", "join_partition_pruned_dynamic",
     "graph_pagerank_iter", "dedup_chunk_sig",
-    # oldest evidence: r03 head (12 of 41 remaining; the evicted-this-
-    # round 11 — pivot_wide, unpivot_long, agg_histogram, agg_boolean,
+    # text_repetition: register segment changed later in round 10 (the
+    # redundant pre-explode filter removed with the O(tokens²) shingle
+    # fix) — took fn_string2's slot (unchanged code, keeps r03 evidence).
+    "text_repetition",
+    # oldest evidence: r03 head (11 of 41 remaining; the evicted-this-
+    # round 12 — pivot_wide, unpivot_long, agg_histogram, agg_boolean,
     # win_nth_value, fn_bitwise, fn_trig, sample_weighted,
-    # scan_merge_schema, join_bucketed, fn_regex — keep their green r03
+    # scan_merge_schema, join_bucketed, fn_regex, fn_string2 — keep their green r03
     # evidence and rejoin the r11 tail with maintenance_cluster,
     # dq_checks, token_count, lang_id, doc_fingerprint, text_redact,
     # text_repetition, text_ngram_freq, stream_sliding,
@@ -108,7 +112,7 @@ _DRIVER_WINDOW = [
     # win_rank_dense, analytics_rfm, dataset_curriculum (oldest
     # re-spelled-code evidence, r08 localCheckpointed machinery
     # consumers) ahead of the r03 tail.
-    "join_null_safe", "fn_string2",
+    "join_null_safe",
     "fn_datetime2", "stream_dedup_watermarked",
     "cdc_route_tables", "cdc_apply_soft_delete", "cdc_state_asof",
     "cdc_before_after_diff", "decontaminate", "domain_mix",
