@@ -115,9 +115,16 @@ _DRIVER_WINDOW = [
     "join_null_safe",
     "fn_datetime2", "stream_dedup_watermarked",
     "cdc_route_tables", "cdc_apply_soft_delete", "cdc_state_asof",
-    "cdc_before_after_diff", "decontaminate", "domain_mix",
+    "cdc_before_after_diff",
     "sink_partition_overwrite",
     "maintenance_compact",
+    # round-10 TIES-fixture catches (the sixth shape axis, added later
+    # the same round): agg_minmax_by's bare-ts arg_max and
+    # join_asof_forward's equal-ts frame exclusion were re-spelled with
+    # pinned tie contracts — changed spellings need evidence, so they
+    # took decontaminate's and domain_mix's slots (both unchanged code,
+    # keep green r03 evidence, rejoin the r11 tail).
+    "agg_minmax_by", "join_asof_forward",
     # round-10 re-spell: ts_interpolate_linear's forward anchors moved
     # off the O(n²) [CURRENT ROW, UNBOUNDED FOLLOWING] frame onto a DESC
     # running frame (unchanged oracle; fresh evidence REQUIRED for the

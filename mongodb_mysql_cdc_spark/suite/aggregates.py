@@ -303,9 +303,9 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_minmax_by",
     oracle="""
 SELECT user_id,
-       arg_max(event_id, ts)  AS last_event_id,
-       arg_max(event_type, ts) AS last_event_type,
-       arg_min(event_id, ts)  AS first_event_id,
+       arg_max(event_id,   printf('%020d%012d', epoch_us(ts), event_id)) AS last_event_id,
+       arg_max(event_type, printf('%020d%012d', epoch_us(ts), event_id)) AS last_event_type,
+       arg_min(event_id,   printf('%020d%012d', epoch_us(ts), event_id)) AS first_event_id,
        max(ts)                AS last_ts
 FROM events
 GROUP BY user_id
@@ -313,12 +313,22 @@ GROUP BY user_id
 )
 def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row achieving the extremum — the CDC last-writer-wins primitive
-    (latest image per key) as a plain aggregate."""
+    (latest image per key) as a plain aggregate.
+
+    Tie contract (round-10 TIES-fixture catch): max_by/arg_max over a
+    bare timestamp is NONDETERMINISTIC when several rows per key share
+    the extremal ts — each engine (and each Spark merge order) may keep
+    a different row. The ordering key is therefore the lexicographic
+    composite (epoch_us(ts), event_id) rendered as one zero-padded
+    string — the only composite-key form DuckDB's arg_max accepts
+    (no STRUCT overload) — so the kept row is always the unique
+    max/min-event_id row of the tie class on both engines."""
     ev = load(spark, sf_dir, "events")
+    tie_key = F.format_string("%020d%012d", F.unix_micros("ts"), F.col("event_id"))
     return ev.groupBy("user_id").agg(
-        F.expr("max_by(event_id, ts)").alias("last_event_id"),
-        F.expr("max_by(event_type, ts)").alias("last_event_type"),
-        F.expr("min_by(event_id, ts)").alias("first_event_id"),
+        F.max_by(F.col("event_id"), tie_key).alias("last_event_id"),
+        F.max_by(F.col("event_type"), tie_key).alias("last_event_type"),
+        F.min_by(F.col("event_id"), tie_key).alias("first_event_id"),
         F.max("ts").alias("last_ts"),
     )
 

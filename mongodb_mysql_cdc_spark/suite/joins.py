@@ -667,12 +667,18 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FORWARD as-of: the EARLIEST purchase at-or-after each click — the
     attribution direction ("what did this click lead to"), mirror of the
     backward join_asof. Same fused single-scan shape, with the window
-    running DESC so first-after fills backward: at equal ts the purchase
-    sorts after the click (inclusive <=), and ascending event_id among
-    same-ts purchases makes the DESC-scan's last() pick the MIN event_id —
-    exactly the pre-aggregate's arg_min tie-break. NULL-key contract:
-    same isNotNull gate as join_asof — the ASOF JOIN equality never
-    matches NULL user_ids, so a NULL-user purchase supplies no value."""
+    running DESC so first-after fills backward. Tie contract (round-10
+    TIES-fixture catch): at equal ts the purchase must sort BEFORE the
+    click in scan order or the inclusive <= match is silently dropped —
+    ``_side`` therefore sorts ASCENDING (purchase=0 first) inside the
+    DESC scan; the original ``F.desc("_side")`` spelling excluded the
+    equal-ts purchase from the click's frame, a divergence invisible on
+    unique-ts data and caught the first time two event kinds shared a
+    timestamp. Among same-ts purchases event_id DESC makes last() pick
+    the MIN event_id — exactly the pre-aggregate's arg_min tie-break.
+    NULL-key contract: same isNotNull gate as join_asof — the ASOF JOIN
+    equality never matches NULL user_ids, so a NULL-user purchase
+    supplies no value."""
     ev = load(spark, sf_dir, "events")
     tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
         "user_id",
@@ -684,11 +690,12 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_id"),
         ).alias("_pv"),
     )
-    # DESC over (ts, side, -event_id): rows later in scan order are earlier
-    # in time; last(_pv) = the nearest purchase with pts >= ts.
+    # DESC over (ts, +side, -event_id): rows later in scan order are
+    # earlier in time; last(_pv) = the nearest purchase with pts >= ts,
+    # equal-ts purchases (side 0 < 1) entering the frame before the click.
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.desc("ts"), F.desc("_side"), F.desc("event_id"))
+        .orderBy(F.desc("ts"), F.asc("_side"), F.desc("event_id"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (

@@ -35,6 +35,7 @@ from make_skew import (  # noqa: E402
     build_skew,
     build_span,
     build_text,
+    build_ties,
 )
 
 from mongodb_mysql_cdc_spark.catalog import TABLES, path_for  # noqa: E402
@@ -227,4 +228,50 @@ def test_empty_fixture_strict_subset(spark, empty_dir):
     """Zero-row tables must still plan, run, and agree with the oracle —
     no crash-on-empty, no lost ANSI rows, no schema-inference death."""
     bad = _strict(spark, empty_dir, EMPTY_SUBSET)
+    assert not bad, bad
+
+
+# Round-10 axis: order-key TIES — hot-instant + hour-grid ts ties,
+# integer-rounded value ties, month-floored date ties (make_skew.py
+# --mode ties). The first-sweep catch set (both fixed with pinned tie
+# contracts): agg_minmax_by's bare-timestamp max_by kept an arbitrary
+# row of the tie class per engine (now a lexicographic
+# (epoch_us, event_id) composite on both), and join_asof_forward's
+# DESC scan sorted equal-ts purchases AFTER the click, silently
+# dropping the inclusive <= boundary match (now _side ASC inside the
+# DESC scan). The rest are tie-prone representatives: the as-of family
+# at boundary ties, last-writer-wins CDC folds at (ts,seq) ties,
+# ranked-value machinery at value ties.
+TIES_SUBSET = [
+    "agg_minmax_by",
+    "join_asof_forward",
+    "join_asof",
+    "join_asof_nearest",
+    "dedup_state",
+    "cdc_apply_batch",
+    "cdc_scd2",
+    "win_first_last",
+    "topk_per_group",
+    "agg_mode",
+    "ts_ohlc_downsample",
+]
+
+
+@pytest.fixture(scope="module")
+def ties_dir(spark, tmp_path_factory):
+    # sf0.01: the hot instant holds ~920 events and each (user, hour)
+    # cell ties several rows — enough that every ordering without a
+    # unique tiebreak actually exercises a multi-row tie class.
+    root = tmp_path_factory.mktemp("ties")
+    ties = str(root / "sfties")
+    build_ties(spark, "/root/testdata/sf0.01", ties)
+    return ties
+
+
+def test_ties_fixture_strict_subset(spark, ties_dir):
+    """Massive order-key tie classes must not change any result: every
+    ordering carries a unique tiebreak and every arg_max/arg_min ties on
+    the PK, so the output is a pure function of the data even when 9% of
+    events share one timestamp."""
+    bad = _strict(spark, ties_dir, TIES_SUBSET)
     assert not bad, bad

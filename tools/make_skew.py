@@ -34,11 +34,13 @@ Deterministic predicates on never-remapped unique columns, so both
 fixtures are reproducible bit-for-bit and Spark + DuckDB read the SAME
 parquet — the strict sweep's hash compare stays meaningful.
 
-Round 10 added three more modes on the same template: SPAN
+Round 10 added four more modes on the same template: SPAN
 (--mode span: events timeline ×12 — grid/frame growth), TEXT
 (--mode text: adversarial Unicode / degenerate document text — the
-cross-engine string-semantics axis) and EMPTY (--mode empty: every
-table 0 rows, schema preserved — the crash-on-empty axis).
+cross-engine string-semantics axis), EMPTY (--mode empty: every
+table 0 rows, schema preserved — the crash-on-empty axis) and TIES
+(--mode ties: massive order-key tie classes — the ordering-determinism
+axis; see build_ties).
 
 Usage:
     python tools/make_skew.py                      # both fixtures from sf0.1
@@ -255,12 +257,76 @@ def build_span(spark, src: str, dst: str, factor: int = 12) -> None:
         print(f"{name} -> {dst}")
 
 
+def build_ties(spark, src: str, dst: str) -> None:
+    """TIES fixture (round 10, sixth shape axis): massive ORDER-KEY tie
+    classes — the determinism axis no other fixture covers. Skew grows a
+    JOIN/GROUP key's class; ties grow an ORDER key's equivalence class,
+    which is what breaks (a) row_number/lag/first_value spellings that
+    order by a non-unique key, (b) as-of "latest at-or-before" when
+    several build rows share the boundary timestamp, (c) SCD2 version
+    chains when two versions of one key carry the same ts (the (ts,seq)
+    ordering contract), (d) max_by/mode/top-k when the ranked VALUE ties.
+    The repo-wide convention (SURVEY §5: every ordering carries a unique
+    tiebreak; every arg_max ties on the PK) is exactly what this fixture
+    verifies empirically, registry-wide, on both engines.
+
+    Deterministic column remaps only (PKs, FKs, group keys untouched, so
+    every FIXTURES.md invariant survives):
+      - events.ts    → ONE hot instant (the min hour) where
+                       event_id % 11 = 0 (~9% of the table at a single
+                       timestamp), else floor-to-hour where
+                       event_id % 2 = 0 (~45% on an hourly grid — several
+                       ties per user per hour)
+      - events.value → round to integer where event_id % 3 = 0 (ranked-
+                       value ties; stays on the 2-decimal money grid)
+      - orders.o_orderdate / lineitem.l_shipdate → floor-to-month on the
+                       even half (~3k-row tie classes per month at sf0.1)
+    Both engines read the SAME parquet, so the strict hash compare stays
+    meaningful — any divergence is a genuine ordering-contract bug."""
+    hot_us = int(
+        load(spark, src, "events")
+        .agg(F.min(F.unix_micros(F.date_trunc("hour", F.col("ts")))))
+        .collect()[0][0]
+    )
+    for name in TABLES:
+        df = load(spark, src, name)
+        if name == "events":
+            df = df.withColumn(
+                "ts",
+                F.when(F.col("event_id") % 11 == 0, F.timestamp_micros(F.lit(hot_us)))
+                .when(F.col("event_id") % 2 == 0, F.date_trunc("hour", F.col("ts")))
+                .otherwise(F.col("ts")),
+            ).withColumn(
+                "value",
+                F.when(F.col("event_id") % 3 == 0, F.round(F.col("value"), 0))
+                .otherwise(F.col("value")),
+            )
+        elif name == "orders":
+            df = df.withColumn(
+                "o_orderdate",
+                F.when(
+                    F.col("o_orderkey") % 2 == 0,
+                    F.date_trunc("month", F.col("o_orderdate")),
+                ).otherwise(F.col("o_orderdate")),
+            )
+        elif name == "lineitem":
+            df = df.withColumn(
+                "l_shipdate",
+                F.when(
+                    (F.col("l_orderkey") + F.col("l_linenumber")) % 2 == 0,
+                    F.date_trunc("month", F.col("l_shipdate")),
+                ).otherwise(F.col("l_shipdate")),
+            )
+        df.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
+        print(f"{name} -> {dst}")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument(
         "--mode",
-        choices=["skew", "null", "span", "text", "empty", "both"],
+        choices=["skew", "null", "span", "text", "empty", "ties", "both"],
         default="both",
     )
     ap.add_argument("--dst", default=None, help="target dir (defaults per mode)")
@@ -276,6 +342,8 @@ def main() -> None:
         build_text(spark, args.src, args.dst or "/tmp/sftext")
     if args.mode == "empty":
         build_empty(spark, args.src, args.dst or "/tmp/sfempty")
+    if args.mode == "ties":
+        build_ties(spark, args.src, args.dst or "/tmp/sfties")
     spark.stop()
 
 

@@ -4,7 +4,8 @@
 # one-command version of the per-round shape evidence (BASELINE.md's
 # skew/NULL/span/TEXT/EMPTY tables). Companion to invariance_sweep.sh
 # (config axes); together they cover: layout, scale, execution path,
-# key skew, NULL shape, time span, string shape, empty input.
+# key skew, NULL shape, time span, string shape, empty input,
+# order-key ties.
 #
 #   bash tools/shape_sweep.sh              # from sf0.01, /tmp fixtures
 #   SRC=/root/testdata/sf0.1 bash tools/shape_sweep.sh   # 10x variant
@@ -20,24 +21,28 @@ cd "$(dirname "$0")/.."
 
 SRC="${SRC:-/root/testdata/sf0.01}"
 
-echo "== shape 1/5: SKEW (50%-hot keys), full registry =="
+echo "== shape 1/6: SKEW (50%-hot keys), full registry =="
 python tools/make_skew.py --src "$SRC" --mode skew --dst /tmp/shape_skew
 python tools/check_strict.py --sf /tmp/shape_skew
 
-echo "== shape 2/5: NULL (null keys/measures), full registry =="
+echo "== shape 2/6: NULL (null keys/measures), full registry =="
 python tools/make_skew.py --src "$SRC" --mode null --dst /tmp/shape_null
 python tools/check_strict.py --sf /tmp/shape_null
 
-echo "== shape 3/5: EMPTY (0 rows, schema preserved), full registry =="
+echo "== shape 3/6: EMPTY (0 rows, schema preserved), full registry =="
 python tools/make_skew.py --src "$SRC" --mode empty --dst /tmp/shape_empty
 python tools/check_strict.py --sf /tmp/shape_empty
 
-echo "== shape 4/5: SPAN (timeline x12), span subset =="
+echo "== shape 4/6: SPAN (timeline x12), span subset =="
 python tools/make_skew.py --src "$SRC" --mode span --dst /tmp/shape_span
 python tools/check_strict.py --sf /tmp/shape_span $(python tools/subsets.py span)
 
-echo "== shape 5/5: TEXT (adversarial unicode/degenerate strings), text subset =="
+echo "== shape 5/6: TEXT (adversarial unicode/degenerate strings), text subset =="
 python tools/make_skew.py --src "$SRC" --mode text --dst /tmp/shape_text
 python tools/check_strict.py --sf /tmp/shape_text $(python tools/subsets.py text)
+
+echo "== shape 6/6: TIES (order-key tie classes), ties subset =="
+python tools/make_skew.py --src "$SRC" --mode ties --dst /tmp/shape_ties
+python tools/check_strict.py --sf /tmp/shape_ties $(python tools/subsets.py ties)
 
 echo "SHAPE SWEEP GREEN"

@@ -119,6 +119,43 @@ TEXT_SENSITIVE = [
     "decontaminate", "sample_stratified",
 ]
 
+# Ordering-determinism-sensitive queries (round 10): everything whose
+# result depends on the ORDER of rows within a tie class — window
+# functions over ts, as-of/temporal joins, last-writer-wins CDC folds,
+# top-k / rank / arg_max over a tie-prone value, sequence detection.
+# The audience of /tmp/sfties (make_skew.py --mode ties: hot-instant +
+# hour-grid ts ties, integer-rounded value ties, month-floored date
+# ties). The repo convention is "every ordering carries a unique
+# tiebreak"; this subset is where a violation becomes a hash mismatch.
+TIES_SENSITIVE = [
+    # window family over (ts [, event_id]) orderings
+    "win_row_number", "win_rank_dense", "win_lag_lead", "win_running",
+    "win_first_last", "win_pct", "win_nth_value", "win_range_frame",
+    "win_rolling_median", "win_ratio_to_report", "win_gaps_islands",
+    "win_running_distinct", "win_session", "win_sliding", "win_tumbling",
+    # sorting / top-k (ranked-value ties)
+    "sort_multi", "limit", "topk", "topk_per_group", "sample_per_group",
+    "agg_minmax_by", "agg_mode", "agg_percentile_disc",
+    "agg_percentile_exact", "agg_weighted_median",
+    # as-of / temporal / interval joins (boundary-timestamp ties)
+    "join_asof", "join_asof_forward", "join_asof_nearest",
+    "join_temporal_scd2", "join_self", "join_interval_bucketed",
+    "join_interval_overlap_bounded",
+    # CDC last-writer-wins / version-chain (ts,seq) contracts
+    "cdc_apply_batch", "cdc_scd2", "cdc_state_asof",
+    "cdc_before_after_diff", "cdc_merge_replicas", "cdc_pk_change",
+    "cdc_keys_churn", "cdc_order_audit", "cdc_exactly_once",
+    "cdc_tombstone_gc", "dedup_state",
+    # ordered-scan time-series / sequence analytics
+    "ts_ewma", "ts_derivative", "ts_max_drawdown", "ts_autocorr",
+    "ts_ohlc_downsample", "ts_twap", "ts_gapfill",
+    "ts_interpolate_linear", "event_seq_pattern", "funnel_conversion",
+    "anomaly_cusum", "analytics_pareto", "analytics_rfm",
+    # ranked-value machinery consumers
+    "ml_quantile_normalize", "quality_buckets", "quality_winsorize",
+    "dataset_curriculum", "pack_sequences",
+]
+
 # The r8 "layout-sensitive" sweep set, mechanized (machinery + headline +
 # both re-spell families + connectivity — supersedes the ad-hoc 35).
 LAYOUT_SENSITIVE = _dedup(MACHINERY, HEADLINE, EXACT_DECIMAL, GRID_STATS, CONNECTIVITY)
@@ -138,6 +175,7 @@ SUBSETS = {
     "skew": SKEW_SWEEP,
     "span": TIME_SPAN,
     "text": TEXT_SENSITIVE,
+    "ties": TIES_SENSITIVE,
 }
 
 
