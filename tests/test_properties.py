@@ -375,6 +375,107 @@ def test_asof_join_matches_pandas_merge_asof(spark, case):
     assert got == want
 
 
+# --- registered as-of spellings under order-key ties (round 10) -------------
+#
+# The TIES fixture caught join_asof_forward's fused window spelling
+# excluding equal-ts purchases from the click's frame. The data-shape
+# gate pins that on one fixture; here hypothesis searches random
+# tie-heavy feeds for any residual boundary divergence in BOTH fused
+# spellings (backward join_asof, forward join_asof_forward) against
+# pandas merge_asof over the same pre-aggregate tie-break the oracles
+# use (backward: max event_id per (user, ts); forward: min).
+
+@st.composite
+def tie_heavy_feeds(draw):
+    """1-40 events over 3 users x 7 timestamps — ties everywhere."""
+    n = draw(st.integers(2, 40))
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,  # event_id (unique)
+                draw(st.integers(0, 2)),  # user_id
+                draw(st.integers(0, 6)),  # ts seconds — tiny domain
+                draw(st.sampled_from(["click", "purchase", "view"])),
+            )
+        )
+    return rows
+
+
+def _asof_expected(rows, direction):
+    """merge_asof over the pre-aggregated (user, ts) purchase table with
+    the registered tie-break: backward keeps MAX purchase event_id per
+    tied instant, forward keeps MIN."""
+    import pandas as pd
+
+    clicks = pd.DataFrame(
+        [(i, u, ts) for i, u, ts, k in rows if k == "click"],
+        columns=["event_id", "user_id", "ts"],
+    ).sort_values(["ts", "event_id"], kind="mergesort")
+    agg = "max" if direction == "backward" else "min"
+    purchases = (
+        pd.DataFrame(
+            [(i, u, ts) for i, u, ts, k in rows if k == "purchase"],
+            columns=["pid", "user_id", "ts"],
+        )
+        .groupby(["user_id", "ts"], as_index=False)
+        .agg(pid=("pid", agg))
+        .sort_values("ts", kind="mergesort")
+    )
+    if clicks.empty:
+        return {}
+    if purchases.empty:
+        return {int(r.event_id): None for r in clicks.itertuples()}
+    merged = pd.merge_asof(
+        clicks,
+        purchases,
+        on="ts",
+        by="user_id",
+        direction=direction,
+        allow_exact_matches=True,
+    )
+    import pandas as pd_
+
+    return {
+        int(r.event_id): None if pd_.isna(r.pid) else int(r.pid)
+        for r in merged.itertuples()
+    }
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+@given(rows=tie_heavy_feeds())
+def test_registered_asof_spellings_match_merge_asof_under_ties(
+    spark, rows, tmp_path_factory
+):
+    import pandas as pd
+
+    from mongodb_mysql_cdc_spark.suite.joins import join_asof, join_asof_forward
+
+    sf = str(tmp_path_factory.mktemp("asof_ties"))
+    spark.createDataFrame(
+        [
+            (i, BASE_TS + datetime.timedelta(seconds=ts), u, k, 1.0, "{}")
+            for i, u, ts, k in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    got_b = {
+        int(r.event_id): None if r.purchase_event_id is None else int(r.purchase_event_id)
+        for r in join_asof(spark, sf).collect()
+    }
+    assert got_b == _asof_expected(rows, "backward")
+
+    got_f = {
+        int(r.event_id): None if r.next_purchase_id is None or pd.isna(r.next_purchase_id)
+        else int(r.next_purchase_id)
+        for r in join_asof_forward(spark, sf).collect()
+    }
+    assert got_f == _asof_expected(rows, "forward")
+
+
 # --- scale-stable comparison contracts (suite/aggregates.py, round 8) -------
 
 
