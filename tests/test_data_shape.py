@@ -275,3 +275,58 @@ def test_ties_fixture_strict_subset(spark, ties_dir):
     events share one timestamp."""
     bad = _strict(spark, ties_dir, TIES_SUBSET)
     assert not bad, bad
+
+
+# Round-10 axis: row-ORDER permutation (make_skew.py --mode permute —
+# same rows, deterministic hash-of-PK shuffle of the on-disk order).
+# Every other fixture stores rows in generator order, so nothing ever
+# exercised collect-element order, scan-split membership (the ranking
+# machinery's per-split prefixes), float summation order, or the
+# two-phase top-K local candidate sets under a different layout. The
+# first full-registry run (cross-engine AND Spark-vs-Spark self-
+# invariance) was clean — this gate keeps the representatives of each
+# risk class pinned: sorted collects, ordered limits, split-dependent
+# prefix top-K, double-sum stats on decimal grids, machinery ranking,
+# shingle/minhash pair emission, packing's global running sum.
+PERMUTE_SUBSET = [
+    "agg_collect",
+    "limit",
+    "topk_per_group",
+    "join_interval_overlap_bounded",
+    "win_pct",
+    "agg_stats",
+    "agg_weighted_median",
+    "dedup_minhash_lsh",
+    "pack_sequences",
+]
+
+
+@pytest.fixture(scope="module")
+def permute_dir(spark, tmp_path_factory):
+    from make_skew import build_permute
+
+    root = tmp_path_factory.mktemp("permute")
+    perm = str(root / "sfpermute")
+    build_permute(spark, "/root/testdata/sf0.01", perm)
+    return perm
+
+
+def test_permute_fixture_order_self_invariance(spark, permute_dir):
+    """Each query's Spark output on the PERMUTED fixture must be
+    row-set-identical to its output on the original sf dir — results
+    are a pure function of the data, not the parquet row order."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    bad = {}
+    for name in PERMUTE_SUBSET:
+        try:
+            problems = compare(
+                qs[name](spark, "/root/testdata/sf0.01").toPandas(),
+                qs[name](spark, permute_dir).toPandas(),
+            )
+        except Exception as ex:
+            problems = [f"{type(ex).__name__}: {ex}"]
+        if problems:
+            bad[name] = problems[:3]
+    assert not bad, bad

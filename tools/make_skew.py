@@ -34,13 +34,15 @@ Deterministic predicates on never-remapped unique columns, so both
 fixtures are reproducible bit-for-bit and Spark + DuckDB read the SAME
 parquet — the strict sweep's hash compare stays meaningful.
 
-Round 10 added four more modes on the same template: SPAN
+Round 10 added five more modes on the same template: SPAN
 (--mode span: events timeline ×12 — grid/frame growth), TEXT
 (--mode text: adversarial Unicode / degenerate document text — the
 cross-engine string-semantics axis), EMPTY (--mode empty: every
-table 0 rows, schema preserved — the crash-on-empty axis) and TIES
+table 0 rows, schema preserved — the crash-on-empty axis), TIES
 (--mode ties: massive order-key tie classes — the ordering-determinism
-axis; see build_ties).
+axis; see build_ties) and PERMUTE (--mode permute: same rows in
+hash-shuffled on-disk order — the row-order-invariance axis; pair with
+tools/order_invariance.py for the Spark-vs-Spark self check).
 
 Usage:
     python tools/make_skew.py                      # both fixtures from sf0.1
@@ -321,12 +323,57 @@ def build_ties(spark, src: str, dst: str) -> None:
         print(f"{name} -> {dst}")
 
 
+# Primary key columns per table — the permutation sort key (hashing the
+# PK gives a deterministic, content-defined shuffle of the row order).
+_PK = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey"],
+    "supplier": ["s_suppkey"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def build_permute(spark, src: str, dst: str) -> None:
+    """PERMUTE fixture (round 10): the SAME rows in adversarially
+    different ROW ORDER — every other fixture (and the harness parquet
+    itself) stores rows in generator order (PK/ts-sorted), so nothing
+    ever tested that results are a pure function of the data rather
+    than its on-disk ordering. Row order changes: collect_list element
+    order, which rows share a scan split (the ranking machinery's
+    per-split prefix sums), Spark's and DuckDB's floating-point
+    summation order (the round-8 comparison-stability contract class),
+    and the two-phase top-K prefixes' local candidate sets. It must
+    change NO registered result: every collect is sorted, every limit
+    is totally ordered, every rounded double rides a
+    reorder-insensitive contract (decimal grids / hround margins).
+
+    The permutation is deterministic and content-defined — rows sort by
+    xxhash64 of the primary key — so the fixture is reproducible and
+    both engines read the SAME reordered parquet (one file per table:
+    repartition(1) + sortWithinPartitions keeps the order exact, no
+    range-sampler nondeterminism)."""
+    for name in TABLES:
+        df = load(spark, src, name)
+        df = (
+            df.repartition(1)
+            .sortWithinPartitions(F.xxhash64(*[F.col(c) for c in _PK[name]]))
+        )
+        df.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
+        print(f"{name} -> {dst} (permuted)")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument(
         "--mode",
-        choices=["skew", "null", "span", "text", "empty", "ties", "both"],
+        choices=["skew", "null", "span", "text", "empty", "ties", "permute", "both"],
         default="both",
     )
     ap.add_argument("--dst", default=None, help="target dir (defaults per mode)")
@@ -344,6 +391,8 @@ def main() -> None:
         build_empty(spark, args.src, args.dst or "/tmp/sfempty")
     if args.mode == "ties":
         build_ties(spark, args.src, args.dst or "/tmp/sfties")
+    if args.mode == "permute":
+        build_permute(spark, args.src, args.dst or "/tmp/sfpermute")
     spark.stop()
 
 

@@ -1,0 +1,72 @@
+"""Row-ORDER self-invariance check (round 10, the PERMUTE axis's second
+half).
+
+The cross-engine strict sweep on the permuted fixture proves Spark and
+DuckDB still agree with each other on reordered input; THIS check proves
+the stronger property the axis exists for — each registered query's
+output is a pure function of the DATA, not of the parquet row order:
+
+    Spark(query, original sf dir)  ==  Spark(query, permuted sf dir)
+
+row-set-identical through the driver-faithful comparator. Any divergence
+is either a collect/limit/top-k ordering contract violation (the bug
+class) or a floating-point summation-order instability that escaped the
+round-8 decimal-grid / hround-margin engineering (the comparison-
+stability class) — both are findings.
+
+Usage:
+    python tools/make_skew.py --mode permute --src /root/testdata/sf0.01 \
+        --dst /tmp/sfperm001
+    python tools/order_invariance.py --a /root/testdata/sf0.01 \
+        --b /tmp/sfperm001 [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from check_strict import compare  # noqa: E402  (tools/ sibling)
+
+from mongodb_mysql_cdc_spark.registry import queries
+from mongodb_mysql_cdc_spark.session import get_session
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--a", default="/root/testdata/sf0.01")
+    ap.add_argument("--b", default="/tmp/sfperm001")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    spark = get_session("order_invariance")
+    qs = queries()
+    names = args.names or list(qs)
+    n_pass = n_fail = 0
+    for name in names:
+        t0 = time.monotonic()
+        try:
+            a = qs[name](spark, args.a).toPandas()
+            b = qs[name](spark, args.b).toPandas()
+            problems = compare(a, b)
+        except Exception as ex:  # a crash is a finding, not a tool error
+            problems = [f"{type(ex).__name__}: {ex}"]
+        wall = time.monotonic() - t0
+        if problems:
+            n_fail += 1
+            print(f"DIVERGES {name} [{wall:.1f}s]")
+            for p in problems[:3]:
+                print(f"     {p}")
+        else:
+            n_pass += 1
+            print(f"PASS {name} ({len(a)} rows) [{wall:.1f}s]")
+    print(f"\n{n_pass} order-invariant, {n_fail} diverge")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

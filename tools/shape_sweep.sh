@@ -21,28 +21,33 @@ cd "$(dirname "$0")/.."
 
 SRC="${SRC:-/root/testdata/sf0.01}"
 
-echo "== shape 1/6: SKEW (50%-hot keys), full registry =="
+echo "== shape 1/7: SKEW (50%-hot keys), full registry =="
 python tools/make_skew.py --src "$SRC" --mode skew --dst /tmp/shape_skew
 python tools/check_strict.py --sf /tmp/shape_skew
 
-echo "== shape 2/6: NULL (null keys/measures), full registry =="
+echo "== shape 2/7: NULL (null keys/measures), full registry =="
 python tools/make_skew.py --src "$SRC" --mode null --dst /tmp/shape_null
 python tools/check_strict.py --sf /tmp/shape_null
 
-echo "== shape 3/6: EMPTY (0 rows, schema preserved), full registry =="
+echo "== shape 3/7: EMPTY (0 rows, schema preserved), full registry =="
 python tools/make_skew.py --src "$SRC" --mode empty --dst /tmp/shape_empty
 python tools/check_strict.py --sf /tmp/shape_empty
 
-echo "== shape 4/6: SPAN (timeline x12), span subset =="
+echo "== shape 4/7: SPAN (timeline x12), span subset =="
 python tools/make_skew.py --src "$SRC" --mode span --dst /tmp/shape_span
 python tools/check_strict.py --sf /tmp/shape_span $(python tools/subsets.py span)
 
-echo "== shape 5/6: TEXT (adversarial unicode/degenerate strings), text subset =="
+echo "== shape 5/7: TEXT (adversarial unicode/degenerate strings), text subset =="
 python tools/make_skew.py --src "$SRC" --mode text --dst /tmp/shape_text
 python tools/check_strict.py --sf /tmp/shape_text $(python tools/subsets.py text)
 
-echo "== shape 6/6: TIES (order-key tie classes), ties subset =="
+echo "== shape 6/7: TIES (order-key tie classes), ties subset =="
 python tools/make_skew.py --src "$SRC" --mode ties --dst /tmp/shape_ties
 python tools/check_strict.py --sf /tmp/shape_ties $(python tools/subsets.py ties)
+
+echo "== shape 7/7: PERMUTE (row-order shuffle), full registry x cross-engine + self-invariance =="
+python tools/make_skew.py --src "$SRC" --mode permute --dst /tmp/shape_permute
+python tools/check_strict.py --sf /tmp/shape_permute
+python tools/order_invariance.py --a "$SRC" --b /tmp/shape_permute
 
 echo "SHAPE SWEEP GREEN"
