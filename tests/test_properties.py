@@ -43,7 +43,14 @@ BASE_TS = datetime.datetime(2024, 1, 1)
 @st.composite
 def envelope_bags(draw):
     """A bag of 1-60 envelopes over a small key space with colliding
-    timestamps (seq breaks ties), plus a chunking into 1-4 micro-batches."""
+    timestamps (seq breaks ties), plus a chunking into 1-4 micro-batches.
+
+    DELIVERY ORDER is drawn too (round 10): real change feeds arrive
+    only roughly ordered, so the bag is optionally permuted BEFORE
+    chunking — envelopes for one key may then reach the fold in
+    descending ts, interleaved, or fully reversed. The (ts, seq) max_by
+    fold is commutative/associative, so every assertion must hold for
+    any arrival order, not just resume-token order."""
     n = draw(st.integers(1, 60))
     rows = []
     for seq in range(n):
@@ -53,6 +60,7 @@ def envelope_bags(draw):
         ts = BASE_TS + datetime.timedelta(seconds=draw(st.integers(0, 9)))
         value = draw(st.integers(-5, 5)) * 1.0
         rows.append((key, op, ts, seq, (op + str(key), value, seq % 3)))
+    rows = draw(st.permutations(rows))
     n_chunks = draw(st.integers(1, 4))
     cuts = sorted(draw(st.lists(st.integers(0, n), min_size=n_chunks - 1,
                                 max_size=n_chunks - 1)))
