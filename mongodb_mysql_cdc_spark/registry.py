@@ -133,6 +133,27 @@ _DRIVER_WINDOW = [
     "ts_interpolate_linear",
 ]
 
+# R11 ROTATION PLAN (precomputed from the r01-r10 evidence ledger so the
+# r11 session can rotate in one edit; verify with coverage_report before
+# trusting — a mid-round re-spell would add --stale names that take
+# priority for slots):
+#   1. any coverage_report --stale name first (re-spelled code/oracle);
+#   2. the RESERVED machinery trio (r08 evidence on r08-re-spelled code):
+#      win_rank_dense, analytics_rfm, dataset_curriculum;
+#   3. the remaining r03 shelf (~31 names — everything r03 in
+#      coverage_report NOT windowed this round): agg_boolean,
+#      agg_histogram, decontaminate, doc_fingerprint, domain_mix,
+#      dq_checks, embedding_normalize, fn_bitwise, fn_regex, fn_string2,
+#      fn_trig, funnel_conversion, join_bucketed, join_lateral, lang_id,
+#      maintenance_cluster, pivot_wide, retention_cohort, sample_weighted,
+#      scan_merge_schema, sink_orc_roundtrip, stream_sliding,
+#      subquery_exists, subquery_in, subquery_not_exists, subquery_scalar,
+#      text_ngram_freq, text_redact, token_count, unpivot_long,
+#      win_nth_value;
+#   4. fill the remaining ~16 slots from the r04 shelf head (cheap
+#      scalar/agg names first, streaming/LLM last — the time-cap
+#      ordering trick).
+
 
 def _window_order(names: dict[str, QueryFn] | dict[str, str]) -> list[str]:
     front = [n for n in _DRIVER_WINDOW if n in names]
