@@ -311,6 +311,61 @@ def permute_dir(spark, tmp_path_factory):
     return perm
 
 
+def test_fixtures_are_actually_adversarial(
+    spark, shape_dirs, span_dir, text_dir, empty_dir, ties_dir, permute_dir
+):
+    """Vacuity guard: every strict gate above passes trivially if its
+    builder silently stops deforming the data (an identity fixture makes
+    the sweep a plain sf0.01 re-run). Pin the adversarial SHAPE itself:
+    the hot key holds the skew mass, NULLs exist, the span stretched,
+    the palette landed, the tables emptied, the tie classes are massive,
+    and the permuted file really is out of original order."""
+    from pyspark.sql import functions as F
+
+    from mongodb_mysql_cdc_spark.catalog import load
+
+    skew, null = shape_dirs
+    ev = load(spark, skew, "events")
+    hot_share = (
+        ev.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
+        / ev.count()
+    )
+    assert hot_share >= 0.4, f"skew fixture lost its hot key ({hot_share:.2f})"
+
+    nulls = load(spark, null, "events").filter(F.col("user_id").isNull()).count()
+    assert nulls > 0, "null fixture carries no NULL keys"
+
+    base = load(spark, "/root/testdata/sf0.01", "events").agg(
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("s")
+    ).collect()[0][0]
+    stretched = load(spark, span_dir, "events").agg(
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("s")
+    ).collect()[0][0]
+    assert stretched >= 10 * base, "span fixture did not stretch the timeline"
+
+    empty_docs = load(spark, text_dir, "documents").filter(F.col("text") == "").count()
+    assert empty_docs > 0, "text fixture lost its empty-string palette entry"
+
+    assert load(spark, empty_dir, "events").count() == 0, "empty fixture has rows"
+
+    tev = load(spark, ties_dir, "events")
+    top_tie = (
+        tev.groupBy("ts").count().agg(F.max("count")).collect()[0][0] / tev.count()
+    )
+    assert top_tie >= 0.05, f"ties fixture lost its hot instant ({top_tie:.3f})"
+
+    con = duckdb.connect()  # hold the ref: a bare connect() is GC'd mid-chain
+    first_ids = (
+        con.sql(
+            "SELECT event_id FROM read_parquet("
+            f"'{permute_dir}/events.parquet/*.parquet') LIMIT 10"
+        )
+        .df()
+        .event_id.tolist()
+    )
+    assert first_ids != sorted(first_ids), "permute fixture is in original order"
+
+
 def test_permute_fixture_order_self_invariance(spark, permute_dir):
     """Each query's Spark output on the PERMUTED fixture must be
     row-set-identical to its output on the original sf dir — results
