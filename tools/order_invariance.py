@@ -35,6 +35,40 @@ from check_strict import compare  # noqa: E402  (tools/ sibling)
 from mongodb_mysql_cdc_spark.registry import queries
 from mongodb_mysql_cdc_spark.session import get_session
 
+# Sketch queries whose summaries are legitimately INSERTION-ORDER
+# dependent: a KLL/GK-style quantile sketch compacts differently when
+# scan-split membership changes, so the permuted estimate is a
+# different-but-equally-valid draw from the error bound (first seen at
+# sf0.1, where the parquet actually splits into multiple tasks; at
+# sf0.01 the single-split scan made it bit-stable). The HLL sketches
+# are deliberately NOT here — register-max merge is commutative, so
+# agg_approx_distinct / agg_hll_sketch must (and do) self-match
+# exactly. For the entries below the contract is the sketch's published
+# bound, not bit equality: approx_percentile(accuracy=10000) bounds
+# rank error at 1e-4, which on the harness price distribution is well
+# inside a 1e-3 relative VALUE margin (observed shift ~2e-4).
+ORDER_TOLERANT = {"agg_approx_quantile": 1e-3}
+
+
+def _within_rel(a, b, rel: float) -> bool:
+    """Row-set equality with a relative margin on float columns only."""
+    import numpy as np
+    import pandas as pd
+
+    if len(a) != len(b) or sorted(a.columns) != sorted(b.columns):
+        return False
+    cols = sorted(a.columns)
+    keys = [c for c in cols if not pd.api.types.is_float_dtype(a[c])]
+    a = a.sort_values(keys).reset_index(drop=True)
+    b = b.sort_values(keys).reset_index(drop=True)
+    for c in cols:
+        if pd.api.types.is_float_dtype(a[c]):
+            if not np.allclose(a[c], b[c], rtol=rel, equal_nan=True):
+                return False
+        elif not (a[c].reset_index(drop=True) == b[c].reset_index(drop=True)).all():
+            return False
+    return True
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -56,6 +90,17 @@ def main() -> int:
         except Exception as ex:  # a crash is a finding, not a tool error
             problems = [f"{type(ex).__name__}: {ex}"]
         wall = time.monotonic() - t0
+        note = ""
+        if problems and name in ORDER_TOLERANT:
+            try:
+                if _within_rel(a, b, ORDER_TOLERANT[name]):
+                    problems = []
+                    note = (
+                        " (order-dependent sketch, within rel"
+                        f" {ORDER_TOLERANT[name]:g})"
+                    )
+            except Exception:
+                pass  # keep the exact-compare problems as the finding
         if problems:
             n_fail += 1
             print(f"DIVERGES {name} [{wall:.1f}s]")
@@ -63,7 +108,7 @@ def main() -> int:
                 print(f"     {p}")
         else:
             n_pass += 1
-            print(f"PASS {name} ({len(a)} rows) [{wall:.1f}s]")
+            print(f"PASS {name} ({len(a)} rows) [{wall:.1f}s]{note}")
     print(f"\n{n_pass} order-invariant, {n_fail} diverge")
     return 1 if n_fail else 0
 
