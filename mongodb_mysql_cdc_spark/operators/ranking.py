@@ -244,10 +244,14 @@ def with_group_position(
     task.
 
     ``order_cols`` must form a total order within each group (include a
-    unique key last). Adds only the ``out`` column; `_gp_*`
-    intermediates are dropped. ``group_cols=[]`` gives the global
-    position. ``boundary_df``: optional cheaper proxy for the boundary
-    sample (see :func:`with_group_cumsum`)."""
+    unique key last) AND be bit-deterministic in the DATA: a double-typed
+    AGGREGATE key (e.g. sum of money doubles) is layout-dependent by an
+    ulp, which silently reorders value-tied rows across runs — grid-sum
+    such keys first (round-10 PERMUTE-axis catch in analytics_rfm; raw
+    columns and integer-valued aggregates are safe). Adds only the
+    ``out`` column; `_gp_*` intermediates are dropped. ``group_cols=[]``
+    gives the global position. ``boundary_df``: optional cheaper proxy
+    for the boundary sample (see :func:`with_group_cumsum`)."""
     keys = [*group_cols, *order_cols]
     d = df.withColumn(
         "_gp_pid",

@@ -77,7 +77,7 @@ _DRIVER_WINDOW = [
     "fn_struct_map", "fn_json", "cdc_apply_stateful", "stream_source",
     "stream_dedup", "stream_tumbling", "output_mode_update",
     "dedup_simhash", "dedup_embedding_cosine", "text_tokenize",
-    "text_quality", "multimodal_meta", "udf_surface", "multimodal_frames",
+    "text_quality", "udf_surface", "multimodal_frames",
     "multimodal_decode", "win_tumbling", "win_sliding", "win_session",
     "late_data", "stream_stream_join", "stream_stream_join_left",
     "stream_static_join",
@@ -125,6 +125,14 @@ _DRIVER_WINDOW = [
     # took decontaminate's and domain_mix's slots (both unchanged code,
     # keep green r03 evidence, rejoin the r11 tail).
     "agg_minmax_by", "join_asof_forward",
+    # round-10 PERMUTE-axis catch (≈sf1 only): analytics_rfm's monetary
+    # ranking key was a double sum — layout-dependent by an ulp, which
+    # flipped the m_score of tied copy-twins at a quintile boundary.
+    # Re-spelled to the decimal grid accumulator on both engines; took
+    # multimodal_meta's slot (unchanged code since r2, keeps its green
+    # r02 evidence, rejoins the r11 tail with the machinery trio it was
+    # reserved beside anyway).
+    "analytics_rfm",
     # round-10 re-spell: ts_interpolate_linear's forward anchors moved
     # off the O(n²) [CURRENT ROW, UNBOUNDED FOLLOWING] frame onto a DESC
     # running frame (unchanged oracle; fresh evidence REQUIRED for the

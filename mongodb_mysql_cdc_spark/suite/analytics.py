@@ -493,7 +493,7 @@ WITH per_cust AS (
   SELECT o_custkey,
          max(o_orderdate)             AS last_order,
          count(*)                     AS frequency,
-         sum(o_totalprice)            AS monetary
+         {sql_grid_sum('o_totalprice')} AS monetary
   FROM orders GROUP BY o_custkey
 ),
 scored AS (
@@ -529,19 +529,31 @@ def analytics_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-partitioned parallel sort + per-partition row_number +
     broadcast cumulative offsets, bit-identical to ntile (unique-key
     tie-breaks make the order total, so partition boundaries can't
-    change any rank) with no serial stage at any scale."""
+    change any rank) with no serial stage at any scale.
+
+    ``monetary`` is a GRID sum, not a double sum (round-10 PERMUTE-axis
+    catch, the only machinery SORT KEY that was a non-integer double
+    aggregate): a double sum's value depends on addition order, so two
+    customers with identical order histories (the ≈sf1 fixture's
+    copy-twins) tie bit-exactly under one row layout but differ by an
+    ulp under another — and when the quintile boundary lands inside
+    that tie class, the m_score of the boundary pair flips with the
+    LAYOUT. The o_totalprice values live on the 2-decimal money grid,
+    so the decimal-cents accumulator makes ``monetary`` bit-identical
+    under any row order on both engines and the (monetary, o_custkey)
+    order genuinely total."""
     o = load(spark, sf_dir, "orders")
     per = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("frequency"),
-        F.sum("o_totalprice").alias("monetary"),
+        grid_sum(F.col("o_totalprice")).alias("monetary"),
     )
-    # localCheckpoint: `monetary` is a double sum and the three chained
-    # machinery calls each fan their input into multiple re-executing
-    # plan branches (ranking.py bit-determinism precondition) — a ulp
-    # drift near a bucket boundary would misalign a row's local rank
-    # with its offset. One materialization pins the values AND truncates
-    # the lineage the later calls' branches re-execute.
+    # localCheckpoint: the three chained machinery calls each fan their
+    # input into multiple re-executing plan branches (ranking.py
+    # bit-determinism precondition). The grid sum already makes
+    # `monetary` reorder-proof; one materialization still pins every
+    # branch to the same bytes AND truncates the lineage the later
+    # calls' branches re-execute.
     per = per.localCheckpoint(eager=True)
     pos = with_global_position(per, ["last_order", "o_custkey"], "_p_r")
     pos = with_global_position(pos, ["frequency", "o_custkey"], "_p_f")

@@ -484,6 +484,39 @@ def test_registered_asof_spellings_match_merge_asof_under_ties(
     assert got_f == _asof_expected(rows, "forward")
 
 
+# --- RFM monetary is a reorder-proof grid sum (round 10, PERMUTE catch) -----
+
+
+def test_rfm_monetary_is_reorder_proof_grid_sum(spark, tmp_path_factory):
+    """Two customers with the SAME price multiset laid out in OPPOSITE
+    row orders must get bit-equal monetary totals — the PERMUTE-axis
+    catch: a plain double sum gives the twins ulp-different totals
+    depending on scan order (10^7 + many 0.03s is the classic case),
+    un-tying them and flipping the quintile of whichever sits on a
+    bucket boundary. The decimal-grid accumulator makes the ranking key
+    a pure function of the multiset; the tie then resolves by custkey."""
+    from mongodb_mysql_cdc_spark.suite.analytics import analytics_rfm
+
+    sf = str(tmp_path_factory.mktemp("rfm"))
+    prices = [10000000.01] + [0.03] * 7 + [123456.78, 0.01]
+    rows = []
+    for i, p in enumerate(prices):  # twin 1 forward, twin 2 reversed
+        rows.append((100 + i, 1, "F", p, BASE_TS, "1-URGENT"))
+    for i, p in enumerate(reversed(prices)):
+        rows.append((200 + i, 2, "F", p, BASE_TS, "1-URGENT"))
+    for k in range(3, 13):  # fillers so quintile boundaries exist
+        rows.append((900 + k, k, "F", float(k * 1000), BASE_TS, "1-URGENT"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+
+    out = analytics_rfm(spark, sf).toPandas().set_index("o_custkey")
+    assert out.loc[1, "monetary"] == out.loc[2, "monetary"]
+    assert out.loc[1, "m_score"] <= out.loc[2, "m_score"]
+
+
 # --- scale-stable comparison contracts (suite/aggregates.py, round 8) -------
 
 
