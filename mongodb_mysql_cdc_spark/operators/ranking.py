@@ -87,6 +87,7 @@ r buckets take q+1 rows, the rest take q.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -204,6 +205,75 @@ def _bucket_id_expr(df: DataFrame, keys: Sequence[str]) -> Column:
     return c_idx * F.lit(_CHUNK) + count_below(fine)
 
 
+def _balanced_call_prefix(s: str) -> str:
+    """The trailing balanced ``fn(...)`` call expression of ``s`` (walk
+    back from the final ``)`` to its matching ``(`` plus the identifier
+    before it), or '' when ``s`` doesn't end with a call."""
+    s = s.rstrip()
+    if not s.endswith(")"):
+        return ""
+    depth = 0
+    for i in range(len(s) - 1, -1, -1):
+        if s[i] == ")":
+            depth += 1
+        elif s[i] == "(":
+            depth -= 1
+            if depth == 0:
+                j = i - 1
+                while j >= 0 and (s[j].isalnum() or s[j] == "_"):
+                    j -= 1
+                return s[j + 1 :]
+    return ""
+
+
+_RAW_FLOAT_AGGS = ("sum", "avg", "mean")
+
+
+def assert_deterministic_order_keys(
+    df: DataFrame, order_cols: Sequence[str]
+) -> None:
+    """Machinery gate (r10 verdict item 3 — the analytics_rfm PERMUTE
+    catch, promoted from docstring precondition to an enforced check):
+    a ranking/bucketing ORDER key must be bit-deterministic in the DATA.
+
+    A float-typed column DEFINED BY a raw float aggregate (``sum`` over
+    double input, or any ``avg``) is layout-dependent by an ulp — double
+    addition is non-associative, so the aggregation's merge order (a
+    function of physical row layout) can flip which of two value-tied
+    rows ranks first, silently reordering quantile/ntile boundaries
+    across runs. Grid-summed (integer/decimal-accumulated), integer, and
+    raw per-row columns are all deterministic and pass.
+
+    Mechanism: for each ``order_cols`` entry with float/double dtype,
+    find its defining ``<expr> AS name#id`` in the ANALYZED plan; reject
+    when the expression is a bare ``sum(...)``/``avg(...)`` call. A
+    grid-sum spelling (``cast(sum(cast(x*100 as bigint)) as double) /
+    100.0``) is a division at the top, not a bare aggregate, so it
+    passes; scan attributes have no ``AS`` definition and pass. The
+    check is fail-open under plan-string truncation (a lint, not a
+    proof) and costs one plan analysis, no job."""
+    dtypes = dict(df.dtypes)
+    floaty = [c for c in order_cols if dtypes.get(c) in ("double", "float")]
+    if not floaty:
+        return
+    plan = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+    for c in floaty:
+        for m in re.finditer(re.escape(c) + r"#\d+", plan):
+            pre = plan[: m.start()].rstrip()
+            if not pre.endswith(" AS"):
+                continue
+            expr = _balanced_call_prefix(pre[: len(pre) - 3])
+            fn = expr.split("(", 1)[0] if expr else ""
+            if fn in _RAW_FLOAT_AGGS:
+                raise ValueError(
+                    f"order key '{c}' is a raw float aggregate"
+                    f" ({expr[:120]}): layout-dependent by an ulp —"
+                    " grid-sum it (decimal/integer accumulator) before"
+                    " using it as a ranking/bucketing order key"
+                    " (round-10 PERMUTE-axis catch, analytics_rfm)"
+                )
+
+
 def _join_back(
     d: DataFrame,
     extra: DataFrame,
@@ -248,10 +318,12 @@ def with_group_position(
     AGGREGATE key (e.g. sum of money doubles) is layout-dependent by an
     ulp, which silently reorders value-tied rows across runs — grid-sum
     such keys first (round-10 PERMUTE-axis catch in analytics_rfm; raw
-    columns and integer-valued aggregates are safe). Adds only the
+    columns and integer-valued aggregates are safe — ENFORCED by
+    :func:`assert_deterministic_order_keys`, r11). Adds only the
     ``out`` column; `_gp_*` intermediates are dropped. ``group_cols=[]``
     gives the global position. ``boundary_df``: optional cheaper proxy
     for the boundary sample (see :func:`with_group_cumsum`)."""
+    assert_deterministic_order_keys(df, order_cols)
     keys = [*group_cols, *order_cols]
     d = df.withColumn(
         "_gp_pid",
@@ -346,8 +418,10 @@ def with_group_position_and_cumsum(
     for callers needing both the in-group position AND a running sum of
     ``val`` under the same (group, order): half the boundary jobs and
     exchanges of two separate machinery calls (win_rank_dense's
-    distinct-spend histogram needs exactly this pair). Same total-order
-    and non-null-``val`` preconditions as the two parents."""
+    distinct-spend histogram needs exactly this pair). Same total-order,
+    deterministic-order-key (enforced, r11) and non-null-``val``
+    preconditions as the two parents."""
+    assert_deterministic_order_keys(df, order_cols)
     v = F.coalesce(
         F.col(val),
         F.raise_error(
@@ -431,7 +505,10 @@ def with_group_cumsum(
     null-prefix row still sees the earlier partitions' total), but here
     a null local running sum would null the offset addition — the two
     spellings diverge exactly on null values, so the operator refuses
-    them (callers coalesce first if skip-null semantics are wanted)."""
+    them (callers coalesce first if skip-null semantics are wanted).
+    ``order_cols`` must also be bit-deterministic (enforced, r11 — see
+    :func:`assert_deterministic_order_keys`)."""
+    assert_deterministic_order_keys(df, order_cols)
     v = F.coalesce(
         F.col(val),
         F.raise_error(

@@ -45,120 +45,87 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 
 
 # The driver verifies the FIRST 50 names in queries() order per round
-# (CORRECTNESS_r01.json = registry positions 1-50 exactly).  Round 9
-# rotation (verdict item 1): nothing was code-stale after the r08
-# artifacts landed (`coverage_report.py --stale` → 0), so the window
-# holds the 3 queries whose ORACLE SPELLING changed this round plus the
-# 47 oldest-evidence rows — all 20 remaining r01-evidence queries and
-# the 27 lowest-position r02-evidence queries, whose last driver runs
-# predate the exact-decimal compat layer, the session levers, and the
-# ranking machinery.  Evicted: the r08 re-verify set (all green in
-# CORRECTNESS_r08, code unchanged since).  Cheap relational/scalar
-# families first, expensive streaming/LLM queries LAST so a time-capped
-# driver run can't starve the cheap ones (the ordering trick from
-# r2-r8).
+# (CORRECTNESS_r01.json = registry positions 1-50 exactly).  Round 11
+# rotation (r10 verdict item 1): the registry is frozen at 279 and
+# `coverage_report.py --stale` is 0, so the window is pure evidence
+# freshness — the oldest-evidence backlog, exactly as the r10 rotation
+# plan precomputed.  Contents: multimodal_meta (the ONE r02-evidence
+# query — it ceded its r10 slot to the analytics_rfm permute fix and
+# the verdict requires it to lead), the ENTIRE remaining r03 shelf
+# (31 names), the two RESERVED machinery re-verify slots
+# (win_rank_dense, dataset_curriculum — r08 evidence on the r08
+# localCheckpointed ranking machinery; analytics_rfm already re-proved
+# in r10), and the 16 lowest-registry-position r04 names.  After a
+# green r11 run no query's evidence is older than r04.  Evicted: the
+# entire r10 window (all 50 green in CORRECTNESS_r10, code unchanged
+# since).  Cheap relational/scalar families first, expensive
+# streaming/LLM queries LAST so a time-capped driver run can't starve
+# the cheap ones (the ordering trick from r2-r10).
 _DRIVER_WINDOW = [
-    # round-10 NEW registrations (the two round-9 skew-audit weak items,
-    # judge-mandated exceptions to the round-8 registry freeze): the
-    # budgeted interval-overlap sibling and the general-probe range-
-    # bucketed interval join. Zero prior evidence — MUST be windowed.
-    "join_interval_overlap_bounded", "join_interval_bucketed",
-    # round-10 re-spell: the unbudgeted exhibit gained a spread() +
-    # pinned-broadcast probe fan-out (unchanged oracle, changed plan —
-    # fresh evidence REQUIRED).
-    "join_interval_overlap",
-    # r01 rows-only backlog (verdict r9 item 1 names it): the driver
-    # records a rows-only row; the pytest error-bound anchor is the
-    # stronger check.
-    "agg_approx_distinct",
-    # oldest evidence: the FULL r02 backlog (22 names) — scalar families,
-    # streaming live forms, dedup/text/multimodal exhibits, the r9
-    # NULL-wave evictees. This empties the r02 shelf entirely.
-    "fn_struct_map", "fn_json", "cdc_apply_stateful", "stream_source",
-    "stream_dedup", "stream_tumbling", "output_mode_update",
-    "dedup_simhash", "dedup_embedding_cosine", "text_tokenize",
-    "text_quality", "udf_surface", "multimodal_frames",
-    "multimodal_decode", "win_tumbling", "win_sliding", "win_session",
-    "late_data", "stream_stream_join", "stream_stream_join_left",
-    "stream_static_join",
-    # round-10 re-spells (the TEXT + EMPTY data-shape waves, this round):
-    # every coverage_report --stale name gets a slot — changed register
-    # segments need evidence under the NEW spelling. Cheap aggs first.
-    #   - grouping family: oracle gained the HAVING count(*)>0 empty-
-    #     input pin (agg_rollup docstring has the no-op proof);
-    #   - dq_profile: count-arithmetic null counts (sum-over-zero catch);
-    #   - scan_observe_metrics: None-safe metric row;
-    #   - partition-pruned trio: explicit-schema read-backs;
-    #   - graph_pagerank_iter: empty-graph guard;
-    #   - doc_chunk_overlap / dedup_chunk_sig: chunk_starts empty guard
-    #     + the casefold-contract tokenizer (both-engine re-spell).
-    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_grouping_id",
-    "dq_profile", "scan_observe_metrics", "doc_chunk_overlap",
-    "scan_partition_pruned", "join_partition_pruned_dynamic",
-    "graph_pagerank_iter", "dedup_chunk_sig",
-    # text_repetition: register segment changed later in round 10 (the
-    # redundant pre-explode filter removed with the O(tokens²) shingle
-    # fix) — took fn_string2's slot (unchanged code, keeps r03 evidence).
-    "text_repetition",
-    # oldest evidence: r03 head (11 of 41 remaining; the evicted-this-
-    # round 12 — pivot_wide, unpivot_long, agg_histogram, agg_boolean,
-    # win_nth_value, fn_bitwise, fn_trig, sample_weighted,
-    # scan_merge_schema, join_bucketed, fn_regex, fn_string2 — keep their green r03
-    # evidence and rejoin the r11 tail with maintenance_cluster,
-    # dq_checks, token_count, lang_id, doc_fingerprint, text_redact,
-    # text_repetition, text_ngram_freq, stream_sliding,
-    # subquery_exists/not_exists/in, win_cume_dist, fn_url, ….
-    # R11 RESERVATION (verdict r9 item 8): hold ~5 r11 slots for
-    # win_rank_dense, analytics_rfm, dataset_curriculum (oldest
-    # re-spelled-code evidence, r08 localCheckpointed machinery
-    # consumers) ahead of the r03 tail.
-    "join_null_safe",
-    "fn_datetime2", "stream_dedup_watermarked",
-    "cdc_route_tables", "cdc_apply_soft_delete", "cdc_state_asof",
-    "cdc_before_after_diff",
-    "sink_partition_overwrite",
-    "maintenance_compact",
-    # round-10 TIES-fixture catches (the sixth shape axis, added later
-    # the same round): agg_minmax_by's bare-ts arg_max and
-    # join_asof_forward's equal-ts frame exclusion were re-spelled with
-    # pinned tie contracts — changed spellings need evidence, so they
-    # took decontaminate's and domain_mix's slots (both unchanged code,
-    # keep green r03 evidence, rejoin the r11 tail).
-    "agg_minmax_by", "join_asof_forward",
-    # round-10 PERMUTE-axis catch (≈sf1 only): analytics_rfm's monetary
-    # ranking key was a double sum — layout-dependent by an ulp, which
-    # flipped the m_score of tied copy-twins at a quintile boundary.
-    # Re-spelled to the decimal grid accumulator on both engines; took
-    # multimodal_meta's slot (unchanged code since r2, keeps its green
-    # r02 evidence, rejoins the r11 tail with the machinery trio it was
-    # reserved beside anyway).
-    "analytics_rfm",
-    # round-10 re-spell: ts_interpolate_linear's forward anchors moved
-    # off the O(n²) [CURRENT ROW, UNBOUNDED FOLLOWING] frame onto a DESC
-    # running frame (unchanged oracle; fresh evidence REQUIRED for the
-    # changed plan). Took sink_orc_roundtrip's slot — that one keeps its
-    # green r03 evidence and rejoins the r11 tail.
-    "ts_interpolate_linear",
+    # -- scalar function families (r03/r04 evidence; cheapest first) --
+    "fn_bitwise", "fn_regex", "fn_string2", "fn_trig", "fn_url",
+    "fn_array2", "fn_map2",
+    # -- aggregate families (r03/r04) --
+    "agg_boolean", "agg_histogram", "agg_percentile_exact",
+    "agg_regression",
+    # -- reshape (r03) --
+    "pivot_wide", "unpivot_long",
+    # -- window family (r03/r04) + RESERVED machinery re-verify:
+    #    win_rank_dense exercises the r08 localCheckpointed distributed
+    #    rank machinery whose last driver evidence predates the r10
+    #    hof_recompute boundary-lambda fix in operators/ranking.py.
+    "win_nth_value", "win_rank_dense", "win_gaps_islands",
+    "win_running_distinct",
+    # -- subquery surface (r03) --
+    "subquery_exists", "subquery_not_exists", "subquery_in",
+    "subquery_scalar",
+    # -- joins / scans / sinks (r03/r04) --
+    "join_bucketed", "join_lateral", "scan_merge_schema",
+    "scan_csv_malformed", "sink_orc_roundtrip",
+    # -- maintenance / data quality (r03) --
+    "maintenance_cluster", "dq_checks",
+    # -- sampling & splits (r03/r04) --
+    "sample_weighted", "sample_stratified", "sample_per_group",
+    "dataset_split",
+    # -- text / fingerprint (r03) --
+    "token_count", "lang_id", "doc_fingerprint", "text_redact",
+    "text_ngram_freq",
+    # -- embeddings / analytics (r03) --
+    "embedding_normalize", "funnel_conversion", "retention_cohort",
+    # -- multimodal: THE r02 straggler the verdict names (leads the
+    #    backlog; placed here with its family, well inside any time cap)
+    "multimodal_meta",
+    # -- r11 re-spell: agg_minmax_by's register segment changed this
+    #    round (ADVICE r10: the non-negative/width precondition of the
+    #    zero-padded tie key is now documented in the docstring — code
+    #    and oracle byte-identical, but --stale is mechanical, so it
+    #    takes kmeans_refine's slot; that one keeps its green r04
+    #    evidence and leads the r12 tail).
+    "agg_minmax_by",
+    # -- heavier LLM ops (r04) --
+    "dedup_levenshtein",
+    # -- curation pipeline (r03) + RESERVED machinery re-verify:
+    #    dataset_curriculum consumes the same ranking machinery as
+    #    win_rank_dense (r10 boundary-lambda fix, r08 evidence).
+    "decontaminate", "domain_mix", "dataset_curriculum",
+    # -- CDC family (r04) --
+    "cdc_dead_letter", "cdc_tombstone_gc", "cdc_merge_replicas",
+    # -- streaming live form LAST (most expensive; r03) --
+    "stream_sliding",
 ]
 
-# R11 ROTATION PLAN (precomputed from the r01-r10 evidence ledger so the
-# r11 session can rotate in one edit; verify with coverage_report before
-# trusting — a mid-round re-spell would add --stale names that take
-# priority for slots):
-#   1. any coverage_report --stale name first (re-spelled code/oracle);
-#   2. the RESERVED machinery trio (r08 evidence on r08-re-spelled code):
-#      win_rank_dense, analytics_rfm, dataset_curriculum;
-#   3. the remaining r03 shelf (~31 names — everything r03 in
-#      coverage_report NOT windowed this round): agg_boolean,
-#      agg_histogram, decontaminate, doc_fingerprint, domain_mix,
-#      dq_checks, embedding_normalize, fn_bitwise, fn_regex, fn_string2,
-#      fn_trig, funnel_conversion, join_bucketed, join_lateral, lang_id,
-#      maintenance_cluster, pivot_wide, retention_cohort, sample_weighted,
-#      scan_merge_schema, sink_orc_roundtrip, stream_sliding,
-#      subquery_exists, subquery_in, subquery_not_exists, subquery_scalar,
-#      text_ngram_freq, text_redact, token_count, unpivot_long,
-#      win_nth_value;
-#   4. fill the remaining ~16 slots from the r04 shelf head (cheap
+# R12 ROTATION PLAN (precomputed from the r01-r11 evidence ledger;
+# verify with coverage_report first — any --stale name takes priority):
+#   1. any coverage_report --stale name (re-spelled code/oracle);
+#   2. the remaining r04 shelf (17 names, kmeans_refine first — it
+#      ceded its r11 slot to the agg_minmax_by docstring re-spell):
+#      kmeans_refine, dedup_url_canonical,
+#      embedding_covariance, embedding_quantize, multimodal_resample,
+#      multimodal_resize, quality_ensemble, quality_unigram_logprob,
+#      search_bm25, sim_search_rerank, stream_session_stateful,
+#      subquery_not_in_null, text_entropy, text_pii_flag,
+#      tfidf_topk_per_doc, token_oov_rate, ts_ohlc_downsample;
+#   3. fill the remaining ~34 slots from the r05 shelf head (cheap
 #      scalar/agg names first, streaming/LLM last — the time-cap
 #      ordering trick).
 

@@ -322,7 +322,16 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     composite (epoch_us(ts), event_id) rendered as one zero-padded
     string — the only composite-key form DuckDB's arg_max accepts
     (no STRUCT overload) — so the kept row is always the unique
-    max/min-event_id row of the tie class on both engines."""
+    max/min-event_id row of the tie class on both engines.
+
+    PRECONDITION (ADVICE r10): the zero-padded rendering is order-
+    equivalent to (epoch_us(ts), event_id) only for NON-NEGATIVE values
+    that fit the padding — lexicographic order inverts among negatives
+    ('-…002' > '-…001' but -2 < -1) and an event_id wider than 12
+    digits overflows its field. Holds for the harness domain (2024
+    timestamps → epoch_us ≈ 1.7e15 ≥ 0; event_id ≤ ~1e7) and for any
+    post-1970 feed with ids < 1e12; a pre-epoch or negative-id fixture
+    must first bias both fields by a constant offset on BOTH engines."""
     ev = load(spark, sf_dir, "events")
     tie_key = F.format_string("%020d%012d", F.unix_micros("ts"), F.col("event_id"))
     return ev.groupBy("user_id").agg(

@@ -556,3 +556,52 @@ def test_null_safe_join_backs_still_broadcast_hash(spark):
         assert "BroadcastHashJoin" in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+
+def test_order_key_determinism_gate(spark):
+    """r11 (verdict item 3): the analytics_rfm PERMUTE-axis lesson —
+    a ranking/bucketing order key must be bit-deterministic in the
+    data — promoted from a docstring precondition to an enforced
+    machinery gate. Raw float-aggregate keys (sum over doubles, any
+    avg) are REJECTED; grid-summed, integer-aggregate, and raw per-row
+    keys pass, and the passing spelling still runs end-to-end."""
+    from mongodb_mysql_cdc_spark.functions.compat import grid_sum
+    from mongodb_mysql_cdc_spark.operators.ranking import (
+        assert_deterministic_order_keys,
+        with_group_cumsum,
+        with_group_position,
+        with_group_position_and_cumsum,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 1, 1.25), ("a", 2, 2.5), ("b", 3, 3.75)],
+        "g string, id long, amt double",
+    )
+
+    # the bug spelling: double sum — layout-dependent by an ulp
+    raw = base.groupBy("g").agg(F.sum("amt").alias("m"))
+    with pytest.raises(ValueError, match="raw float aggregate"):
+        with_group_position(raw, [], ["m", "g"], "pos")
+    with pytest.raises(ValueError, match="raw float aggregate"):
+        with_group_cumsum(
+            raw.withColumn("one", F.lit(1.0)), [], ["m", "g"], "one", "cum"
+        )
+    with pytest.raises(ValueError, match="raw float aggregate"):
+        with_group_position_and_cumsum(
+            raw.withColumn("one", F.lit(1.0)), [], ["m", "g"], "one", "p", "c"
+        )
+
+    # avg is float-typed whatever the input — equally layout-dependent
+    avgd = base.groupBy("g").agg(F.avg("id").alias("m"))
+    with pytest.raises(ValueError, match="raw float aggregate"):
+        assert_deterministic_order_keys(avgd, ["m"])
+
+    # the cures: grid accumulator, integer aggregate, raw per-row column
+    grid = base.groupBy("g").agg(grid_sum(F.col("amt")).alias("m"))
+    assert_deterministic_order_keys(grid, ["m"])
+    ints = base.groupBy("g").agg(F.sum("id").alias("m"))
+    assert_deterministic_order_keys(ints, ["m"])
+    assert_deterministic_order_keys(base, ["amt", "id"])
+
+    out = with_group_position(grid, [], ["m", "g"], "pos").collect()
+    assert sorted(r["pos"] for r in out) == [1, 2]

@@ -51,21 +51,41 @@ ORDER_TOLERANT = {"agg_approx_quantile": 1e-3}
 
 
 def _within_rel(a, b, rel: float) -> bool:
-    """Row-set equality with a relative margin on float columns only."""
+    """Row-set equality with a relative margin on float columns.
+
+    Alignment (ADVICE r10 fix): sort by ALL columns — floats quantized
+    to a grid of ``rel`` for the sort KEY only — so rows that tie on
+    every non-float column still align deterministically (the old
+    non-float-keys-only sort let such rows align differently between
+    frames, and an all-float result sorted by [] not at all). Rows the
+    quantization can still swap differ by < ``rel`` absolute, which the
+    rtol compare then accepts for values >= 1; smaller magnitudes may
+    false-DIVERGE, which is fail-safe. Stable mergesort keeps the
+    alignment deterministic within exact key ties."""
     import numpy as np
     import pandas as pd
 
     if len(a) != len(b) or sorted(a.columns) != sorted(b.columns):
         return False
     cols = sorted(a.columns)
-    keys = [c for c in cols if not pd.api.types.is_float_dtype(a[c])]
-    a = a.sort_values(keys).reset_index(drop=True)
-    b = b.sort_values(keys).reset_index(drop=True)
+
+    def _aligned(df):
+        key = pd.DataFrame(index=df.index)
+        for c in cols:
+            if pd.api.types.is_float_dtype(df[c]):
+                key[c] = (df[c] / rel).round()
+            else:
+                key[c] = df[c]
+        order = key.sort_values(cols, kind="mergesort").index
+        return df.loc[order].reset_index(drop=True)
+
+    a = _aligned(a)
+    b = _aligned(b)
     for c in cols:
         if pd.api.types.is_float_dtype(a[c]):
             if not np.allclose(a[c], b[c], rtol=rel, equal_nan=True):
                 return False
-        elif not (a[c].reset_index(drop=True) == b[c].reset_index(drop=True)).all():
+        elif not (a[c] == b[c]).all():
             return False
     return True
 
