@@ -19,10 +19,29 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def _floor_double(col: Column) -> Column:
+    """floor() in the DOUBLE domain. Spark's F.floor(double) returns
+    BIGINT, which silently saturates past ±2^63 (the r11 EXTREMES catch:
+    agg_stats' 9e16 variance rounded at 4dp became long_max/1e4 while
+    DuckDB's double-domain floor sailed through). trunc = x - x % 1.0 is
+    EXACT IEEE at any magnitude (fmod is exact; the subtraction is exact
+    for |x| < 2^53 and fmod is 0 above, where x is already integral);
+    floor = trunc - 1 for negative non-integers. Identical results to
+    the old long-domain floor everywhere it didn't overflow."""
+    t = col - col % 1.0
+    return F.when((col < 0) & (col % 1.0 != 0.0), t - 1.0).otherwise(t)
+
+
 def hround(col: Column, n: int = 2) -> Column:
-    """Hash-stable round to n decimals (see module docstring)."""
+    """Hash-stable round to n decimals (see module docstring).
+
+    PRECONDITION inherited by the comparison contract: past |x| ≈ 2^52 /
+    10^n the double grid is coarser than 10^-n, so 'rounding' is the
+    identity — still bit-identical cross-engine (both engines run the
+    same float ops; the double-domain floor keeps Spark off its BIGINT
+    floor, whose saturation diverged from DuckDB at those magnitudes)."""
     scale = float(10**n)
-    return F.floor(col * scale + 0.5) / scale
+    return _floor_double(col * scale + 0.5) / scale
 
 
 def sql_round(expr: str, n: int = 2) -> str:
@@ -124,6 +143,30 @@ def sql_grid_sum(expr: str, k: int = 2) -> str:
     return _sql_grid_sum_expr(expr, float(10**k))
 
 
+def grid_wsum(expr: Column, weight: Column, k: int = 2) -> Column:
+    """Exact Σ value·weight for a 10^-k-grid double times an INTEGER
+    weight column → DOUBLE. The product is formed in DECIMAL(19,0) —
+    never as a double multiply (value·weight at 1e9 money × 3.6e9 µs ≈
+    3.6e18 is beyond 2^53, so the grid recovery of the double product is
+    inexact) and never in long (cents·weight ≈ 3.6e20 wraps; the r11
+    EXTREMES catch in ts_twap). Same bit-identity contract as grid_sum:
+    both engines sum the identical exact decimals and convert once."""
+    cents = _grid_long(expr, k).cast("decimal(19,0)")
+    return (
+        dec_to_double(F.sum(cents * weight.cast("decimal(19,0)")))
+        / float(10**k)
+    )
+
+
+def sql_grid_wsum(expr: str, weight: str, k: int = 2) -> str:
+    """The oracle-side spelling of ``grid_wsum`` (valid in both dialects)."""
+    c = _sql_grid_long(expr, k)
+    inner = (
+        f"sum(CAST(({c}) AS DECIMAL(19,0)) * CAST(({weight}) AS DECIMAL(19,0)))"
+    )
+    return f"{sql_dec_to_double(inner)} / {float(10 ** k)}"
+
+
 def dec_sum(col: Column, prec: int = 18, scale: int = 2) -> Column:
     """Exact sum of a fixed-point-grid double → DOUBLE (grid accumulator).
 
@@ -183,9 +226,14 @@ def sql_dec_avg_over(expr: str, partition: str, scale: int = 2) -> str:
 # identical inputs, so the results are bit-identical at any corpus size and
 # under any physical layout.
 #
-# Per-row bounds (FIXTURES.md domains): c = value·10² ≤ 4.9e4 → c² ≤ 2.4e9
-# (long-safe, decimal(18,0)-safe); Σc² at 4e11 rows ≈ 1e21 < decimal(28,0)
-# exact sum. Non-null inputs assumed (the harness columns verify none);
+# Per-row bounds: the harness domain keeps c = value·10² ≤ 4.9e4, but the
+# round-11 EXTREMES fixture (±1e9 money → c ≈ 1e11) showed the SQUARED
+# terms must not be formed in BIGINT — c² ≈ 1e22 > 2^63 wraps in Spark
+# (ANSI: ARITHMETIC_OVERFLOW) and overflows DuckDB's BIGINT multiply too.
+# All second-moment products are therefore computed in DECIMAL(19,0) ×
+# DECIMAL(19,0) → DECIMAL(38,0): exact to 38 digits (c² ≤ 1e26 at the
+# fixture's grid edge), summed exactly, then via-string to bit-identical
+# doubles. Non-null inputs assumed (the harness columns verify none);
 # callers coalesce/filter first otherwise — count(*) is the n on both sides.
 
 
@@ -196,6 +244,21 @@ def _grid_long(expr: Column, k: int) -> Column:
 
 def _sql_grid_long(expr: str, k: int) -> str:
     return f"CAST(floor(({expr}) * {float(10 ** k)} + 0.5) AS BIGINT)"
+
+
+def _dsum_prod(a: Column, b: Column) -> Column:
+    """Exact decimal sum of a product of two LONG columns — the product
+    is formed in DECIMAL(19,0), never in long (long·long wraps beyond
+    2^63; the r11 EXTREMES catch: money cents² at ±1e9 ≈ 1e22).
+    DECIMAL(19,0)·DECIMAL(19,0) → DECIMAL(38,0) in both engines — exact
+    for every product of two ≤19-digit integers."""
+    return dec_to_double(F.sum(a.cast("decimal(19,0)") * b.cast("decimal(19,0)")))
+
+
+def _sql_dsum_prod(ea: str, eb: str) -> str:
+    return sql_dec_to_double(
+        f"sum(CAST(({ea}) AS DECIMAL(19,0)) * CAST(({eb}) AS DECIMAL(19,0)))"
+    )
 
 
 def _dsum(col: Column) -> Column:
@@ -219,7 +282,7 @@ def grid_var_samp(expr: Column, k: int = 2) -> Column:
     on identical inputs, so bit-identity is preserved."""
     c = _grid_long(expr, k)
     n = F.count(F.lit(1)).cast("double")
-    s1, s2 = _dsum(c), _dsum(c * c)
+    s1, s2 = _dsum(c), _dsum_prod(c, c)
     return F.when(
         F.count(F.lit(1)) > 1,
         F.greatest(
@@ -231,7 +294,7 @@ def grid_var_samp(expr: Column, k: int = 2) -> Column:
 
 def sql_grid_var_samp(expr: str, k: int = 2) -> str:
     c = _sql_grid_long(expr, k)
-    s1, s2 = _sql_dsum(c), _sql_dsum(f"({c}) * ({c})")
+    s1, s2 = _sql_dsum(c), _sql_dsum_prod(c, c)
     n = "CAST(count(*) AS DOUBLE)"
     return (
         f"CASE WHEN count(*) > 1 THEN greatest("
@@ -273,7 +336,7 @@ def grid_corr(expr: Column, other: Column, k: int = 2) -> Column:
     u = _grid_long(other, 0)
     n = F.count(F.lit(1)).cast("double")
     sv, su = _dsum(c), _dsum(u)
-    svv, suu, svu = _dsum(c * c), _dsum(u * u), _dsum(c * u)
+    svv, suu, svu = _dsum_prod(c, c), _dsum_prod(u, u), _dsum_prod(c, u)
     dv = F.greatest(svv - sv * sv / n, F.lit(0.0))
     du = F.greatest(suu - su * su / n, F.lit(0.0))
     return F.when(
@@ -287,9 +350,9 @@ def sql_grid_corr(expr: str, other: str, k: int = 2) -> str:
     u = _sql_grid_long(other, 0)
     n = "CAST(count(*) AS DOUBLE)"
     sv, su = _sql_dsum(c), _sql_dsum(u)
-    svv = _sql_dsum(f"({c}) * ({c})")
-    suu = _sql_dsum(f"({u}) * ({u})")
-    svu = _sql_dsum(f"({c}) * ({u})")
+    svv = _sql_dsum_prod(c, c)
+    suu = _sql_dsum_prod(u, u)
+    svu = _sql_dsum_prod(c, u)
     dv = f"greatest(({svv}) - ({sv}) * ({sv}) / ({n}), 0.0)"
     du = f"greatest(({suu}) - ({su}) * ({su}) / ({n}), 0.0)"
     return (

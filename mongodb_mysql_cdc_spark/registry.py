@@ -84,9 +84,26 @@ _DRIVER_WINDOW = [
     "scan_csv_malformed", "sink_orc_roundtrip",
     # -- maintenance / data quality (r03) --
     "maintenance_cluster", "dq_checks",
-    # -- sampling & splits (r03/r04) --
-    "sample_weighted", "sample_stratified", "sample_per_group",
-    "dataset_split",
+    # -- r11 EXTREMES-axis re-spells (the tenth shape axis's first-sweep
+    #    catches — changed spellings/oracles REQUIRE fresh evidence):
+    #    fn_math's ln and fn_trig's log10 gained explicit x>0 domain
+    #    guards (DuckDB hard-errors on log(0), Spark NULLs); agg_stats /
+    #    anomaly_zscore moved their grid second moments onto
+    #    DECIMAL(19,0) products (cents² wrapped BIGINT at ±1e9 money);
+    #    ts_twap's numerator is grid_wsum (decimal product of cents ×
+    #    µs weight); ts_ewma's weights are pinned string-cast literal
+    #    tables (libm pow + DuckDB decimal→double double-rounding);
+    #    ts_max_drawdown's equity curve is integer cents (double
+    #    running-sum association order). fn_trig was already windowed;
+    #    the other six take the slots of six r04-evidence names
+    #    (sample_stratified, sample_per_group, dataset_split,
+    #    cdc_dead_letter, cdc_tombstone_gc, cdc_merge_replicas — all
+    #    keep green r04 evidence, consistent with this round's "nothing
+    #    older than r04" target, and lead the r12 tail).
+    "fn_math", "agg_stats", "anomaly_zscore", "ts_ewma", "ts_twap",
+    "ts_max_drawdown",
+    # -- sampling & splits (r03) --
+    "sample_weighted",
     # -- text / fingerprint (r03) --
     "token_count", "lang_id", "doc_fingerprint", "text_redact",
     "text_ngram_freq",
@@ -108,8 +125,6 @@ _DRIVER_WINDOW = [
     #    dataset_curriculum consumes the same ranking machinery as
     #    win_rank_dense (r10 boundary-lambda fix, r08 evidence).
     "decontaminate", "domain_mix", "dataset_curriculum",
-    # -- CDC family (r04) --
-    "cdc_dead_letter", "cdc_tombstone_gc", "cdc_merge_replicas",
     # -- streaming live form LAST (most expensive; r03) --
     "stream_sliding",
 ]
@@ -117,15 +132,17 @@ _DRIVER_WINDOW = [
 # R12 ROTATION PLAN (precomputed from the r01-r11 evidence ledger;
 # verify with coverage_report first — any --stale name takes priority):
 #   1. any coverage_report --stale name (re-spelled code/oracle);
-#   2. the remaining r04 shelf (17 names, kmeans_refine first — it
-#      ceded its r11 slot to the agg_minmax_by docstring re-spell):
-#      kmeans_refine, dedup_url_canonical,
+#   2. the remaining r04 shelf (23 names; the seven that ceded r11
+#      slots to re-spells lead): kmeans_refine (→ agg_minmax_by),
+#      sample_stratified, sample_per_group, dataset_split,
+#      cdc_dead_letter, cdc_tombstone_gc, cdc_merge_replicas (→ the six
+#      EXTREMES-axis re-spells), then dedup_url_canonical,
 #      embedding_covariance, embedding_quantize, multimodal_resample,
 #      multimodal_resize, quality_ensemble, quality_unigram_logprob,
 #      search_bm25, sim_search_rerank, stream_session_stateful,
 #      subquery_not_in_null, text_entropy, text_pii_flag,
 #      tfidf_topk_per_doc, token_oov_rate, ts_ohlc_downsample;
-#   3. fill the remaining ~34 slots from the r05 shelf head (cheap
+#   3. fill the remaining ~27 slots from the r05 shelf head (cheap
 #      scalar/agg names first, streaming/LLM last — the time-cap
 #      ordering trick).
 

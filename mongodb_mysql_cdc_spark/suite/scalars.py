@@ -102,7 +102,8 @@ SELECT
   CAST(floor(l_extendedprice) AS BIGINT)     AS price_floor,
   {sql_round('sqrt(l_quantity)', 6)}         AS qty_sqrt,
   {sql_round('pow(1.0 + l_discount, 2)', 6)} AS disc_sq,
-  {sql_round('ln(l_extendedprice)', 6)}      AS price_ln,
+  {sql_round('CASE WHEN l_extendedprice > 0 THEN ln(l_extendedprice) END', 6)}
+                                             AS price_ln,
   CAST(l_orderkey % 7 AS BIGINT)             AS key_mod,
   CAST(sign(l_discount - 0.05) AS BIGINT)    AS disc_sign
 FROM lineitem
@@ -112,7 +113,12 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-canonicalizer note (round 2): DuckDB ``ceil``/``floor`` return
     DOUBLE and ``sign`` returns TINYINT where Spark returns BIGINT/DOUBLE —
     every integral output is now explicitly BIGINT on BOTH sides so the
-    textual value forms agree without any normalizer."""
+    textual value forms agree without any normalizer.
+
+    Log-domain contract (r11 EXTREMES catch): ln is defined for x > 0 —
+    Spark's log() returns NULL outside the domain while DuckDB hard-errors
+    (Out of Range on ln(0)), so the domain guard is EXPLICIT and identical
+    on both engines: out-of-domain rows yield NULL by contract."""
     li = load(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -122,7 +128,9 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("l_extendedprice").cast("long").alias("price_floor"),
         hround(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
         hround(F.pow(F.lit(1.0) + F.col("l_discount"), 2), 6).alias("disc_sq"),
-        hround(F.log("l_extendedprice"), 6).alias("price_ln"),
+        hround(
+            F.when(F.col("l_extendedprice") > 0, F.log("l_extendedprice")), 6
+        ).alias("price_ln"),
         F.pmod("l_orderkey", F.lit(7)).cast("long").alias("key_mod"),
         F.signum(F.col("l_discount") - 0.05).cast("long").alias("disc_sign"),
     )
@@ -431,14 +439,18 @@ SELECT l_orderkey, l_linenumber,
        {sql_round('atan2(l_discount, l_tax + 0.01)', 6)}    AS angle,
        {sql_round('degrees(atan(l_quantity / 100.0))', 6)}  AS slope_deg,
        {sql_round('exp(l_discount)', 6)}                    AS exp_d,
-       {sql_round('log10(l_extendedprice)', 6)}             AS log10_price
+       {sql_round('CASE WHEN l_extendedprice > 0 THEN log10(l_extendedprice) END', 6)}
+                                                            AS log10_price
 FROM lineitem
 """,
 )
 def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcendental family (§2.8 breadth): trig / inverse-trig /
     exp / log10. All transcendentals differ by ulps across libm
-    implementations → rounded to 6dp on both sides (the fn_math rule)."""
+    implementations → rounded to 6dp on both sides (the fn_math rule).
+    log10 carries the same explicit x > 0 domain guard as fn_math's ln
+    (r11 EXTREMES catch: DuckDB hard-errors on log of zero where Spark
+    returns NULL — the guard pins NULL-outside-domain on both engines)."""
     li = load(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
@@ -448,7 +460,9 @@ def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
         hround(F.atan2(F.col("l_discount"), F.col("l_tax") + 0.01), 6).alias("angle"),
         hround(F.degrees(F.atan(F.col("l_quantity") / 100.0)), 6).alias("slope_deg"),
         hround(F.exp("l_discount"), 6).alias("exp_d"),
-        hround(F.log10("l_extendedprice"), 6).alias("log10_price"),
+        hround(
+            F.when(F.col("l_extendedprice") > 0, F.log10("l_extendedprice")), 6
+        ).alias("log10_price"),
     )
 
 

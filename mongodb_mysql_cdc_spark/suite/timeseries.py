@@ -21,10 +21,12 @@ from mongodb_mysql_cdc_spark.functions.compat import (
     dec_avg,
     grid_stddev_samp,
     grid_sum,
+    grid_wsum,
     hround,
     sql_dec_avg,
     sql_grid_stddev_samp,
     sql_grid_sum,
+    sql_grid_wsum,
     sql_round,
 )
 from mongodb_mysql_cdc_spark.registry import register
@@ -348,6 +350,35 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# EWMA weight tables (r11 EXTREMES re-spell): 0.7^j and the running
+# weight sums, computed ONCE in Python and embedded as the SAME decimal
+# literals in both spellings. Each engine's libm pow() may differ by
+# ulps — invisible under 6-dec rounding at harness magnitudes (~1e2),
+# but at the fixture's ±1e9 money the accumulated pow drift crossed the
+# rounding boundary (…260327 vs …260328). A parsed decimal literal is
+# correctly rounded to the SAME double by both engines, so with the
+# weights pinned every remaining op (multiply, ordered fold, divide) is
+# identical IEEE on identical inputs — bit-equal at any magnitude.
+# Each element is CAST('<repr>' AS DOUBLE) — the STRING form, valid in
+# BOTH dialects — so the literal parses straight to a correctly-rounded
+# double. A bare decimal literal types as DECIMAL in both parsers and an
+# unquoted CAST(x AS DOUBLE) still goes THROUGH the decimal: DuckDB's
+# decimal→double conversion double-rounds 17-significant-digit values
+# (int mantissa > 2^53 rounds once, the /10^s rounds again — measured 1
+# ulp off on 150 of the 20 running-sum entries), which is exactly the
+# compat.py via-string rule. String→double is correctly rounded in both
+# engines (shortest-repr round-trip), so the pinned weights are
+# bit-identical.
+_EWMA_W = [f"CAST('{0.7 ** j!r}' AS DOUBLE)" for j in range(20)]
+_EWMA_DEN = [
+    f"CAST('{sum(0.7 ** j for j in range(m))!r}' AS DOUBLE)" for m in range(1, 21)
+]
+_EWMA_W_SQL = "[" + ", ".join(_EWMA_W) + "]"
+_EWMA_DEN_SQL = "[" + ", ".join(_EWMA_DEN) + "]"
+_EWMA_W_SPARK = "array(" + ", ".join(_EWMA_W) + ")"
+_EWMA_DEN_SPARK = "array(" + ", ".join(_EWMA_DEN) + ")"
+
+
 @register(
     "ts_ewma",
     oracle=f"""
@@ -364,13 +395,11 @@ v AS (
 )
 SELECT user_id, event_id, ts,
        CASE WHEN len(vals) = 0 THEN NULL ELSE
-       {sql_round('''
+       {sql_round(f'''
          list_reduce(list_transform(range(1, len(vals) + 1),
-                                    i -> vals[i] * 0.7 ** (len(vals) - i)),
+                                    i -> vals[i] * ({_EWMA_W_SQL})[len(vals) - i + 1]),
                      (a, b) -> a + b)
-         / list_reduce(list_transform(range(1, len(vals) + 1),
-                                      i -> 0.7 ** (len(vals) - i)),
-                       (a, b) -> a + b)''', 6)} END AS ewma
+         / ({_EWMA_DEN_SQL})[len(vals)]''', 6)} END AS ewma
 FROM v
 """,
 )
@@ -390,7 +419,10 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     already drops them; the oracle list_filters to match (DuckDB's
     list() keeps NULL elements, which would null the whole reduce). An
     all-null frame yields NULL on both sides (explicit size guard —
-    DuckDB's init-less list_reduce crashes on empty lists)."""
+    DuckDB's init-less list_reduce crashes on empty lists). Weights and
+    their running sums are PINNED literal tables (see _EWMA_W above) —
+    the r11 EXTREMES fix for cross-engine libm pow() drift at extreme
+    magnitudes; the denominator is one table lookup, not a second fold."""
     ev = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -400,12 +432,10 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = F.collect_list("value").over(w)
     num = (
         "aggregate(zip_with(vals, sequence(1, size(vals)),"
-        " (v, i) -> v * pow(0.7, size(vals) - i)), 0D, (acc, x) -> acc + x)"
+        f" (v, i) -> v * element_at({_EWMA_W_SPARK}, size(vals) - i + 1)),"
+        " 0D, (acc, x) -> acc + x)"
     )
-    den = (
-        "aggregate(transform(sequence(1, size(vals)),"
-        " i -> pow(0.7, size(vals) - i)), 0D, (acc, x) -> acc + x)"
-    )
+    den = f"element_at({_EWMA_DEN_SPARK}, size(vals))"
     return (
         ev.select("user_id", "event_id", "ts", vals.alias("vals"))
         .select(
@@ -481,7 +511,7 @@ capped AS (
 )
 SELECT user_id, bucket,
        CAST(count(*) AS BIGINT) AS n_segments,
-       {sql_round(f"({sql_grid_sum('value * w', 2)}) / CAST(sum(w) AS DOUBLE)", 6)} AS twap
+       {sql_round(f"({sql_grid_wsum('value', 'w', 2)}) / CAST(sum(w) AS DOUBLE)", 6)} AS twap
 FROM capped
 GROUP BY user_id, bucket
 """,
@@ -508,12 +538,14 @@ def ts_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return capped.groupBy("user_id", "bucket").agg(
         F.count(F.lit(1)).alias("n_segments"),
-        # exact grid numerator (2-grid value × integer µs weight stays on
-        # the 2-grid; |v·w|·100 ≤ 561·3.6e9·100 ≈ 2e14 ≪ 2^52 so the grid
-        # recovery is exact — compat.py grid notes) over an exact
-        # integer denominator: the scale-stable weighted-mean contract
+        # exact decimal-product numerator (grid_wsum: cents × integer µs
+        # weight multiplied in DECIMAL(19,0) — the r11 EXTREMES catch:
+        # the former grid recovery of the DOUBLE product value·w was
+        # inexact past 2^53 and its long cast wrapped at ±1e9 money ×
+        # 3.6e9 µs ≈ 3.6e20) over an exact integer denominator: the
+        # scale-stable weighted-mean contract at ANY money magnitude
         hround(
-            grid_sum(F.col("value") * F.col("w"), 2) / F.sum("w").cast("double"),
+            grid_wsum(F.col("value"), F.col("w"), 2) / F.sum("w").cast("double"),
             6,
         ).alias("twap"),
     )
@@ -761,20 +793,21 @@ def ts_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH curve AS (
   SELECT user_id, ts, event_id,
-         sum(value - 50.0) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS equity
+         sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT) - 5000)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS equity_c
   FROM events
 ),
 peaks AS (
-  SELECT user_id, equity,
-         max(equity) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  SELECT user_id, equity_c,
+         max(equity_c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_c
   FROM curve
 )
 SELECT user_id,
-       {sql_round('max(peak - equity)', 6)} AS max_drawdown,
-       {sql_round('max(peak)', 6)}          AS high_water_mark,
-       {sql_round('min(equity)', 6)}        AS trough
+       {sql_round('CAST(max(peak_c - equity_c) AS DOUBLE) / 100.0', 6)} AS max_drawdown,
+       {sql_round('CAST(max(peak_c) AS DOUBLE) / 100.0', 6)}            AS high_water_mark,
+       {sql_round('CAST(min(equity_c) AS DOUBLE) / 100.0', 6)}          AS trough
 FROM peaks
 GROUP BY user_id
 """,
@@ -786,32 +819,44 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     between them — three nested cumulative views in ONE window pass
     (both cumulative windows share the same (user, ts) sort, so
     Catalyst plans a single exchange+sort like win_running_distinct).
-    The synthetic equity curve is the centered-value cumsum per user."""
+    The synthetic equity curve is the centered-value cumsum per user.
+
+    Exactness contract (r11 EXTREMES catch): a DOUBLE running sum's
+    association order differs between engines (Spark folds the frame
+    sequentially, DuckDB may use a segment tree), so at ±1e9 money
+    magnitudes the cancellation residue diverged in the 6th decimal.
+    The curve is therefore accumulated in integer CENTS (the grid_sum
+    recovery, centered on 5000 cents = 50.00) — running integer sums
+    are association-free, so both engines agree bit-for-bit at any
+    magnitude; the single /100.0 happens once at the end."""
     ev = load(spark, sf_dir, "events").repartition("user_id")
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long") - 5000
     curve = ev.select(
         "user_id",
         "ts",
         "event_id",
-        F.sum(F.col("value") - 50.0).over(w).alias("equity"),
+        F.sum(cents).over(w).alias("equity_c"),
     )
     peaks = curve.select(
         "user_id",
-        "equity",
-        F.max("equity").over(
+        "equity_c",
+        F.max("equity_c").over(
             Window.partitionBy("user_id")
             .orderBy("ts", "event_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("peak"),
+        ).alias("peak_c"),
     )
     return peaks.groupBy("user_id").agg(
-        hround(F.max(F.col("peak") - F.col("equity")), 6).alias("max_drawdown"),
-        hround(F.max("peak"), 6).alias("high_water_mark"),
-        hround(F.min("equity"), 6).alias("trough"),
+        hround(
+            F.max(F.col("peak_c") - F.col("equity_c")).cast("double") / 100.0, 6
+        ).alias("max_drawdown"),
+        hround(F.max("peak_c").cast("double") / 100.0, 6).alias("high_water_mark"),
+        hround(F.min("equity_c").cast("double") / 100.0, 6).alias("trough"),
     )
 
 

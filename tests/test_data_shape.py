@@ -31,6 +31,7 @@ sys.path.insert(0, str(ROOT / "tools"))
 from check_strict import compare  # noqa: E402
 from make_skew import (  # noqa: E402
     build_empty,
+    build_extremes,
     build_null,
     build_skew,
     build_span,
@@ -311,8 +312,58 @@ def permute_dir(spark, tmp_path_factory):
     return perm
 
 
+# Round-11 axis: value-DOMAIN extremes (make_skew.py --mode extremes —
+# ±1e9 money on the 2-decimal grid, zero/negative amounts, ×1000 price
+# magnitudes, epoch/far-future order timestamps). The first sweep caught
+# 7 queries in 4 classes: DuckDB hard-errors on log(0) where Spark
+# returns NULL (fn_math, fn_trig → explicit x>0 domain guards); BIGINT
+# overflow in the grid second-moment products (agg_stats,
+# anomaly_zscore → DECIMAL(19,0) products) and in the double-product
+# grid recovery (ts_twap → grid_wsum); Spark's BIGINT-returning floor
+# saturating inside hround at 9e16 variance (→ double-domain floor);
+# cross-engine drift from libm pow and DuckDB's double-rounding
+# decimal→double literals (ts_ewma → pinned string-cast weight tables)
+# and double running-sum association order (ts_max_drawdown →
+# integer-cents curve). This gate keeps every catch pinned.
+EXTREMES_SUBSET = [
+    "fn_math",
+    "fn_trig",
+    "agg_stats",
+    "anomaly_zscore",
+    "ts_ewma",
+    "ts_twap",
+    "ts_max_drawdown",
+    "pricing_summary",
+    "retention_cohort",
+    "agg_percentile_exact",
+]
+
+
+@pytest.fixture(scope="module")
+def extremes_dir(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("extremes")
+    ext = str(root / "sfextremes")
+    build_extremes(spark, "/root/testdata/sf0.01", ext)
+    return ext
+
+
+def test_extremes_fixture_strict_subset(spark, extremes_dir):
+    """Money at the grid edges, zeros, negatives and epoch-boundary
+    timestamps must produce hash-identical results on both engines —
+    the r11 catch set stays fixed."""
+    bad = _strict(spark, extremes_dir, EXTREMES_SUBSET)
+    assert not bad, bad
+
+
 def test_fixtures_are_actually_adversarial(
-    spark, shape_dirs, span_dir, text_dir, empty_dir, ties_dir, permute_dir
+    spark,
+    shape_dirs,
+    span_dir,
+    text_dir,
+    empty_dir,
+    ties_dir,
+    permute_dir,
+    extremes_dir,
 ):
     """Vacuity guard: every strict gate above passes trivially if its
     builder silently stops deforming the data (an identity fixture makes
@@ -353,6 +404,16 @@ def test_fixtures_are_actually_adversarial(
         tev.groupBy("ts").count().agg(F.max("count")).collect()[0][0] / tev.count()
     )
     assert top_tie >= 0.05, f"ties fixture lost its hot instant ({top_tie:.3f})"
+
+    xev = load(spark, extremes_dir, "events")
+    n_edge = xev.filter(F.abs(F.col("value")) == 999999999.99).count()
+    assert n_edge > 0, "extremes fixture lost its grid-edge money palette"
+    n_epoch = (
+        load(spark, extremes_dir, "orders")
+        .filter(F.col("o_orderdate") == F.lit("1970-01-01 00:00:00").cast("timestamp"))
+        .count()
+    )
+    assert n_epoch > 0, "extremes fixture lost its epoch-boundary orders"
 
     con = duckdb.connect()  # hold the ref: a bare connect() is GC'd mid-chain
     first_ids = (

@@ -42,7 +42,9 @@ table 0 rows, schema preserved — the crash-on-empty axis), TIES
 (--mode ties: massive order-key tie classes — the ordering-determinism
 axis; see build_ties) and PERMUTE (--mode permute: same rows in
 hash-shuffled on-disk order — the row-order-invariance axis; pair with
-tools/order_invariance.py for the Spark-vs-Spark self check).
+tools/order_invariance.py for the Spark-vs-Spark self check). Round 11
+added EXTREMES (--mode extremes: value-DOMAIN edges — grid-edge money,
+zeros/negatives, epoch-boundary timestamps; see build_extremes).
 
 Usage:
     python tools/make_skew.py                      # both fixtures from sf0.1
@@ -339,6 +341,83 @@ _PK = {
 }
 
 
+def build_extremes(spark, src: str, dst: str) -> None:
+    """EXTREMES fixture (round 11, tenth shape axis): value-DOMAIN
+    extremes — the residue the r10 verdict names (item 7): money at the
+    edges of what a 2-decimal double grid can hold, zero and negative
+    amounts, and epoch-boundary timestamps. Every prior axis reshapes
+    WHERE values sit (keys, order, layout); this one reshapes the values
+    themselves: sign flips break positivity assumptions (share-of-total,
+    drawdown, log-scaling), zeros break division guards, 1e9 magnitudes
+    mixed with cents stress double summation (a raw double sum loses the
+    cents next to 1e9 — the grid-sum discipline is exactly what keeps
+    both engines bit-equal here), and epoch/far-future timestamps stress
+    date arithmetic and the zero-padded composite-key contracts
+    (agg_minmax_by's documented non-negative precondition holds: epoch
+    ZERO is still non-negative).
+
+    Deterministic column remaps only (PKs, FKs, group keys, doc/vec ids
+    untouched — every FIXTURES.md invariant survives; money stays ON the
+    2-decimal grid):
+      - events.value   → by event_id % 20: 0 → 0.00, 5 → -0.01,
+                         10 → 999999999.99, 15 → -999999999.99
+                         (~20% extreme; ±1e9 keeps grid sums far inside
+                         the bigint accumulator at any harness SF:
+                         1e9·100·6M rows ≈ 6e17 < 2^63)
+      - lineitem.l_extendedprice → ×1000 where (l_orderkey +
+                         l_linenumber) % 19 = 0 (magnitude ~1e8, still
+                         on-grid), 0.00 where % 23 = 0 (division and
+                         share-of-total guards)
+      - orders.o_orderdate → 1970-01-01 00:00:00 (the epoch boundary)
+                         where o_orderkey % 34 = 0, 2199-12-31 23:59:59
+                         where o_orderkey % 17 = 0 otherwise (~6% at
+                         timestamp-domain edges)
+    events.ts is deliberately NOT remapped: the per-entity hour grids
+    (ts_gapfill/ts_resample) and 15-minute interval cells are bounded by
+    the data's native time span BY CONTRACT — an epoch-extreme event ts
+    would demand a 473k-hour per-user series, which is a fixture
+    artifact, not an operator bug (the SPAN axis already stresses
+    timeline growth safely at ×12). Both engines read the SAME parquet,
+    so any strict-sweep divergence is a genuine value-domain contract
+    bug."""
+    for name in TABLES:
+        df = load(spark, src, name)
+        if name == "events":
+            m = F.col("event_id") % 20
+            df = df.withColumn(
+                "value",
+                F.when(m == 0, F.lit(0.00))
+                .when(m == 5, F.lit(-0.01))
+                .when(m == 10, F.lit(999999999.99))
+                .when(m == 15, F.lit(-999999999.99))
+                .otherwise(F.col("value")),
+            )
+        elif name == "lineitem":
+            k = F.col("l_orderkey") + F.col("l_linenumber")
+            df = df.withColumn(
+                "l_extendedprice",
+                F.when(k % 19 == 0, F.col("l_extendedprice") * 1000)
+                .when(k % 23 == 0, F.lit(0.00))
+                .otherwise(F.col("l_extendedprice")),
+            )
+        elif name == "orders":
+            dt = df.schema["o_orderdate"].dataType
+            df = df.withColumn(
+                "o_orderdate",
+                F.when(
+                    F.col("o_orderkey") % 34 == 0,
+                    F.lit("1970-01-01 00:00:00").cast(dt),
+                )
+                .when(
+                    F.col("o_orderkey") % 17 == 0,
+                    F.lit("2199-12-31 23:59:59").cast(dt),
+                )
+                .otherwise(F.col("o_orderdate")),
+            )
+        df.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
+        print(f"{name} -> {dst}")
+
+
 def build_permute(spark, src: str, dst: str) -> None:
     """PERMUTE fixture (round 10): the SAME rows in adversarially
     different ROW ORDER — every other fixture (and the harness parquet
@@ -373,7 +452,10 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument(
         "--mode",
-        choices=["skew", "null", "span", "text", "empty", "ties", "permute", "both"],
+        choices=[
+            "skew", "null", "span", "text", "empty", "ties", "permute",
+            "extremes", "both",
+        ],
         default="both",
     )
     ap.add_argument("--dst", default=None, help="target dir (defaults per mode)")
@@ -393,6 +475,8 @@ def main() -> None:
         build_ties(spark, args.src, args.dst or "/tmp/sfties")
     if args.mode == "permute":
         build_permute(spark, args.src, args.dst or "/tmp/sfpermute")
+    if args.mode == "extremes":
+        build_extremes(spark, args.src, args.dst or "/tmp/sfextremes")
     spark.stop()
 
 

@@ -2,10 +2,10 @@
 # Data-SHAPE sweep (round 10): build every adversarial fixture from a
 # harness sf dir and run the driver-faithful strict sweep on each — the
 # one-command version of the per-round shape evidence (BASELINE.md's
-# skew/NULL/span/TEXT/EMPTY tables). Companion to invariance_sweep.sh
-# (config axes); together they cover: layout, scale, execution path,
-# key skew, NULL shape, time span, string shape, empty input,
-# order-key ties.
+# skew/NULL/span/TEXT/EMPTY/TIES/PERMUTE/EXTREMES tables). Companion to
+# invariance_sweep.sh (config axes); together they cover: layout,
+# scale, execution path, key skew, NULL shape, time span, string shape,
+# empty input, order-key ties, row order, value-domain extremes.
 #
 #   bash tools/shape_sweep.sh              # from sf0.01, /tmp fixtures
 #   SRC=/root/testdata/sf0.1 bash tools/shape_sweep.sh   # 10x variant
@@ -21,33 +21,37 @@ cd "$(dirname "$0")/.."
 
 SRC="${SRC:-/root/testdata/sf0.01}"
 
-echo "== shape 1/7: SKEW (50%-hot keys), full registry =="
+echo "== shape 1/8: SKEW (50%-hot keys), full registry =="
 python tools/make_skew.py --src "$SRC" --mode skew --dst /tmp/shape_skew
 python tools/check_strict.py --sf /tmp/shape_skew
 
-echo "== shape 2/7: NULL (null keys/measures), full registry =="
+echo "== shape 2/8: NULL (null keys/measures), full registry =="
 python tools/make_skew.py --src "$SRC" --mode null --dst /tmp/shape_null
 python tools/check_strict.py --sf /tmp/shape_null
 
-echo "== shape 3/7: EMPTY (0 rows, schema preserved), full registry =="
+echo "== shape 3/8: EMPTY (0 rows, schema preserved), full registry =="
 python tools/make_skew.py --src "$SRC" --mode empty --dst /tmp/shape_empty
 python tools/check_strict.py --sf /tmp/shape_empty
 
-echo "== shape 4/7: SPAN (timeline x12), span subset =="
+echo "== shape 4/8: SPAN (timeline x12), span subset =="
 python tools/make_skew.py --src "$SRC" --mode span --dst /tmp/shape_span
 python tools/check_strict.py --sf /tmp/shape_span $(python tools/subsets.py span)
 
-echo "== shape 5/7: TEXT (adversarial unicode/degenerate strings), text subset =="
+echo "== shape 5/8: TEXT (adversarial unicode/degenerate strings), text subset =="
 python tools/make_skew.py --src "$SRC" --mode text --dst /tmp/shape_text
 python tools/check_strict.py --sf /tmp/shape_text $(python tools/subsets.py text)
 
-echo "== shape 6/7: TIES (order-key tie classes), ties subset =="
+echo "== shape 6/8: TIES (order-key tie classes), ties subset =="
 python tools/make_skew.py --src "$SRC" --mode ties --dst /tmp/shape_ties
 python tools/check_strict.py --sf /tmp/shape_ties $(python tools/subsets.py ties)
 
-echo "== shape 7/7: PERMUTE (row-order shuffle), full registry x cross-engine + self-invariance =="
+echo "== shape 7/8: PERMUTE (row-order shuffle), full registry x cross-engine + self-invariance =="
 python tools/make_skew.py --src "$SRC" --mode permute --dst /tmp/shape_permute
 python tools/check_strict.py --sf /tmp/shape_permute
 python tools/order_invariance.py --a "$SRC" --b /tmp/shape_permute
+
+echo "== shape 8/8: EXTREMES (value-domain edges), full registry =="
+python tools/make_skew.py --src "$SRC" --mode extremes --dst /tmp/shape_extremes
+python tools/check_strict.py --sf /tmp/shape_extremes
 
 echo "SHAPE SWEEP GREEN"
