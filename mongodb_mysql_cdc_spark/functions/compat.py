@@ -49,6 +49,14 @@ def sql_round(expr: str, n: int = 2) -> str:
 
     Also valid Spark SQL: the CAST keeps the result DOUBLE in both parsers
     (a bare ``/ 100.0`` literal would be DECIMAL division in Spark SQL).
+
+    PRECONDITION when a query text executes in SPARK SQL (the sql_*
+    family): Spark's SQL floor(double) returns BIGINT, so |expr|·10^n
+    must stay under 2^63 — past that Spark saturates where DuckDB's
+    double-domain floor does not (the r11 EXTREMES hround catch; the
+    Python-side hround now floors in the double domain, but a shared
+    SQL string cannot dialect-switch). The sql_* family's rounded
+    outputs are verified under the EXTREMES fixture to stay in-domain.
     """
     scale = float(10**n)
     return f"CAST(floor(({expr}) * {scale} + 0.5) / {scale} AS DOUBLE)"
