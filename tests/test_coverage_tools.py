@@ -215,3 +215,30 @@ def test_hof_recompute_rule_fires_and_spares(spark):
     )
     assert any("hof_recompute" in p for p in plan_lint.lint_one("synthetic", bad))
     assert not any("hof_recompute" in p for p in plan_lint.lint_one("synthetic", good))
+
+
+def test_order_invariance_within_rel_alignment():
+    """ADVICE r10 fix, pinned: the ORDER_TOLERANT comparator must align
+    rows by ALL columns (floats quantized to the tolerance grid for the
+    sort key) — an all-float frame or rows tied on every non-float
+    column previously mis-aligned and false-DIVERGED; genuine value
+    divergence must still be caught."""
+    import pandas as pd
+
+    import order_invariance as oi
+
+    # all-float frame, rows permuted → must align and match
+    a = pd.DataFrame({"x": [1.0, 2.0, 3.0], "y": [10.0, 20.0, 30.0]})
+    b = a.iloc[[2, 0, 1]].reset_index(drop=True)
+    assert oi._within_rel(a, b, 1e-3)
+
+    # non-float key ties, float column distinguishes, permuted in-tie
+    a2 = pd.DataFrame({"k": ["a", "a", "b"], "v": [1.0, 5.0, 9.0]})
+    b2 = pd.DataFrame({"k": ["a", "b", "a"], "v": [5.0, 9.0, 1.0]})
+    assert oi._within_rel(a2, b2, 1e-3)
+
+    # within-tolerance jitter accepted; genuine divergence rejected
+    b3 = pd.DataFrame({"k": ["a", "a", "b"], "v": [1.0005, 5.0, 9.0]})
+    assert oi._within_rel(a2, b3, 1e-3)
+    b4 = pd.DataFrame({"k": ["a", "a", "b"], "v": [1.0, 5.1, 9.0]})
+    assert not oi._within_rel(a2, b4, 1e-3)
