@@ -867,3 +867,40 @@ def test_sql_dec_avg_over_matches_aggregate_spelling(spark):
         ).fetchall()
     )
     assert got == agg == win
+
+
+def test_string_cast_literals_parse_bit_identical_cross_engine(spark):
+    """r11 EXTREMES lesson, pinned: a pinned float constant must ship as
+    CAST('<repr>' AS DOUBLE) — the STRING form. A bare decimal literal
+    types as DECIMAL in both parsers, and DuckDB's decimal→double
+    conversion DOUBLE-ROUNDS once the 17-digit mantissa exceeds 2^53
+    (measured 1 ulp off on ts_ewma's weight-sum table), while
+    string→double is correctly rounded in both engines. Assert every
+    ts_ewma table entry round-trips bit-exactly to the Python double on
+    BOTH engines, and that the unquoted DuckDB spelling is genuinely
+    hazardous for at least one entry (the trap stays real)."""
+    import duckdb
+    import struct
+
+    from mongodb_mysql_cdc_spark.suite import timeseries as ts
+
+    py_w = [0.7**j for j in range(20)]
+    py_den = [sum(0.7**j for j in range(m)) for m in range(1, 21)]
+
+    def bits(x: float) -> int:
+        return struct.unpack("<Q", struct.pack("<d", x))[0]
+
+    con = duckdb.connect()
+    for table, expected in ((ts._EWMA_W, py_w), (ts._EWMA_DEN, py_den)):
+        for lit, py in zip(table, expected):
+            duck = con.sql(f"SELECT {lit}").fetchone()[0]
+            assert bits(duck) == bits(py), (lit, duck, py)
+        sparkvals = spark.sql(
+            "SELECT " + ", ".join(f"{lit} AS c{i}" for i, lit in enumerate(table))
+        ).collect()[0]
+        for i, py in enumerate(expected):
+            assert bits(sparkvals[i]) == bits(py), (table[i], sparkvals[i], py)
+
+    # the hazard is real: the UNQUOTED decimal spelling diverges in DuckDB
+    hazardous = [x for x in py_den if bits(con.sql(f"SELECT CAST({x!r} AS DOUBLE)").fetchone()[0]) != bits(x)]
+    assert hazardous, "unquoted decimal→double stopped double-rounding; re-evaluate the contract"
