@@ -5,8 +5,9 @@ the shortest decimal string); DuckDB rounds the scaled double. They disagree
 on values like 2.675. ``hround`` instead uses only IEEE-754 double ops
 (multiply, add, floor, divide), which are bit-identical across engines:
 
-    Spark : F.floor(col * 10^n + 0.5) / 10^n
-    DuckDB: floor(expr * 10^n + 0.5) / 10^n     (same string via SQL_ROUND)
+    Spark : _floor_double(col * 10^n + 0.5) / 10^n
+    SQL   : sql_floor_double('(expr * 10^n + 0.5)') / 10^n   (via sql_round —
+            one string, valid and bit-identical in BOTH dialects)
 
 Use ``hround`` + the matching ``sql_round`` snippet in every oracle-checked
 query that emits a floating aggregate. (Half-up-toward-+inf for negatives —
@@ -44,22 +45,41 @@ def hround(col: Column, n: int = 2) -> Column:
     return _floor_double(col * scale + 0.5) / scale
 
 
+def sql_floor_double(y: str) -> str:
+    """SQL-text ``_floor_double``: floor in the DOUBLE domain, valid in
+    BOTH dialects (r12, ADVICE r11). ``%`` on doubles is fmod in Spark
+    SQL and DuckDB alike (exact IEEE), so ``t = y - y % 1.0`` is the
+    truncation and the CASE subtracts 1 for negative non-integers —
+    the exact SQL mirror of :func:`_floor_double`. Measured bit-equal
+    to DuckDB's native ``floor(double)`` at every magnitude (incl.
+    ±1.2e30) and to Spark/Python on the same palette; unlike Spark
+    SQL's ``floor()`` it never routes through BIGINT, so nothing
+    saturates past 2^63. ``y`` is interpolated four times — both
+    engines CSE the repeated pure subexpression."""
+    t = f"(({y}) - (({y}) % 1.0))"
+    return (
+        f"(CASE WHEN ({y}) < 0 AND (({y}) % 1.0) <> 0.0"
+        f" THEN ({t}) - 1.0 ELSE {t} END)"
+    )
+
+
 def sql_round(expr: str, n: int = 2) -> str:
-    """The DuckDB-side spelling of ``hround`` for oracle SQL strings.
+    """The SQL-text spelling of ``hround`` for oracle SQL strings.
 
     Also valid Spark SQL: the CAST keeps the result DOUBLE in both parsers
     (a bare ``/ 100.0`` literal would be DECIMAL division in Spark SQL).
 
-    PRECONDITION when a query text executes in SPARK SQL (the sql_*
-    family): Spark's SQL floor(double) returns BIGINT, so |expr|·10^n
-    must stay under 2^63 — past that Spark saturates where DuckDB's
-    double-domain floor does not (the r11 EXTREMES hround catch; the
-    Python-side hround now floors in the double domain, but a shared
-    SQL string cannot dialect-switch). The sql_* family's rounded
-    outputs are verified under the EXTREMES fixture to stay in-domain.
-    """
+    r12 (ADVICE r11): floors via :func:`sql_floor_double` instead of the
+    dialect ``floor()`` — Spark SQL's ``floor(double)`` returns BIGINT
+    and silently SATURATES past ±2^63 (the r11 EXTREMES hround catch),
+    and this string DOES execute in Spark SQL (the sql_* family). The
+    double-domain spelling is bit-identical to the old one everywhere it
+    didn't overflow (no oracle moves) and removes the docstring-only
+    magnitude precondition entirely; pinned cross-engine at 1e30 by
+    tests/test_properties.py."""
     scale = float(10**n)
-    return f"CAST(floor(({expr}) * {scale} + 0.5) / {scale} AS DOUBLE)"
+    y = f"(({expr}) * {scale} + 0.5)"
+    return f"CAST({sql_floor_double(y)} / {scale} AS DOUBLE)"
 
 
 # --- exact decimal accumulators (round 8) -----------------------------------

@@ -244,33 +244,70 @@ def assert_deterministic_order_keys(
     across runs. Grid-summed (integer/decimal-accumulated), integer, and
     raw per-row columns are all deterministic and pass.
 
-    Mechanism: for each ``order_cols`` entry with float/double dtype,
-    find its defining ``<expr> AS name#id`` in the ANALYZED plan; reject
-    when the expression is a bare ``sum(...)``/``avg(...)`` call. A
-    grid-sum spelling (``cast(sum(cast(x*100 as bigint)) as double) /
-    100.0``) is a division at the top, not a bare aggregate, so it
-    passes; scan attributes have no ``AS`` definition and pass. The
-    check is fail-open under plan-string truncation (a lint, not a
-    proof) and costs one plan analysis, no job."""
+    Mechanism (r12, ADVICE r11): for each ``order_cols`` entry with
+    float/double dtype, resolve the column's ACTUAL exprId(s) from the
+    analyzed plan's output attributes and inspect only that specific
+    ``<expr> AS name#id`` definition — a stale same-name alias earlier
+    in lineage (e.g. a raw float sum later OVERWRITTEN with a grid-safe
+    spelling via ``withColumn``) no longer trips the gate. Reject when
+    the defining expression is a bare ``sum(...)``/``avg(...)`` call;
+    when it is a bare attribute reference (``withColumnRenamed`` yields
+    ``other#1 AS name#2``), chase ONE alias hop and inspect ``other``'s
+    definition, so a rename can't smuggle the analytics_rfm bug class
+    back in. A grid-sum spelling (``cast(sum(cast(x*100 as bigint)) as
+    double) / 100.0``) is a division at the top, not a bare aggregate,
+    so it passes; scan attributes have no ``AS`` definition and pass.
+
+    Documented fail-open blind spots (a lint, not a proof): any WRAPPER
+    call passes (``round(avg(x), 2)`` reports fn='round' — wrapping does
+    not make the key deterministic), as do alias chains deeper than one
+    hop and plan-string truncation. The gate costs one plan analysis,
+    no job."""
     dtypes = dict(df.dtypes)
     floaty = [c for c in order_cols if dtypes.get(c) in ("double", "float")]
     if not floaty:
         return
-    plan = df._jdf.queryExecution().analyzed().toString()  # noqa: SLF001
+    qe = df._jdf.queryExecution()  # noqa: SLF001
+    plan = qe.analyzed().toString()
+    out_attrs = qe.analyzed().output()
+    ids_by_name: dict[str, list[int]] = {}
+    for i in range(out_attrs.size()):
+        attr = out_attrs.apply(i)
+        ids_by_name.setdefault(attr.name(), []).append(attr.exprId().id())
     for c in floaty:
-        for m in re.finditer(re.escape(c) + r"#\d+", plan):
-            pre = plan[: m.start()].rstrip()
-            if not pre.endswith(" AS"):
-                continue
-            expr = _balanced_call_prefix(pre[: len(pre) - 3])
-            fn = expr.split("(", 1)[0] if expr else ""
-            if fn in _RAW_FLOAT_AGGS:
-                raise ValueError(
-                    f"order key '{c}' is a raw float aggregate"
-                    f" ({expr[:120]}): layout-dependent by an ulp —"
-                    " grid-sum it (decimal/integer accumulator) before"
-                    " using it as a ranking/bucketing order key"
-                    " (round-10 PERMUTE-axis catch, analytics_rfm)"
+        for eid in ids_by_name.get(c, []):
+            _reject_raw_float_agg_def(plan, c, eid, order_col=c, hops_left=1)
+
+
+def _reject_raw_float_agg_def(
+    plan: str, name: str, eid: int, order_col: str, hops_left: int
+) -> None:
+    """Raise when the ``<expr> AS name#eid`` definition in ``plan`` is a
+    bare raw-float-aggregate call; chase up to ``hops_left`` bare
+    attribute-alias hops (rename lineage). Fail-open otherwise."""
+    token = re.compile(
+        r"(?<![0-9A-Za-z_])" + re.escape(name) + "#" + str(eid) + r"(?![0-9])"
+    )
+    for m in token.finditer(plan):
+        pre = plan[: m.start()].rstrip()
+        if not pre.endswith(" AS"):
+            continue
+        defn = pre[: len(pre) - 3].rstrip()
+        expr = _balanced_call_prefix(defn)
+        fn = expr.split("(", 1)[0] if expr else ""
+        if fn in _RAW_FLOAT_AGGS:
+            raise ValueError(
+                f"order key '{order_col}' is a raw float aggregate"
+                f" ({expr[:120]}): layout-dependent by an ulp —"
+                " grid-sum it (decimal/integer accumulator) before"
+                " using it as a ranking/bucketing order key"
+                " (round-10 PERMUTE-axis catch, analytics_rfm)"
+            )
+        if not expr and hops_left > 0:
+            ref = re.search(r"([A-Za-z_][0-9A-Za-z_]*)#(\d+)$", defn)
+            if ref:
+                _reject_raw_float_agg_def(
+                    plan, ref.group(1), int(ref.group(2)), order_col, hops_left - 1
                 )
 
 

@@ -365,7 +365,9 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 # unquoted CAST(x AS DOUBLE) still goes THROUGH the decimal: DuckDB's
 # decimal→double conversion double-rounds 17-significant-digit values
 # (int mantissa > 2^53 rounds once, the /10^s rounds again — measured 1
-# ulp off on 150 of the 20 running-sum entries), which is exactly the
+# ulp off on 1 of the 20 running-sum entries, the m=14 sum; re-measured
+# r12 per ADVICE, matching the hazard tripwire in the string-cast
+# property test), which is exactly the
 # compat.py via-string rule. String→double is correctly rounded in both
 # engines (shortest-repr round-trip), so the pinned weights are
 # bit-identical.

@@ -904,3 +904,67 @@ def test_string_cast_literals_parse_bit_identical_cross_engine(spark):
     # the hazard is real: the UNQUOTED decimal spelling diverges in DuckDB
     hazardous = [x for x in py_den if bits(con.sql(f"SELECT CAST({x!r} AS DOUBLE)").fetchone()[0]) != bits(x)]
     assert hazardous, "unquoted decimal→double stopped double-rounding; re-evaluate the contract"
+
+
+def test_sql_round_spark_executed_is_floorsafe_at_any_magnitude(spark):
+    """r12 (ADVICE r11): sql_round's string EXECUTES IN SPARK SQL (the
+    sql_* family — subqueries.py, modern_sql.py), where the old
+    ``floor(double)`` spelling returned BIGINT and silently SATURATED
+    past ±2^63 — the exact class the r11 EXTREMES axis caught inside
+    hround. The r12 re-spell floors in the double domain via
+    sql_floor_double (valid in both dialects). Pin, on a palette that
+    spans the EXTREMES fixture bounds (±1e9 money grid) THROUGH the old
+    saturation point (±2^63/10^n) to ±1e30:
+
+      Spark-SQL-executed sql_round  ==  DuckDB-executed sql_round
+                                    ==  Python _floor_double reference
+                                    ==  hround (DataFrame API)
+
+    all BIT-identical, and the old spelling's hazard stays real (Spark's
+    floor(double) still saturates, so the re-spell keeps earning its
+    place)."""
+    import math
+    import struct
+
+    import duckdb
+
+    from mongodb_mysql_cdc_spark.functions.compat import hround, sql_round
+
+    def bits(x: float) -> int:
+        return struct.unpack("<Q", struct.pack("<d", x))[0]
+
+    palette = [
+        0.0, -0.5, 2.5, -2.5, 2.675, -2.675, 123.456,
+        1e9 - 0.005, -(1e9 - 0.005), 9.87654321e8,        # EXTREMES money bound
+        2.0**52, -(2.0**52), 9.2233720368547758e18,        # around 2^63
+        -9.2233720368547758e18, 1e19, -1e19,
+        1.23456789e30, -1.23456789e30,                     # vector-palette scale
+    ]
+
+    def py_round(v: float, n: int) -> float:
+        y = v * float(10**n) + 0.5
+        t = y - math.fmod(y, 1.0)
+        if y < 0 and math.fmod(y, 1.0) != 0.0:
+            t -= 1.0
+        return t / float(10**n)
+
+    con = duckdb.connect()
+    for n in (0, 2, 4, 6):
+        exprs = [sql_round(f"CAST('{v!r}' AS DOUBLE)", n) for v in palette]
+        sel = "SELECT " + ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+        srow = spark.sql(sel).collect()[0]
+        drow = con.sql(sel).fetchone()
+        sdf = spark.createDataFrame([(v,) for v in palette], "x double")
+        hrow = [
+            r.r
+            for r in sdf.select(hround(F.col("x"), n).alias("r")).collect()
+        ]
+        for i, v in enumerate(palette):
+            ref = py_round(v, n)
+            assert bits(srow[i]) == bits(ref), ("spark-sql", v, n, srow[i], ref)
+            assert bits(drow[i]) == bits(ref), ("duckdb", v, n, drow[i], ref)
+            assert bits(hrow[i]) == bits(ref), ("hround", v, n, hrow[i], ref)
+
+    # the hazard stays real: Spark SQL's floor(double) saturates at 2^63
+    sat = spark.sql("SELECT floor(CAST('1e30' AS DOUBLE)) AS f").collect()[0][0]
+    assert sat == (2**63) - 1, "Spark floor(double) stopped saturating; re-evaluate"

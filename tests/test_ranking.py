@@ -605,3 +605,60 @@ def test_order_key_determinism_gate(spark):
 
     out = with_group_position(grid, [], ["m", "g"], "pos").collect()
     assert sorted(r["pos"] for r in out) == [1, 2]
+
+
+def test_order_key_determinism_gate_lineage(spark):
+    """r12 (ADVICE r11): the gate resolves the order column's ACTUAL
+    exprId from the analyzed output, so a stale same-name alias in
+    lineage no longer fail-closes a correct query, and a one-hop
+    attribute-alias chase stops a rename from smuggling the
+    analytics_rfm bug class back in."""
+    from mongodb_mysql_cdc_spark.operators.ranking import (
+        assert_deterministic_order_keys,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 1, 1.25), ("a", 2, 2.5), ("b", 3, 3.75)],
+        "g string, id long, amt double",
+    )
+
+    # OVERWRITE pattern (the ADVICE-r11 medium repro): a raw float sum
+    # later replaced with a grid-safe spelling via withColumn. The old
+    # `sum(amt) AS m#old` is still in lineage, but the OUTPUT m is the
+    # grid expression — the exprId-precise gate must accept it.
+    raw = base.groupBy("g").agg(
+        F.sum("amt").alias("m"), F.sum(F.lit(1)).alias("cnt")
+    )
+    overwritten = raw.withColumn(
+        "m", F.col("m") * 0.0 + 1.0  # any deterministic re-definition
+    )
+    assert_deterministic_order_keys(overwritten, ["m"])
+
+    # RENAME pattern (the ADVICE-r11 low bypass): withColumnRenamed
+    # yields `total#1 AS m#2` — a bare attribute, one hop from the raw
+    # float aggregate. The gate must chase the hop and reject.
+    renamed = (
+        base.groupBy("g")
+        .agg(F.sum("amt").alias("total"))
+        .withColumnRenamed("total", "m")
+    )
+    with pytest.raises(ValueError, match="raw float aggregate"):
+        assert_deterministic_order_keys(renamed, ["m"])
+
+    # WRAPPER blind spot — documented fail-open, pinned so the gap is
+    # known: round(avg(x), 2) defines m as a `round` call, which the
+    # lint cannot classify (wrapping does NOT make the key
+    # deterministic; this is the gate's stated limitation, not a
+    # guarantee of safety).
+    wrapped = base.groupBy("g").agg(F.round(F.avg("amt"), 2).alias("m"))
+    assert_deterministic_order_keys(wrapped, ["m"])  # passes BY DESIGN
+
+    # Two-hop alias chains are beyond the single documented hop —
+    # fail-open, pinned for the same reason.
+    two_hops = (
+        base.groupBy("g")
+        .agg(F.sum("amt").alias("t0"))
+        .withColumnRenamed("t0", "t1")
+        .withColumnRenamed("t1", "m")
+    )
+    assert_deterministic_order_keys(two_hops, ["m"])  # passes BY DESIGN
