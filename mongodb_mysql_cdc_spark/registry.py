@@ -45,106 +45,91 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 
 
 # The driver verifies the FIRST 50 names in queries() order per round
-# (CORRECTNESS_r01.json = registry positions 1-50 exactly).  Round 11
-# rotation (r10 verdict item 1): the registry is frozen at 279 and
-# `coverage_report.py --stale` is 0, so the window is pure evidence
-# freshness — the oldest-evidence backlog, exactly as the r10 rotation
-# plan precomputed.  Contents: multimodal_meta (the ONE r02-evidence
-# query — it ceded its r10 slot to the analytics_rfm permute fix and
-# the verdict requires it to lead), the ENTIRE remaining r03 shelf
-# (31 names), the two RESERVED machinery re-verify slots
-# (win_rank_dense, dataset_curriculum — r08 evidence on the r08
-# localCheckpointed ranking machinery; analytics_rfm already re-proved
-# in r10), and the 16 lowest-registry-position r04 names.  After a
-# green r11 run no query's evidence is older than r04.  Evicted: the
-# entire r10 window (all 50 green in CORRECTNESS_r10, code unchanged
-# since).  Cheap relational/scalar families first, expensive
-# streaming/LLM queries LAST so a time-capped driver run can't starve
-# the cheap ones (the ordering trick from r2-r10).
+# (CORRECTNESS_r01.json = registry positions 1-50 exactly).  Round 12
+# rotation (r11 verdict item 1 + this round's re-spells): the registry
+# is frozen at 279; the window is (a) every name whose register segment
+# changed this round — the 8 `coverage_report --stale` names from the
+# extremes-vec axis fixes (sim_search_lsh/ivf/rerank, search_rrf_fusion,
+# embedding_covariance/_pca_project/_quantize, udf_arrow) PLUS
+# sim_search_topk and knn_classify, whose oracles changed through the
+# shared _PAIRS_SQL module constant (interpolated f-string constants sit
+# OUTSIDE the mechanical segment diff — the stale detector's documented
+# limitation — so they are pinned here by hand), (b) the ENTIRE
+# remaining r04-evidence shelf (23 names — the seven that ceded r11
+# slots to the EXTREMES re-spells lead, exactly as the r11 note
+# promised), (c) one machinery re-verify slot: analytics_rfm, the
+# original PERMUTE-axis catch, re-proving the r12 exprId-precise
+# rewrite of assert_deterministic_order_keys on its living consumer,
+# and (d) the 16 lowest-registry-position r05 names, with fn_sql_udf
+# and subquery_any_all prioritized inside that shelf because their
+# Spark-EXECUTED sql_round text changed in compat.py this round (also
+# outside the segment diff).  After a green r12 run no query's latest
+# evidence is older than r05.  Evicted: the entire r11 window (all 50
+# green in CORRECTNESS_r11, code unchanged since).  Cheap
+# relational/scalar families first, expensive streaming/LLM queries
+# LAST so a time-capped driver run can't starve the cheap ones.
 _DRIVER_WINDOW = [
-    # -- scalar function families (r03/r04 evidence; cheapest first) --
-    "fn_bitwise", "fn_regex", "fn_string2", "fn_trig", "fn_url",
-    "fn_array2", "fn_map2",
-    # -- aggregate families (r03/r04) --
-    "agg_boolean", "agg_histogram", "agg_percentile_exact",
-    "agg_regression",
-    # -- reshape (r03) --
-    "pivot_wide", "unpivot_long",
-    # -- window family (r03/r04) + RESERVED machinery re-verify:
-    #    win_rank_dense exercises the r08 localCheckpointed distributed
-    #    rank machinery whose last driver evidence predates the r10
-    #    hof_recompute boundary-lambda fix in operators/ranking.py.
-    "win_nth_value", "win_rank_dense", "win_gaps_islands",
-    "win_running_distinct",
-    # -- subquery surface (r03) --
-    "subquery_exists", "subquery_not_exists", "subquery_in",
-    "subquery_scalar",
-    # -- joins / scans / sinks (r03/r04) --
-    "join_bucketed", "join_lateral", "scan_merge_schema",
-    "scan_csv_malformed", "sink_orc_roundtrip",
-    # -- maintenance / data quality (r03) --
-    "maintenance_cluster", "dq_checks",
-    # -- r11 EXTREMES-axis re-spells (the tenth shape axis's first-sweep
-    #    catches — changed spellings/oracles REQUIRE fresh evidence):
-    #    fn_math's ln and fn_trig's log10 gained explicit x>0 domain
-    #    guards (DuckDB hard-errors on log(0), Spark NULLs); agg_stats /
-    #    anomaly_zscore moved their grid second moments onto
-    #    DECIMAL(19,0) products (cents² wrapped BIGINT at ±1e9 money);
-    #    ts_twap's numerator is grid_wsum (decimal product of cents ×
-    #    µs weight); ts_ewma's weights are pinned string-cast literal
-    #    tables (libm pow + DuckDB decimal→double double-rounding);
-    #    ts_max_drawdown's equity curve is integer cents (double
-    #    running-sum association order). fn_trig was already windowed;
-    #    the other six take the slots of six r04-evidence names
-    #    (sample_stratified, sample_per_group, dataset_split,
-    #    cdc_dead_letter, cdc_tombstone_gc, cdc_merge_replicas — all
-    #    keep green r04 evidence, consistent with this round's "nothing
-    #    older than r04" target, and lead the r12 tail).
-    "fn_math", "agg_stats", "anomaly_zscore", "ts_ewma", "ts_twap",
-    "ts_max_drawdown",
-    # -- sampling & splits (r03) --
-    "sample_weighted",
-    # -- text / fingerprint (r03) --
-    "token_count", "lang_id", "doc_fingerprint", "text_redact",
-    "text_ngram_freq",
-    # -- embeddings / analytics (r03) --
-    "embedding_normalize", "funnel_conversion", "retention_cohort",
-    # -- multimodal: THE r02 straggler the verdict names (leads the
-    #    backlog; placed here with its family, well inside any time cap)
-    "multimodal_meta",
-    # -- r11 re-spell: agg_minmax_by's register segment changed this
-    #    round (ADVICE r10: the non-negative/width precondition of the
-    #    zero-padded tie key is now documented in the docstring — code
-    #    and oracle byte-identical, but --stale is mechanical, so it
-    #    takes kmeans_refine's slot; that one keeps its green r04
-    #    evidence and leads the r12 tail).
-    "agg_minmax_by",
-    # -- heavier LLM ops (r04) --
-    "dedup_levenshtein",
-    # -- curation pipeline (r03) + RESERVED machinery re-verify:
-    #    dataset_curriculum consumes the same ranking machinery as
-    #    win_rank_dense (r10 boundary-lambda fix, r08 evidence).
-    "decontaminate", "domain_mix", "dataset_curriculum",
-    # -- streaming live form LAST (most expensive; r03) --
-    "stream_sliding",
+    # -- subqueries + SQL-executed sql_round re-verifies (cheap) --
+    "subquery_not_in_null", "subquery_any_all", "fn_sql_udf",
+    # -- aggregate/sketch families (r05) --
+    "agg_approx_quantile", "agg_hll_sketch", "agg_bitmap_distinct",
+    "agg_corr_matrix", "agg_entropy_diversity",
+    # -- scans / union / Python DataSource surface (r05) --
+    "union_schema_evolve", "scan_python_datasource",
+    "scan_python_datasource_pushdown", "stream_python_datasource",
+    # -- sampling & splits (r04) --
+    "sample_stratified", "sample_per_group", "dataset_split",
+    # -- text / quality / token (r04) --
+    "text_entropy", "text_pii_flag", "token_oov_rate",
+    "quality_ensemble", "quality_unigram_logprob",
+    # -- retrieval / dedup (r04/r05) --
+    "search_bm25", "tfidf_topk_per_doc", "dedup_url_canonical",
+    "er_match_score",
+    # -- the r12 extremes-vec re-spell block: zero-norm exclusion
+    #    contracts (topk/lsh/ivf/rerank/rrf/knn), the conditioned
+    #    covariance/PCA validity domain, the quantize scale=0 CASE, and
+    #    udf_arrow's sequential column fold — every spelling/oracle that
+    #    changed for the r12 vector-palette catches needs fresh driver
+    #    evidence (topk/knn changed via the shared _PAIRS_SQL constant,
+    #    invisible to --stale; pinned manually)
+    "sim_search_topk", "sim_search_lsh", "sim_search_ivf",
+    "sim_search_rerank", "search_rrf_fusion", "knn_classify",
+    "embedding_covariance", "embedding_pca_project",
+    "embedding_quantize", "kmeans_refine", "ml_logreg_gd",
+    "udf_arrow",
+    # -- machinery re-verify: the exprId-precise order-key gate (r12
+    #    ADVICE fix) on its original catch query
+    "analytics_rfm",
+    # -- time series (r04) --
+    "ts_ohlc_downsample",
+    # -- CDC family (r04/r05) --
+    "cdc_dead_letter", "cdc_tombstone_gc", "cdc_merge_replicas",
+    "cdc_snapshot_handoff", "cdc_order_audit", "cdc_apply_python_source",
+    "cdc_op_mix_hourly", "cdc_keys_churn",
+    # -- multimodal (r04/r05) --
+    "multimodal_resize", "multimodal_resample", "multimodal_phash",
+    # -- streaming live form LAST (most expensive) --
+    "stream_session_stateful",
 ]
 
-# R12 ROTATION PLAN (precomputed from the r01-r11 evidence ledger;
+# R13 ROTATION PLAN (precomputed from the r01-r12 evidence ledger;
 # verify with coverage_report first — any --stale name takes priority):
 #   1. any coverage_report --stale name (re-spelled code/oracle);
-#   2. the remaining r04 shelf (23 names; the seven that ceded r11
-#      slots to re-spells lead): kmeans_refine (→ agg_minmax_by),
-#      sample_stratified, sample_per_group, dataset_split,
-#      cdc_dead_letter, cdc_tombstone_gc, cdc_merge_replicas (→ the six
-#      EXTREMES-axis re-spells), then dedup_url_canonical,
-#      embedding_covariance, embedding_quantize, multimodal_resample,
-#      multimodal_resize, quality_ensemble, quality_unigram_logprob,
-#      search_bm25, sim_search_rerank, stream_session_stateful,
-#      subquery_not_in_null, text_entropy, text_pii_flag,
-#      tfidf_topk_per_doc, token_oov_rate, ts_ohlc_downsample;
-#   3. fill the remaining ~27 slots from the r05 shelf head (cheap
-#      scalar/agg names first, streaming/LLM last — the time-cap
-#      ordering trick).
+#   2. the 11 r05-evidence names deferred this round (the window only
+#      had 16 r05 slots after the re-spell block): multimodal_audio_features,
+#      event_seq_pattern, dq_benford, analytics_market_basket,
+#      dq_table_diff, anomaly_cusum, ts_derivative, ts_autocorr,
+#      sql_recursive_cte, fn_variant, fn_collation;
+#   3. fill the remaining ~39 slots from the r06 shelf (22 names:
+#      cdc_exactly_once, cdc_gdpr_erasure, cdc_pk_change,
+#      cdc_replication_lag, fn_aes_roundtrip, fn_array_hof2,
+#      fn_encoding, fn_explode_outer, fn_haversine, fn_interval,
+#      fn_levenshtein_threshold, fn_str_to_map, fn_string3, fn_timezone,
+#      fn_try_safe, fn_xml, maintenance_zorder, scan_json_corrupt,
+#      search_rrf_fusion*, stream_topk, token_bigram_pmi,
+#      token_bpe_merge — *rrf re-proves in r12, drop it from the shelf)
+#      then the r07 head (cheap scalar/agg names first, streaming/LLM
+#      last — the time-cap ordering trick).
 
 
 def _window_order(names: dict[str, QueryFn] | dict[str, str]) -> list[str]:
