@@ -44,7 +44,10 @@ axis; see build_ties) and PERMUTE (--mode permute: same rows in
 hash-shuffled on-disk order — the row-order-invariance axis; pair with
 tools/order_invariance.py for the Spark-vs-Spark self check). Round 11
 added EXTREMES (--mode extremes: value-DOMAIN edges — grid-edge money,
-zeros/negatives, epoch-boundary timestamps; see build_extremes).
+zeros/negatives, epoch-boundary timestamps; see build_extremes); round
+12 added its vector sibling EXTREMES-VEC (--mode extremes-vec: ±1e30 /
+zero / 1e-30 / mixed-magnitude embeddings probing the norm/dot
+accumulation dtype; see build_extremes_vec).
 
 Usage:
     python tools/make_skew.py                      # both fixtures from sf0.1
