@@ -106,8 +106,12 @@ _DRIVER_WINDOW = [
     "cdc_dead_letter", "cdc_tombstone_gc", "cdc_merge_replicas",
     "cdc_snapshot_handoff", "cdc_order_audit", "cdc_apply_python_source",
     "cdc_op_mix_hourly", "cdc_keys_churn",
-    # -- multimodal (r04/r05) --
-    "multimodal_resize", "multimodal_resample", "multimodal_phash",
+    # -- multimodal (r04 + the r12 TEXT-probe re-spell): frames' oracle
+    #    moved to the byte-exact hex contract after the TEXT∘multimodal
+    #    probe caught its invalid-UTF-8 output (--stale takes priority;
+    #    multimodal_phash cedes its slot — unchanged code, green r05
+    #    evidence — and leads the r13 tail with the other deferrals)
+    "multimodal_resize", "multimodal_resample", "multimodal_frames",
     # -- streaming live form LAST (most expensive) --
     "stream_session_stateful",
 ]
@@ -115,11 +119,13 @@ _DRIVER_WINDOW = [
 # R13 ROTATION PLAN (precomputed from the r01-r12 evidence ledger;
 # verify with coverage_report first — any --stale name takes priority):
 #   1. any coverage_report --stale name (re-spelled code/oracle);
-#   2. the 11 r05-evidence names deferred this round (the window only
-#      had 16 r05 slots after the re-spell block): multimodal_audio_features,
-#      event_seq_pattern, dq_benford, analytics_market_basket,
-#      dq_table_diff, anomaly_cusum, ts_derivative, ts_autocorr,
-#      sql_recursive_cte, fn_variant, fn_collation;
+#   2. the 12 r05-evidence names deferred this round (the window only
+#      had 16 r05 slots after the re-spell block, and multimodal_phash
+#      later ceded its slot to the stale multimodal_frames):
+#      multimodal_phash, multimodal_audio_features, event_seq_pattern,
+#      dq_benford, analytics_market_basket, dq_table_diff, anomaly_cusum,
+#      ts_derivative, ts_autocorr, sql_recursive_cte, fn_variant,
+#      fn_collation;
 #   3. fill the remaining ~39 slots from the r06 shelf (22 names:
 #      cdc_exactly_once, cdc_gdpr_erasure, cdc_pk_change,
 #      cdc_replication_lag, fn_aes_roundtrip, fn_array_hof2,

@@ -93,7 +93,7 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT d.doc_id,
        CAST(t.k AS INTEGER) AS frame_no,
-       substring(d.text, CAST(t.k * 128 + 1 AS BIGINT), 32) AS frame_text
+       substring(hex(encode(d.text)), CAST(t.k * 256 + 1 AS BIGINT), 64) AS frame_hex
 FROM documents d
 CROSS JOIN LATERAL (
   SELECT unnest(range(least(4,
@@ -107,18 +107,24 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``stride`` bytes stand in for ffmpeg keyframe extraction. The row
     blow-up happens at the edge, post-filter — the 100 TB-safe place.
 
-    Oracle note: the sampled frames are BYTE slices (mapInPandas over the
-    payload — exact bytes pinned by tests/test_llm.py); DuckDB has no BLOB
-    substring, but this corpus is pure ASCII at every SF (verified:
-    octet_length(encode(text)) == length(text) for all rows), so the
-    oracle's CHARACTER slice of the original text equals the decoded byte
-    slice and the frame content gets full value-hash coverage."""
+    Oracle note (re-spelled r12): frames are BYTE slices of the payload
+    (mapInPandas — exact bytes pinned by tests/test_llm.py), emitted as
+    UPPERCASE HEX on both engines. The old spelling cast the raw slice
+    to string and relied on a documented all-ASCII corpus precondition —
+    the TEXT-fixture × multimodal probe caught it: a byte window cutting
+    through a multi-byte codepoint yields invalid UTF-8, which survives
+    collect() but crashes the driver's Arrow toPandas path ('Wrapping …
+    failed'). DuckDB has no BLOB substring, but hex(BLOB) is pure ASCII,
+    so a CHARACTER slice of the hex at 2× offsets IS the byte slice —
+    byte-exact cross-engine parity at ANY corpus, precondition retired
+    (both engines emit uppercase hex; verified char-identical on
+    multi-byte input)."""
     from mongodb_mysql_cdc_spark.operators.multimodal import sample_frames
 
     media = with_payload(load(spark, sf_dir, "documents"))
     frames = sample_frames(media, frame_bytes=32, stride=128, max_frames=4)
     return frames.select(
-        "doc_id", "frame_no", F.col("frame").cast("string").alias("frame_text")
+        "doc_id", "frame_no", F.hex(F.col("frame")).alias("frame_hex")
     )
 
 

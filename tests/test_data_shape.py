@@ -167,6 +167,14 @@ TEXT_SUBSET = [
     "tfidf_topk_per_doc",
     "dedup_chunk_sig",
     "fn_json",
+    # r12: multimodal representatives — the payload substrate IS
+    # documents.text (with_payload/synth_media), and the TEXT∘multimodal
+    # probe caught multimodal_frames emitting invalid UTF-8 when a byte
+    # window cut through a multi-byte codepoint (driver Arrow crash;
+    # re-spelled to the byte-exact hex contract). frames + one decoder
+    # pin the class; the full family runs in the per-round text sweep.
+    "multimodal_frames",
+    "multimodal_decode",
 ]
 
 

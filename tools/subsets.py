@@ -117,6 +117,14 @@ TEXT_SENSITIVE = [
     "fn_string", "fn_string2", "fn_string3", "fn_regex", "fn_url",
     "fn_json", "fn_levenshtein_threshold",
     "decontaminate", "sample_stratified",
+    # r12 addition: the multimodal/UDF family consumes documents.text as
+    # its payload substrate (with_payload / synth_media), so adversarial
+    # text IS adversarial bytes for it — the r12 probe caught
+    # multimodal_frames emitting invalid UTF-8 from a byte window cut
+    # through a multi-byte codepoint (crashes the driver's Arrow path).
+    "multimodal_meta", "multimodal_decode", "multimodal_frames",
+    "multimodal_resize", "multimodal_resample", "multimodal_phash",
+    "multimodal_audio_features", "udf_surface", "udf_grouped_agg",
 ]
 
 # Ordering-determinism-sensitive queries (round 10): everything whose
