@@ -54,8 +54,14 @@ def sql_floor_double(y: str) -> str:
     to DuckDB's native ``floor(double)`` at every magnitude (incl.
     ±1.2e30) and to Spark/Python on the same palette; unlike Spark
     SQL's ``floor()`` it never routes through BIGINT, so nothing
-    saturates past 2^63. ``y`` is interpolated four times — both
-    engines CSE the repeated pure subexpression."""
+    saturates past 2^63. ``y`` is interpolated six times (twice
+    directly in the CASE, plus ``t`` — which embeds it twice — used
+    twice) — both engines CSE the repeated pure subexpression.
+
+    Non-finite inputs: ``fmod(±inf, 1.0)`` is NaN in IEEE 754, so an
+    infinite ``y`` yields NaN rather than floor's ±inf — identically on
+    both engines (harmless at every registered magnitude; documented
+    per ADVICE r12)."""
     t = f"(({y}) - (({y}) % 1.0))"
     return (
         f"(CASE WHEN ({y}) < 0 AND (({y}) % 1.0) <> 0.0"

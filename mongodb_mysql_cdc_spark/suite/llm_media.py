@@ -437,7 +437,12 @@ def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     ulp there ≈ 1e43 — the r12 accumulation-ORDER catch; 26 of the 50
     ×1e30 vectors diverged). The column loop is dim-many vectorized adds
     (dim=64, FIXTURES.md) — still zero per-row Python. The integer
-    n_pos fold is order-free and keeps reduceat."""
+    n_pos fold is order-free; it is a cumsum-difference segment sum
+    rather than np.add.reduceat (ADVICE r12: reduceat's idx[i]==idx[i+1]
+    quirk returns the NEIGHBORING element for a zero-length list and
+    raises IndexError when the final list is empty — the cumsum form
+    gives 0 for every empty segment, the same contract the sq path
+    already pins)."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     def kernel(batches):
@@ -465,7 +470,10 @@ def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for j in range(1, int(length)):  # sequential left fold
                     acc += block[:, j]
                 sq[rows] = acc
-            npos = np.add.reduceat((flat > 0).astype(np.int64), offs[:-1])
+            cpos = np.concatenate(
+                [[0], np.cumsum((flat > 0).astype(np.int64))]
+            )
+            npos = cpos[offs[1:]] - cpos[offs[:-1]]
             yield pa.RecordBatch.from_arrays(
                 [ids, pa.array(dims), pa.array(sq), pa.array(npos)],
                 names=["vec_id", "dim", "sq_norm", "n_pos"],

@@ -235,3 +235,36 @@ def test_resampled_wav_is_itself_decodable(spark, sf_dir):
         assert (ch, sr) == (1, r["rs_rate"])
         n_data = struct.unpack_from("<I", b, 40)[0]
         assert n_data == 2 * r["rs_n_samples"]
+
+
+def test_udf_arrow_kernel_handles_empty_lists(spark, tmp_path):
+    """ADVICE r12 pin: the n_pos segment sum must treat zero-length
+    embeddings like the sq path does (0), including an empty list in the
+    FINAL row — the np.add.reduceat spelling returned the neighboring
+    element for idx[i]==idx[i+1] and raised IndexError on a trailing
+    empty segment. The cumsum-difference form gives 0 for both."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mongodb_mysql_cdc_spark.suite.llm_media import udf_arrow
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, -2.0, 3.0], [], [0.5], []],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0, 0, 0, 0], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    rows = {
+        r["vec_id"]: r
+        for r in udf_arrow(spark, str(tmp_path)).collect()
+    }
+    assert {k: rows[k]["dim"] for k in rows} == {1: 3, 2: 0, 3: 1, 4: 0}
+    assert {k: rows[k]["n_pos"] for k in rows} == {1: 2, 2: 0, 3: 1, 4: 0}
+    assert rows[1]["sq_norm"] == 14.0
+    assert rows[2]["sq_norm"] == 0.0 and rows[4]["sq_norm"] == 0.0
+    assert rows[3]["sq_norm"] == 0.25
