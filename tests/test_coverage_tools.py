@@ -242,3 +242,74 @@ def test_order_invariance_within_rel_alignment():
     assert oi._within_rel(a2, b3, 1e-3)
     b4 = pd.DataFrame({"k": ["a", "a", "b"], "v": [1.0, 5.1, 9.0]})
     assert not oi._within_rel(a2, b4, 1e-3)
+
+
+# --- round-13 mechanical axis membership (VERDICT r12 item 3) ---------------
+
+def test_readership_json_is_fresh_and_complete():
+    """tools/readership.json must cover exactly the registered query set —
+    a missing name means the derivation never saw that query (the r12
+    TEXT-vs-multimodal curation-gap class), an extra name means the JSON
+    is stale against a renamed/removed query. Regenerate with
+    `python tools/readership.py --write`."""
+    import subsets as S
+    from mongodb_mysql_cdc_spark import registry
+
+    assert set(S._READERSHIP) == set(registry.queries())
+    errs = {n: r["err"] for n, r in S._READERSHIP.items() if r.get("err")}
+    assert not errs, errs
+
+
+def test_axis_mutations_name_real_columns():
+    """Every AXIS_MUTATIONS entry must be a real (table, column) pair in
+    the declared catalog schemas — a typo here silently derives an empty
+    reader set and the axis sweeps nothing new."""
+    import subsets as S
+    from mongodb_mysql_cdc_spark.catalog import SCHEMAS
+
+    for axis, muts in S.AXIS_MUTATIONS.items():
+        for t, c in muts:
+            assert t in SCHEMAS, (axis, t)
+            assert c in SCHEMAS[t].fieldNames(), (axis, t, c)
+
+
+def test_axis_subsets_are_supersets_of_mechanical_readers():
+    """The curation-gap gate: each SUBSET-swept axis's membership must
+    contain every mechanically derived reader of that axis's mutated
+    columns (plan-scan column hits + conservative whole-table hits for
+    opaque loads). SUBSETS is constructed as the union, so this holds by
+    construction today — the assertion pins the contract against a
+    future revert to static hand-curated lists."""
+    import subsets as S
+
+    for axis, subname in S.AXIS_SUBSET.items():
+        derived = S.mechanical_readers(axis, S._READERSHIP)
+        missing = derived - set(S.SUBSETS[subname])
+        assert not missing, (axis, sorted(missing))
+
+
+def test_scan_readership_parses_formatted_scan_blocks():
+    """Unit pin for the formatted-explain parser: fixture-table scans map
+    (table -> pruned column set); temp/sink rescans are ignored."""
+    import readership as R
+
+    text = (
+        "(1) Scan parquet \n"
+        "Output [3]: [l_orderkey#55L, l_extendedprice#59, l_discount#60]\n"
+        "Batched: true\n"
+        "Location: InMemoryFileIndex [file:/root/testdata/sf0.001/lineitem.parquet]\n"
+        "ReadSchema: struct<l_orderkey:bigint>\n"
+        "\n"
+        "(2) Scan parquet \n"
+        "Output [1]: [ts#7]\n"
+        "Location: InMemoryFileIndex [file:/root/testdata/sf0.001/events.parquet]\n"
+        "\n"
+        "(3) Scan parquet \n"
+        "Output [2]: [a#1, b#2]\n"
+        "Location: InMemoryFileIndex [file:/tmp/sparkcdc_append_x/orders_sink]\n"
+    )
+    got = R.scan_readership(text)
+    assert got == {
+        "lineitem": {"l_orderkey", "l_extendedprice", "l_discount"},
+        "events": {"ts"},
+    }

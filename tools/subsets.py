@@ -185,6 +185,93 @@ LAYOUT_SENSITIVE = _dedup(MACHINERY, HEADLINE, EXACT_DECIMAL, GRID_STATS, CONNEC
 # skew stresses shuffles AND join strategies.
 SKEW_SWEEP = _dedup(LAYOUT_SENSITIVE, JOIN_FAMILY)
 
+# ---------------------------------------------------------------------------
+# Mechanical axis membership (round 13, VERDICT r12 item 3).
+#
+# The r12 bonus catch proved hand-curated subsets can hide a family from
+# an axis for eleven rounds (multimodal consumes documents.text but was
+# absent from the TEXT subset). The fix: each fixture axis declares the
+# (table, column) set its make_skew.py builder MUTATES, and
+# tools/readership.py derives every registered query's actual column
+# readership from its physical plan (plus conservative whole-table hits
+# for opaque loads the final plan can't show — memory-sink streams,
+# temp-format re-encodes). tests/test_coverage_tools.py asserts each
+# SUBSET-swept axis's curated list is a SUPERSET of the derived readers;
+# the full-registry axes (skew/null/empty/permute/extremes) need no
+# audit — they can't hide anything by construction (their entries below
+# exist so the derivation is checkable against them too, documenting
+# which queries each mutation can even reach).
+AXIS_MUTATIONS: dict[str, set[tuple[str, str]]] = {
+    "skew": {
+        ("events", "user_id"), ("orders", "o_custkey"),
+        ("lineitem", "l_partkey"), ("lineitem", "l_suppkey"),
+    },
+    "null": {
+        ("events", "user_id"), ("events", "value"),
+        ("lineitem", "l_extendedprice"), ("lineitem", "l_returnflag"),
+    },
+    "span": {("events", "ts")},
+    "text": {
+        ("documents", "text"), ("documents", "n_chars"),
+        ("events", "props"),
+    },
+    "ties": {
+        ("events", "ts"), ("events", "value"),
+        ("orders", "o_orderdate"), ("lineitem", "l_shipdate"),
+    },
+    "extremes": {
+        ("events", "value"), ("lineitem", "l_extendedprice"),
+        ("orders", "o_orderdate"),
+    },
+    "vectors": {("embeddings", "embedding")},
+}
+
+# The subset each SUBSET-swept axis runs (shape_sweep.sh stages 4/5/6/9).
+AXIS_SUBSET = {"span": "span", "text": "text", "ties": "ties", "vectors": "vectors"}
+
+
+def mechanical_readers(axis: str, readership: dict) -> set[str]:
+    """Names that mechanically read a mutated column of ``axis``.
+
+    A name qualifies via (a) a plan-scan hit on a mutated (table, column)
+    — the post-pruning truth — or (b) an OPAQUE load of a mutated table
+    (the plan can't show which columns, so the whole table counts:
+    conservative toward sweeping, never toward hiding)."""
+    muts = AXIS_MUTATIONS[axis]
+    tables = {t for t, _ in muts}
+    out: set[str] = set()
+    for name, r in readership.items():
+        if any(c in r.get("scan", {}).get(t, []) for t, c in muts):
+            out.add(name)
+        elif any(t in tables for t in r.get("opaque", [])):
+            out.add(name)
+    return out
+
+
+def _load_readership() -> dict:
+    import json
+    from pathlib import Path
+
+    p = Path(__file__).with_name("readership.json")
+    return json.loads(p.read_text())["queries"]
+
+
+# Self-updating membership (round 13): each SUBSET-swept axis is the
+# union of its hand-curated sensitivity core (above — kept: it documents
+# WHY each family is sensitive, and may legitimately exceed readership,
+# e.g. fn_string reads c_name/p_name, not documents.text) and the
+# mechanically derived reader set. The r13 derivation audit found the
+# curated lists under-inclusive by 54 (span) / 42 (text) / 67 (ties)
+# names — every one a genuine reader of a mutated column (mostly the
+# CDC/stream families over events.ts/value and the win_* family over
+# ts orderings) — while the r12-mechanized vectors subset matched the
+# derivation EXACTLY, validating the method. Regenerate the JSON with
+# `python tools/readership.py --write` whenever the registry changes;
+# tests/test_coverage_tools.py pins freshness (name-set equality) and
+# the superset contract.
+_READERSHIP = _load_readership()
+_DERIVED = {}
+
 SUBSETS = {
     "machinery": MACHINERY,
     "headline": HEADLINE,
@@ -199,6 +286,10 @@ SUBSETS = {
     "ties": TIES_SENSITIVE,
     "vectors": VECTOR_SENSITIVE,
 }
+
+for _axis, _subname in AXIS_SUBSET.items():
+    _DERIVED[_axis] = mechanical_readers(_axis, _READERSHIP)
+    SUBSETS[_subname] = _dedup(SUBSETS[_subname], sorted(_DERIVED[_axis]))
 
 
 def main() -> int:
