@@ -49,6 +49,13 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Box-state telemetry (round 13): the r12 official bench ran on a box
+    # still digesting hours of sweeps and landed at 2.02x the reference
+    # point while three same-HEAD quiet-box measurements sat in-band.
+    # Recording the 1-min load average INSIDE the artifact makes that
+    # adjudication mechanical: a high load1_start explains an outlier
+    # value without any prose reconciliation.
+    load1_start = round(os.getloadavg()[0], 2)
     spark = get_session("bench")
     qs = registry.queries()
     names = [n for n in HEADLINE if n in qs]
@@ -93,6 +100,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "load1_start": load1_start,
+                "load1_end": round(os.getloadavg()[0], 2),
             }
         )
     )
