@@ -313,3 +313,18 @@ def test_scan_readership_parses_formatted_scan_blocks():
         "lineitem": {"l_orderkey", "l_extendedprice", "l_discount"},
         "events": {"ts"},
     }
+
+
+def test_invisible_queries_are_exactly_the_declared_input_free_set():
+    """A query invisible to BOTH readership signals (no fixture-table
+    plan scan AND no recorded DataFrameReader load) escapes every axis
+    derivation — legitimate only for the synthetic Python DataSource
+    family, whose rows come from seeded arithmetic, not fixture tables.
+    Exact equality both directions: a new executor-side reader can't
+    silently escape, and the declared list can't rot."""
+    import subsets as S
+
+    invisible = {
+        n for n, r in S._READERSHIP.items() if not r["scan"] and not r["loads"]
+    }
+    assert invisible == S.NO_FIXTURE_INPUT

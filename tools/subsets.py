@@ -229,6 +229,22 @@ AXIS_MUTATIONS: dict[str, set[tuple[str, str]]] = {
 # The subset each SUBSET-swept axis runs (shape_sweep.sh stages 4/5/6/9).
 AXIS_SUBSET = {"span": "span", "text": "text", "ties": "ties", "vectors": "vectors"}
 
+# Queries with NO fixture-table input at all: the Python DataSource
+# family synthesizes its rows from seeded arithmetic on executors (the
+# oracle reproduces them from generate_series), so they are genuinely
+# immune to every fixture mutation. A query invisible to BOTH
+# readership signals (no plan scan of a fixture table AND no recorded
+# load) MUST be listed here — tests/test_coverage_tools.py asserts
+# exact equality, so a future bypass (a new executor-side reader that
+# skips DataFrameReader) fails the gate until it is either given a
+# declared-inputs entry or proven input-free.
+NO_FIXTURE_INPUT = {
+    "cdc_apply_python_source",
+    "scan_python_datasource",
+    "scan_python_datasource_pushdown",
+    "stream_python_datasource",
+}
+
 
 def mechanical_readers(axis: str, readership: dict) -> set[str]:
     """Names that mechanically read a mutated column of ``axis``.
