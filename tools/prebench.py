@@ -91,6 +91,22 @@ def run_bench() -> dict:
     return out
 
 
+def settle_for_calibrated(max_load: float = 2.0, settle_s: int = 60) -> float:
+    """The clause-(b) measurement must START on a quiet box too.
+
+    Launching bench_scale the instant recorded run N exits puts it inside
+    that run's exit drain (measured r13: two in-protocol reads 1.11/1.12 s
+    at load1 2.2/2.48 right after the suite runs, vs 0.96/1.01 s settled —
+    same HEAD, no pricing-path change; the run-1-into-warm-up-drain effect,
+    one step later). Gate on the protocol's own quiet definition (load1 <
+    2), clear the drain with a short settle, and return the load1 actually
+    in effect when the measurement starts (recorded in the artifact)."""
+    wait_for_quiet(max_load=max_load)
+    print(f"settling {settle_s}s before the calibrated measurement …", flush=True)
+    time.sleep(settle_s)
+    return round(os.getloadavg()[0], 2)
+
+
 def measure_watch_clause_b(n: int = 6) -> float:
     """The CALIBRATED pricing_summary watch measurement: bench_scale's
     warm best-of-N inside ONE session (the spelling the 1.10 s threshold
@@ -135,6 +151,7 @@ def main() -> int:
     if args.watch_only:
         out = ROOT / f"PREBENCH_r{args.round}.json"
         artifact = json.loads(out.read_text())
+        artifact["load1_before_calibrated"] = settle_for_calibrated()
         warm = measure_watch_clause_b()
         artifact["pricing_bench_scale_warm_best"] = warm
         artifact["watch_clause_b_holds"] = warm <= 1.10
@@ -176,6 +193,7 @@ def main() -> int:
     artifact["load1_end"] = round(os.getloadavg()[0], 2)
     artifact["suite_in_band"] = artifact["suite_best_of_n"] <= 11.0
     print("calibrated clause-(b) measurement (warm bench_scale) …", flush=True)
+    artifact["load1_before_calibrated"] = settle_for_calibrated()
     artifact["pricing_bench_scale_warm_best"] = measure_watch_clause_b()
     artifact["watch_clause_b_holds"] = (
         artifact["pricing_bench_scale_warm_best"] <= 1.10
