@@ -4,6 +4,16 @@ functions (zip_with / aggregate), JVM-side, no UDF.
 All math is done in DOUBLE with a sequential left fold so the oracle
 (DuckDB list_transform + list_reduce) is bit-identical. DuckDB's native
 list_cosine_similarity computes in float32 — do NOT use it as an oracle.
+
+Round 13 (optimization, guide §1 profile): building these HOFs through the
+Column DSL costs ~10 py4j round trips per lambda (zip_with/aggregate each
+ship a LambdaFunction + UnresolvedNamedLambdaVariables one call at a
+time) — measured as the dominant plan-BUILD cost of the sim_search
+family. When the argument is a plain column NAME, the same expression is
+built with ONE py4j call via ``F.expr`` over the Spark-SQL spelling
+(``spark_dot``/``spark_norm`` below). The parsed tree uses the identical
+functions/lambdas, so analyzed semantics — and therefore results — are
+unchanged; Column arguments keep the DSL path.
 """
 
 from __future__ import annotations
@@ -11,12 +21,50 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+ColumnOrName = "Column | str"
 
-def to_double(vec: Column) -> Column:
+
+def _quote(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+# --- Spark-SQL text spellings (ONE parser call per expression) --------------
+
+
+def spark_to_double(a: str) -> str:
+    return f"transform({a}, x -> CAST(x AS DOUBLE))"
+
+
+def spark_dot(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({spark_to_double(a)}, {spark_to_double(b)},"
+        f" (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def spark_norm(a: str) -> str:
+    return (
+        f"sqrt(aggregate({spark_to_double(a)}, 0.0D,"
+        f" (acc, x) -> acc + x * x))"
+    )
+
+
+def spark_cosine(a: str, b: str) -> str:
+    return f"({spark_dot(a, b)} / ({spark_norm(a)} * {spark_norm(b)}))"
+
+
+# --- Column API (F.expr fast path for plain names) ---------------------------
+
+
+def to_double(vec: Column | str) -> Column:
+    if isinstance(vec, str):
+        return F.expr(spark_to_double(_quote(vec)))
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(spark_dot(_quote(a), _quote(b)))
     return F.aggregate(
         F.zip_with(to_double(a), to_double(b), lambda x, y: x * y),
         F.lit(0.0),
@@ -24,13 +72,17 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(spark_norm(_quote(a)))
     return F.sqrt(
         F.aggregate(to_double(a), F.lit(0.0), lambda acc, x: acc + x * x)
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(spark_cosine(_quote(a), _quote(b)))
     return dot(a, b) / (norm(a) * norm(b))
 
 

@@ -68,6 +68,12 @@ def get_session(app_name: str = "mongodb_mysql_cdc_spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Round 13 (guide §1 profile): PySpark 4's per-call origin capture
+        # (DataFrame debugging) costs 4 py4j round trips per Column/DataFrame
+        # API call — cProfile showed it as ~1/3 of all plan-BUILD socket
+        # traffic. It only enriches error messages with Python call sites;
+        # turning it off is a pure driver-side win at any scale.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in _extra_conf():
         builder = builder.config(k, v)
@@ -87,6 +93,10 @@ def tune_for_harness(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.shuffle.partitions", str(shuffle_partitions())),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        # skip the 4-py4j-roundtrip per-call origin capture (see get_session);
+        # effective only if set before the first DataFrame API call latches
+        # the process-global cache — harmless otherwise
+        ("spark.python.sql.dataFrameDebugging.enabled", "false"),
         # events.ts is parquet TIMESTAMP(NANOS) — read as long, see catalog.load
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
         # custom Python DataSource filter pushdown (scan_python_datasource_pushdown)

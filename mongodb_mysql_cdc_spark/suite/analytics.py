@@ -134,9 +134,9 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     spellings differ in fp rounding, so the algebraic form must match
     the oracle exactly."""
     e = load(spark, sf_dir, "embeddings")
-    nrm = V.norm(F.col("embedding"))
+    nrm = V.norm("embedding")
     raw_sum = F.aggregate(
-        V.to_double(F.col("embedding")), F.lit(0.0), lambda acc, x: acc + x
+        V.to_double("embedding"), F.lit(0.0), lambda acc, x: acc + x
     )
     return e.filter(nrm > 0).select(
         "vec_id",

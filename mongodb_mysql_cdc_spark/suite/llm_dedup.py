@@ -757,7 +757,7 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     math is the shared fold in functions/vectors.py → bit-identical to
     the DuckDB oracle, so the >= tau comparison can't straddle engines."""
     emb = spread(load(spark, sf_dir, "embeddings"), "vec_id").filter(
-        V.norm(F.col("embedding")) > 0
+        V.norm("embedding") > 0
     )
     cent = (
         emb.filter(
@@ -768,7 +768,7 @@ def dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = emb.crossJoin(F.broadcast(cent)).select(
         "vec_id",
         "cid",
-        V.cosine(F.col("embedding"), F.col("cvec")).alias("cos"),
+        V.cosine("embedding", "cvec").alias("cos"),
     )
     # argmax cell per vector as a hash aggregate, not a window: the
     # broadcast product left the corpus hash-partitioned on vec_id, so

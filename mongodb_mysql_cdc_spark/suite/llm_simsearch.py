@@ -44,11 +44,11 @@ def _scored_pairs(emb: DataFrame) -> DataFrame:
     as norm > 0 filters in the SAME spelling on both engines)."""
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
-        V.norm(F.col("embedding")).alias("qn"),
+        V.norm("embedding").alias("qn"),
     ).filter(F.col("qn") > 0)
     c = spread(emb.filter(F.col("vec_id") >= _N_QUERIES), "vec_id").select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "label",
-        V.norm(F.col("embedding")).alias("cn"),
+        V.norm("embedding").alias("cn"),
     ).filter(F.col("cn") > 0)
     return c.crossJoin(F.broadcast(q)).select(
         "query_id",
@@ -104,18 +104,25 @@ _PLANES = [
 ]
 
 
-def _bucket_col(vec) -> F.Column:
+def _bucket_col(vec: str = "embedding") -> F.Column:
     """Random-hyperplane LSH bucket: bit j = sign of <v, r_j>. The dot is
-    a sequential double fold over zip_with → bit-identical to DuckDB."""
-    total = None
+    a sequential double fold over zip_with → bit-identical to DuckDB.
+
+    Built as ONE Spark-SQL string → ONE py4j call (r13, guide §1 profile):
+    the Column-DSL form shipped each plane as F.lit(list) — which PySpark
+    expands to 64 per-element lit() round trips — plus ~10 round trips per
+    HOF lambda, ~0.3 s of pure plan-build per bench run. The parsed tree
+    uses the identical zip_with/aggregate/CASE functions, so semantics
+    (and the DuckDB bit-identity) are unchanged."""
+    terms = []
     for j in range(_LSH_NBITS):
-        # one Py4J call per plane (F.lit on a list), not 64 per-element lits
-        plane = F.lit(_PLANES[j])
-        prods = F.zip_with(V.to_double(vec), plane, lambda x, s: x * s)
-        dot_j = F.aggregate(prods, F.lit(0.0), lambda a, x: a + x)
-        term = F.when(dot_j > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        total = term if total is None else total + term
-    return total.cast("int")
+        plane = "array(" + ", ".join(f"{v!r}D" for v in _PLANES[j]) + ")"
+        dot_j = (
+            f"aggregate(zip_with({V.spark_to_double(vec)}, {plane},"
+            f" (x, s) -> x * s), 0.0D, (a, x) -> a + x)"
+        )
+        terms.append(f"(CASE WHEN {dot_j} > 0 THEN {1 << j} ELSE 0 END)")
+    return F.expr("CAST((" + " + ".join(terms) + ") AS INT)")
 
 
 def _sql_bucket(vec: str) -> str:
@@ -158,17 +165,17 @@ def sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine direction — the r12 extremes-vec contract, same spelling as
     embedding_normalize)."""
     emb = spread(load(spark, sf_dir, "embeddings"), "vec_id").filter(
-        V.norm(F.col("embedding")) > 0
+        V.norm("embedding") > 0
     ).withColumn(
-        "bucket", _bucket_col(F.col("embedding"))
+        "bucket", _bucket_col("embedding")
     )
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket",
-        V.norm(F.col("embedding")).alias("qn"),
+        V.norm("embedding").alias("qn"),
     )
     c = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"),
-        F.col("bucket").alias("cbucket"), V.norm(F.col("embedding")).alias("cn"),
+        F.col("bucket").alias("cbucket"), V.norm("embedding").alias("cn"),
     )
     pairs = c.join(F.broadcast(q), F.col("bucket") == F.col("cbucket")).select(
         "query_id",
@@ -239,7 +246,7 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignable vectors (undefined cosine direction; the r12
     extremes-vec contract)."""
     emb = spread(load(spark, sf_dir, "embeddings"), "vec_id").filter(
-        V.norm(F.col("embedding")) > 0
+        V.norm("embedding") > 0
     )
     cent = emb.filter(
         (F.col("vec_id") >= _IVF_CENTROID_LO) & (F.col("vec_id") < _IVF_CENTROID_HI)
@@ -375,7 +382,7 @@ def kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     emb = spread(load(spark, sf_dir, "embeddings"), "vec_id").select(
-        "vec_id", V.to_double(F.col("embedding")).alias("v")
+        "vec_id", V.to_double("embedding").alias("v")
     )
     c0 = emb.filter(F.col("vec_id").between(10, 17)).select(
         (F.col("vec_id") - 10).alias("cell"), F.col("v").alias("cv")
@@ -541,7 +548,7 @@ def sim_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     occupy a candidate slot nor reach the cosine (undefined direction;
     the r12 extremes-vec contract)."""
     emb = spread(load(spark, sf_dir, "embeddings"), "vec_id").filter(
-        V.norm(F.col("embedding")) > 0
+        V.norm("embedding") > 0
     )
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
@@ -567,7 +574,7 @@ def sim_search_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = stage1.withColumn("s1_rank", F.row_number().over(w1)).filter(
         F.col("s1_rank") <= _RERANK_CAND
     )
-    cos = V.cosine(F.col("qv"), F.col("cv"))
+    cos = V.cosine("qv", "cv")
     w2 = Window.partitionBy("query_id").orderBy(F.desc(cos), F.asc("neighbor_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w2))
@@ -606,7 +613,7 @@ _SQL_COV_DOMAIN = (
 
 
 def _cov_domain(e: DataFrame) -> DataFrame:
-    n = V.norm(F.col("embedding"))
+    n = V.norm("embedding")
     return e.filter((n > 0) & (n <= F.lit(_COV_NORM_MAX)))
 
 
@@ -980,11 +987,11 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = emb.filter(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"),
-        V.norm(F.col("embedding")).alias("qn"),
+        V.norm("embedding").alias("qn"),
     ).filter(F.col("qn") > 0)
     c = spread(emb.filter(F.col("vec_id") >= _N_QUERIES), "vec_id").select(
         F.col("vec_id").alias("doc_id"), F.col("embedding").alias("cv"),
-        V.norm(F.col("embedding")).alias("cn"),
+        V.norm("embedding").alias("cn"),
     ).filter(F.col("cn") > 0)
     sem0 = c.crossJoin(F.broadcast(q)).select(
         "query_id", "doc_id",

@@ -302,6 +302,26 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _df_from_tf(tf: DataFrame) -> DataFrame:
+    """Document frequency from the tf table — one row per (doc, token), so
+    a plain count IS countDistinct(doc_id).
+
+    r13 (guide §2.4, remove shuffles/passes outright): the count aggregates
+    ``F.when(F.col("tf") >= 1, 1)`` instead of ``F.lit(1)`` — the same
+    value by construction (tf ≥ 1 on every row), but referencing the tf
+    column stops Catalyst from pruning the count out of this branch's
+    partial aggregate. With the count pruned, this subtree canonicalized
+    differently from the join's tf branch and the corpus was TOKENIZED
+    TWICE (two Generate+partial-agg map sides feeding two exchanges).
+    With it retained, the two exchange subtrees are canonically identical
+    and AQE's ReusedExchange shares ONE map side (verified at runtime:
+    ReusedExchange present, one FileScan+Generate of documents.text
+    eliminated) — at 100 TB that is one full corpus tokenize pass saved."""
+    return tf.groupBy("token").agg(
+        F.count(F.when(F.col("tf") >= 1, 1)).alias("df")
+    )
+
+
 @register(
     "tfidf",
     oracle=f"""
@@ -364,7 +384,7 @@ def tfidf_weights(
     docs = load(spark, sf_dir, "documents")
     ex = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("token"))
     tf = ex.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    df = _df_from_tf(tf)
     if vocab_broadcast_limit is None:
         df_side = F.broadcast(df)
     else:
@@ -1005,7 +1025,11 @@ def tfidf_topk_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     ex = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("token"))
     tf = ex.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = ex.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    # r13: df from the tf table (one row per (doc, token) → count IS
+    # countDistinct) with the _df_from_tf reuse spelling — the raw-ex
+    # two-phase distinct re-tokenized the corpus a second time; n_docs
+    # keeps its ex-derived spelling (docs with ≥1 token), same oracle.
+    df = _df_from_tf(tf)
     n = ex.agg(F.count_distinct("doc_id").alias("n_docs"))
     idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
     weighted = (
