@@ -10,7 +10,9 @@ Spark's WAL — the resume-token equivalent (do not reimplement).
 
 from __future__ import annotations
 
+import os
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,15 +50,35 @@ def stage_event_chunks(
     from pyspark.sql import Window
 
     w = Window.orderBy("ts", "event_id")
-    chunked = ev.withColumn("_chunk", F.ntile(n_chunks).over(w))
-    for i in range(1, n_chunks + 1):
-        (
-            chunked.filter(F.col("_chunk") == i)
-            .drop("_chunk")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(f"{out}/chunk={i:04d}")
+    # zero-padded string so the partition dirs keep the chunk=0001 naming
+    # the duplicate-chunk CDC replays address by literal path
+    chunked = ev.withColumn(
+        "chunk", F.format_string("%04d", F.ntile(n_chunks).over(w))
+    )
+    # ONE partitionBy write instead of n filtered writes (r13): the old
+    # per-chunk loop re-executed the global-order window once PER CHUNK
+    # (n write jobs, each with the full single-task sort) — every
+    # streaming suite query pays this staging. The replay order contract
+    # (FileStreamSource processes oldest-modification-time first) is
+    # preserved EXPLICITLY: the loop below stamps strictly ascending
+    # mtimes in chunk order, where the sequential writes used to get them
+    # implicitly. Heartbeat chunks are staged afterwards with natural
+    # (later) wall-clock mtimes.
+    (
+        chunked.repartition(1)
+        .write.mode("overwrite")
+        .partitionBy("chunk")
+        .parquet(out)
+    )
+    base = time.time() - 2 * n_chunks
+    for i, d in enumerate(
+        sorted(
+            (e for e in os.listdir(out) if e.startswith("chunk=")),
+            key=lambda e: e.split("=", 1)[1],
         )
+    ):
+        for f in os.listdir(os.path.join(out, d)):
+            os.utime(os.path.join(out, d, f), (base + i, base + i))
     return out
 
 

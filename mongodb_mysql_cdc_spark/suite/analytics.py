@@ -555,9 +555,12 @@ def analytics_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # branch to the same bytes AND truncates the lineage the later
     # calls' branches re-execute.
     per = per.localCheckpoint(eager=True)
+    # boundary_df=per (r13): each call's boundary-sample job reads the
+    # 1-job checkpoint instead of re-executing the previous calls' window
+    # layers; boundaries affect only bucket balance, never positions.
     pos = with_global_position(per, ["last_order", "o_custkey"], "_p_r")
-    pos = with_global_position(pos, ["frequency", "o_custkey"], "_p_f")
-    pos = with_global_position(pos, ["monetary", "o_custkey"], "_p_m")
+    pos = with_global_position(pos, ["frequency", "o_custkey"], "_p_f", boundary_df=per)
+    pos = with_global_position(pos, ["monetary", "o_custkey"], "_p_m", boundary_df=per)
     total = per.agg(F.count(F.lit(1)).alias("_n"))
     n = F.col("_n")
     scored = pos.crossJoin(F.broadcast(total)).select(

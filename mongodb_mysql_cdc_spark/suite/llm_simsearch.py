@@ -118,8 +118,8 @@ def _bucket_col(vec: str = "embedding") -> F.Column:
     for j in range(_LSH_NBITS):
         plane = "array(" + ", ".join(f"{v!r}D" for v in _PLANES[j]) + ")"
         dot_j = (
-            f"aggregate(zip_with({V.spark_to_double(vec)}, {plane},"
-            f" (x, s) -> x * s), 0.0D, (a, x) -> a + x)"
+            f"aggregate(zip_with({vec}, {plane},"
+            f" (x, s) -> CAST(x AS DOUBLE) * s), 0.0D, (a, x) -> a + x)"
         )
         terms.append(f"(CASE WHEN {dot_j} > 0 THEN {1 << j} ELSE 0 END)")
     return F.expr("CAST((" + " + ".join(terms) + ") AS INT)")

@@ -56,14 +56,23 @@ FROM ex GROUP BY token
 )
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus term statistics: total occurrences + document frequency per
-    token (§2.10 text_stats). One explode + one agg; partial aggregation
-    collapses each partition to its vocabulary before the shuffle, so
-    shuffle volume is O(vocab), not O(tokens)."""
+    token (§2.10 text_stats).
+
+    r13 (guide §2.3, shuffle fewer bytes): two-level aggregation instead
+    of count + countDistinct in one groupBy. The countDistinct plan
+    EXPANDS every exploded token row ×2 (one copy per aggregate) before
+    the partial agg; the two-level form partial-aggregates (token,
+    doc_id) directly — term_freq = Σ per-doc counts, doc_freq = group
+    count — so the map side processes each token occurrence once and the
+    first shuffle carries |distinct (token, doc)| rows instead of the
+    Expand's doubled stream. Second shuffle is vocab-sized. Hash-verified
+    identical output."""
     docs = load(spark, sf_dir, "documents")
     ex = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("token"))
-    return ex.groupBy("token").agg(
-        F.count(F.lit(1)).alias("term_freq"),
-        F.countDistinct("doc_id").alias("doc_freq"),
+    per_doc = ex.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    return per_doc.groupBy("token").agg(
+        F.sum("c").alias("term_freq"),
+        F.count(F.lit(1)).alias("doc_freq"),
     )
 
 

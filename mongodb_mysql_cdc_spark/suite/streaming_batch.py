@@ -324,6 +324,16 @@ def stream_stream_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("ts").alias("p_ts"),
         )
+        # r13 (guide §2.3: shuffle/state fewer bytes): drop non-purchase
+        # left rows BEFORE the join instead of filtering their junk
+        # unmatched-outer emissions afterwards — the left state store then
+        # holds purchases only (10× smaller here; at 100 TB the difference
+        # between buffering the purchase stream and buffering EVERY event).
+        # The OR arm keeps the ghost heartbeats (p_id < 0) flowing so the
+        # left watermark still advances — a bare purchase filter is pushed
+        # below the EventTimeWatermark and would starve it (module-note
+        # heartbeat contract). Output hash-verified identical.
+        .filter((F.col("p_type") == "purchase") | (F.col("p_id") < 0))
     )
     right = (
         read_event_stream(spark, staged)
