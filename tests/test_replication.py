@@ -54,6 +54,45 @@ def test_pipeline_empty_feed(spark, tmp_path):
     assert -1 in status["committed_batches"]  # the (empty) snapshot epoch
 
 
+def test_stage_chunks_low_row_feed(spark, tmp_path):
+    """0 < rows < n_chunks (sibling of the empty-feed pin): ntile fills
+    low buckets first, so the single partitionBy staging write emits no
+    dir for the high chunks — every chunk=%04d must still exist with a
+    schema-bearing parquet so literal-path consumers (snapshot, the
+    duplicate-chunk CDC replays) can read it, and the stamped mtimes must
+    still ascend in chunk order (the replay-order contract)."""
+    import os
+
+    from mongodb_mysql_cdc_spark.catalog import load
+    from mongodb_mysql_cdc_spark.streaming.replay import stage_event_chunks
+
+    src = str(tmp_path / "sftiny")
+    (
+        load(spark, "/root/testdata/sf0.001", "events")
+        .orderBy("ts", "event_id")
+        .limit(3)
+        .write.mode("overwrite")
+        .parquet(f"{src}/events.parquet")
+    )
+
+    staged = stage_event_chunks(spark, src, n_chunks=8, dir_prefix="lowrow")
+    dirs = sorted(e for e in os.listdir(staged) if e.startswith("chunk="))
+    assert dirs == [f"chunk={i:04d}" for i in range(1, 9)]
+    total = 0
+    mtimes = []
+    for d in dirs:
+        part = spark.read.parquet(os.path.join(staged, d))  # must not raise
+        total += part.count()
+        mtimes.append(
+            max(
+                os.path.getmtime(os.path.join(staged, d, f))
+                for f in os.listdir(os.path.join(staged, d))
+            )
+        )
+    assert total == 3
+    assert mtimes == sorted(mtimes)
+
+
 def test_pipeline_restart_is_idempotent(spark, sf_dir):
     sink = tempfile.mkdtemp(prefix="repl_restart_")
     first = ReplicationPipeline(spark, sf_dir, sink, n_chunks=4)
