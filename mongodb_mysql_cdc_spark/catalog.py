@@ -211,7 +211,19 @@ def _attach_split_hint(df: DataFrame, path: str) -> DataFrame:
     bytes / 128 MB default maxPartitionBytes); only the under-/adequately-
     partitioned DECISION consumes it, never a result."""
     try:
-        df._sg_scan_splits = max(1, -(-os.stat(path).st_size // (128 << 20)))
+        if os.path.isdir(path):
+            # Spark-written dataset dir: st_size would be the inode size
+            # (~4 KB → hint always 1, defeating spread's decision on
+            # large tables — r13 advice). Sum the data files instead.
+            size = sum(
+                os.path.getsize(os.path.join(root, f))
+                for root, _, files in os.walk(path)
+                for f in files
+                if not f.startswith(("_", "."))
+            )
+        else:
+            size = os.stat(path).st_size
+        df._sg_scan_splits = max(1, -(-size // (128 << 20)))
     except OSError:
         pass
     return df

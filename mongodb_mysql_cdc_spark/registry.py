@@ -45,65 +45,62 @@ def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], Que
 
 
 # The driver verifies the FIRST 50 names in queries() order per round
-# (CORRECTNESS_r01.json = registry positions 1-50 exactly).  Round 13
-# rotation (r12 verdict item 1, following the precomputed R13 ROTATION
-# PLAN): the registry is frozen at 279; the window is (a) the one
-# `coverage_report --stale` name — udf_arrow, whose n_pos kernel fold
-# was re-spelled from np.add.reduceat to a cumsum-difference segment sum
-# (ADVICE r12 empty-list quirk); (b) the 12 r05-evidence deferrals named
-# in the r12 plan; (c) the full 21-name r06 shelf (search_rrf_fusion
-# already re-proved in r12); (d) 16 of the 22 r07-evidence names,
-# cheap-first — the 6 deferred to r14 are the expensive documents-table
-# LLM names (anomaly_mad, dedup_exact, dedup_ngram_jaccard,
-# dedup_semantic_keep, quality_winsorize, text_stats).  After a green
-# r13 run no query's latest evidence is older than r07.  Evicted: the
-# entire r12 window (all 50 green in CORRECTNESS_r12, code unchanged
-# since except udf_arrow, which re-enters as the stale slot).  Cheap
-# relational/scalar families first, expensive streaming/LLM queries
-# LAST so a time-capped driver run can't starve the cheap ones.
+# (CORRECTNESS_r01.json = registry positions 1-50 exactly).  Round 14
+# rotation (r13 verdict item 2 overrides the precomputed plan): the
+# registry stays frozen at 279; the window front-loads every query path
+# the r13 optimization commits edited AFTER the r13 window was pinned —
+# all 12 `coverage_report --stale` names (analytics_rfm, cdc_apply_batch,
+# dedup_semantic_keep, embedding_normalize, kmeans_refine,
+# search_rrf_fusion, sim_search_ivf/lsh/rerank, stream_stream_join_left,
+# text_stats, tfidf_topk_per_doc) plus the verdict-named touched paths
+# the tracker's per-function diff misses because only shared helpers
+# changed (tfidf via _df_from_tf, sim_search_topk and knn_classify via
+# the vectors.py fold re-spell), the full staged-streaming consumer set
+# (replay staging re-spelled in r13, patched in r14), the 4 remaining
+# r07-evidence deferrals (anomaly_mad, dedup_exact, dedup_ngram_jaccard,
+# quality_winsorize), and every bench-headline name this round's
+# profiling touches — filled out with the oldest (r08) evidence shelf.
+# Evicted: the entire r13 window (all 50 green in CORRECTNESS_r13; none
+# edited since except through the replay patch, whose consumers re-enter
+# here).  Cheap relational/agg families first, expensive streaming/LLM
+# queries LAST so a time-capped driver run can't starve the cheap ones.
 _DRIVER_WINDOW = [
-    # -- cheap relational / sort / window / join (r07) --
-    "project", "filter_pred", "cast_types", "flatten_struct",
-    "json_extract", "sort_multi", "topk", "win_row_number",
-    "join_semi", "join_anti", "join_range",
-    # -- aggregate family (r07) --
-    "agg_count_distinct", "agg_mode", "agg_percentile_disc",
-    # -- scalar fn_* shelf (r06) + the two r05 fn deferrals --
-    "fn_aes_roundtrip", "fn_array_hof2", "fn_encoding",
-    "fn_explode_outer", "fn_haversine", "fn_interval",
-    "fn_levenshtein_threshold", "fn_str_to_map", "fn_string3",
-    "fn_timezone", "fn_try_safe", "fn_xml", "fn_variant",
-    "fn_collation", "sql_recursive_cte",
-    # -- scans / maintenance (r06) --
-    "scan_json_corrupt", "maintenance_zorder",
-    # -- dq / analytics / time series (r05) --
-    "dq_benford", "dq_table_diff", "anomaly_cusum", "ts_derivative",
-    "ts_autocorr", "event_seq_pattern", "analytics_market_basket",
-    # -- CDC family (r06/r07) --
-    "cdc_envelope_parse", "cdc_scd2", "cdc_exactly_once",
-    "cdc_gdpr_erasure", "cdc_pk_change", "cdc_replication_lag",
-    # -- token/LLM (r06) --
-    "token_bigram_pmi", "token_bpe_merge",
-    # -- multimodal (r05: phash ceded its r12 slot to the stale frames
-    #    re-spell; audio_features was the other deferral) --
-    "multimodal_phash", "multimodal_audio_features",
-    # -- stale re-verify: the r13 n_pos segment-sum re-spell --
-    "udf_arrow",
-    # -- streaming live form LAST (most expensive) --
-    "stream_topk",
+    # -- cheap agg / join / window families (r08-evidence shelf, incl.
+    #    every bench-headline name this round's profiling may touch) --
+    "agg_hash", "agg_global", "agg_having", "agg_count_if",
+    "agg_moments", "agg_product", "agg_incremental_merge", "agg_rollup",
+    "topk_per_group", "join_inner_hash", "join_broadcast",
+    "join_sort_merge", "join_asof", "win_running", "win_range_frame",
+    "pricing_summary",
+    # -- analytics / anomaly (r08 shelf + r13-touched rfm + r07 deferral) --
+    "analytics_shipping_priority", "analytics_pareto", "analytics_rfm",
+    "anomaly_mad",
+    # -- LLM text (r13-touched + r07 deferrals) --
+    "text_stats", "quality_winsorize", "tfidf", "tfidf_topk_per_doc",
+    # -- dedup family (r13-touched + r07 deferrals) --
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_semantic_keep",
+    # -- vector / similarity family (r13 vector-fold + F.expr re-spells) --
+    "embedding_normalize", "knn_classify", "kmeans_refine",
+    "sim_search_topk", "sim_search_lsh", "sim_search_ivf",
+    "sim_search_rerank", "search_rrf_fusion",
+    # -- CDC batch (r13 deferred-parse re-spell) --
+    "cdc_apply_batch",
+    # -- staged streaming set LAST (most expensive; replay staging was
+    #    re-spelled in r13 and patched in r14 — every consumer not in the
+    #    r13 window re-verifies here) --
+    "output_mode_update", "cdc_apply_stream", "cdc_apply_stateful",
+    "cdc_scd2_stream", "stream_source", "stream_dedup",
+    "stream_tumbling", "stream_dedup_watermarked", "stream_session",
+    "stream_session_stateful", "stream_sliding", "stream_stream_join",
+    "stream_stream_join_left",
 ]
 
-# R14 ROTATION PLAN (precomputed from the r01-r13 evidence ledger;
-# verify with coverage_report first — any --stale name takes priority):
-#   1. any coverage_report --stale name (re-spelled code/oracle);
-#   2. the 6 r07-evidence names deferred this round (the expensive
-#      documents-table LLM family): anomaly_mad, dedup_exact,
-#      dedup_ngram_jaccard, dedup_semantic_keep, quality_winsorize,
-#      text_stats;
-#   3. fill the remaining ~43 slots from the r08 shelf (33 names) then
-#      the r09 head (cheap scalar/agg names first, streaming/LLM last —
-#      the time-cap ordering trick).  A green r14 leaves nothing older
-#      than r08.
+# FUTURE ROTATION (should a round follow r14): any coverage_report
+# --stale name first, then the r08 shelf names this window could not fit
+# (analytics_local_supplier_volume, ts_gapfill, ts_calendar_profile,
+# ts_seasonal_residual, sql_parameterized, sql_pipe_syntax), then the
+# r09 head — cheap scalar/agg names first, streaming/LLM last.
 
 
 def _window_order(names: dict[str, QueryFn] | dict[str, str]) -> list[str]:

@@ -1,4 +1,4 @@
-"""Round-13 optimization profiler (guide §1: measure first).
+"""Optimization-round profiler (guide §1: measure first).
 
 For each headline bench query (or any --queries list), decomposes one
 bench iteration into:
@@ -10,11 +10,16 @@ bench iteration into:
   bench   the exact bench.py action (count + bit_xor(xxhash64(struct(*)))
           + collect) — what BENCH_rNN.json times
 
-and writes `.explain("formatted")` to plans/r13/<name>_<tag>.txt.
+and writes `.explain("formatted")` to plans/<round>/<name>_<tag>.txt.
 
 Usage:
-  python tools/profile_headline.py [--n 3] [--tag before]
+  python tools/profile_headline.py [--n 3] [--tag before] [--round r14]
                                    [--queries a,b,c] [--sf DIR] [--no-plans]
+                                   [--executed]
+
+--executed additionally runs each query once and appends the POST-RUN
+plan (AQE final plan: ReusedExchange / AQEShuffleRead visible) to the
+dump — the static explain only shows isFinalPlan=false.
 """
 
 from __future__ import annotations
@@ -56,6 +61,8 @@ def main() -> None:
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--no-plans", action="store_true")
     ap.add_argument("--plans-only", action="store_true")
+    ap.add_argument("--round", default="r14")
+    ap.add_argument("--executed", action="store_true")
     args = ap.parse_args()
 
     names = args.queries.split(",") if args.queries else HEADLINE
@@ -65,7 +72,7 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(f"{args.sf}/region.parquet").count()
 
-    plans_dir = Path(__file__).resolve().parent.parent / "plans" / "r13"
+    plans_dir = Path(__file__).resolve().parent.parent / "plans" / args.round
     plans_dir.mkdir(parents=True, exist_ok=True)
 
     out = {}
@@ -103,7 +110,17 @@ def main() -> None:
             buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")
-            (plans_dir / f"{name}_{args.tag}.txt").write_text(buf.getvalue())
+            text = buf.getvalue()
+            if args.executed:
+                # collect() runs THIS DataFrame's QueryExecution, so the
+                # subsequent explain shows the AQE final plan (a noop
+                # write would execute a separate wrapping QE instead)
+                df.collect()
+                buf2 = io.StringIO()
+                with contextlib.redirect_stdout(buf2):
+                    df.explain("formatted")
+                text += "\n== Post-run (AQE final) plan ==\n" + buf2.getvalue()
+            (plans_dir / f"{name}_{args.tag}.txt").write_text(text)
     print(json.dumps({"sf": args.sf, "n": args.n, "timings": out}))
 
 
