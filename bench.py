@@ -102,6 +102,16 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "load1_start": load1_start,
                 "load1_end": round(os.getloadavg()[0], 2),
+                # Auditability (r13 verdict item 4): the session honors
+                # $SPARK_GRAFT_CPUS (session.py master=local[cpus]); record
+                # what this run actually used so the driver's 8-vs-32-core
+                # scaling probe can confirm the env contract from the
+                # artifact alone.
+                "cpus": spark.sparkContext.defaultParallelism,
+                "master": spark.sparkContext.master,
+                "shuffle_partitions": int(
+                    spark.conf.get("spark.sql.shuffle.partitions")
+                ),
             }
         )
     )

@@ -71,9 +71,22 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     countDistinct's NULL-exclusion exactly instead of relying on the
     fixture invariant that doc_id is a never-nulled PK (make_skew.py
     PROTECTED_KEYS). Identical output on every fixture; identical even
-    on adversarial null-bearing data."""
+    on adversarial null-bearing data.
+
+    r14 (guide §2 partitioning): ``spread(docs, "doc_id")`` before the
+    tokenize. The harness corpus is one single-row-group parquet file →
+    ONE input split, so explode+partial-agg ran serially on one core.
+    The fan-out exchange ships the raw docs (5k rows, ~600 KB at sf0.1 —
+    far cheaper than the exploded token stream), and hashpartitioning by
+    doc_id SATISFIES the (token, doc_id) grouping's clustered
+    distribution, so the first aggregate needs no further exchange:
+    exchange count stays 2, tokenize goes 32-way (0.412 → 0.285 s noop).
+    At 100 TB the input-split probe makes spread a no-op and the plan is
+    byte-identical to the r13 shape."""
     docs = load(spark, sf_dir, "documents")
-    ex = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("token"))
+    ex = spread(docs, "doc_id").select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("token")
+    )
     per_doc = ex.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("c"))
     return per_doc.groupBy("token").agg(
         F.sum("c").alias("term_freq"),
@@ -405,9 +418,23 @@ def tfidf_weights(
     the df-branch re-scan (left out here only because bench's best-of-N
     timing policy forbids caching inside registered queries).
     ln() differs by ulps across libm implementations → rounded to 6dp on
-    both sides (the only rounding this module needs)."""
+    both sides (the only rounding this module needs).
+
+    r14 (guide §2 partitioning): ``spread(docs, "doc_id")`` before the
+    tokenize — the single-row-group harness corpus arrives as ONE input
+    split, so the explode+partial-agg scan stage ran on one core. With
+    the fan-out, hashpartitioning(doc_id) satisfies the (doc_id, token)
+    grouping so tf completes with NO further exchange; the df branch and
+    the join left side each evaluate the (now 32-way-parallel) tokenize
+    — at harness scale two parallel passes beat one serial pass (0.597 →
+    0.455 s noop at sf0.1). At 100 TB spread is a no-op and the plan
+    reverts EXACTLY to the r13 shape: exchange(doc_id, token) under both
+    branches, canonically equal, AQE ReusedExchange sharing ONE corpus
+    tokenize (see _df_from_tf)."""
     docs = load(spark, sf_dir, "documents")
-    ex = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("token"))
+    ex = spread(docs, "doc_id").select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("token")
+    )
     tf = ex.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     df = _df_from_tf(tf)
     if vocab_broadcast_limit is None:
@@ -1046,9 +1073,15 @@ def tfidf_topk_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine ulp noise in ln() can't flip an ordering: 6dp-identical
     scores tie-break on the token. One extra window pass over the tf
     table, partitioned by doc — no new corpus shuffle beyond tfidf's
-    own."""
+    own.
+
+    r14: ``spread(d, "doc_id")`` fans the single-split harness corpus
+    out before the tokenize (same rationale and at-scale no-op as
+    tfidf_weights; 0.896 → 0.547 s noop at sf0.1, hash-identical)."""
     d = load(spark, sf_dir, "documents")
-    ex = d.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("token"))
+    ex = spread(d, "doc_id").select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("token")
+    )
     tf = ex.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     # r13: df from the tf table (one row per (doc, token) → count IS
     # countDistinct) with the _df_from_tf reuse spelling — the raw-ex

@@ -188,7 +188,17 @@ FROM events
 )
 def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running totals (ROWS frame), moving average, and a RANGE frame
-    (value-based window) over the event stream."""
+    (value-based window) over the event stream.
+
+    r14 (guide §1.2 per-task work): the moving average is materialized
+    RAW in the window projection and rounded in a separate select.
+    ``hround``'s half-up CASE references its operand ~6 times, and
+    window-context extraction lifts EVERY reference into its own window
+    expression — the r13 plan computed the identical sliding
+    ``avg(value)`` frame aggregate 7× per row (_we1.._we6 in the
+    committed before-plan). Rounding a concrete column afterwards leaves
+    ONE avg window expression; output is bit-identical (same avg, same
+    rounding, measured hash-equal; 0.477 → 0.359 s noop at sf0.1)."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     w_range = Window.partitionBy("user_id").orderBy("event_id").rangeBetween(-100, 0)
@@ -200,8 +210,14 @@ def win_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string")
         .cast("double")
         .alias("running_sum"),
-        hround(F.avg("value").over(w.rowsBetween(-3, 0)), 4).alias("moving_avg"),
+        F.avg("value").over(w.rowsBetween(-3, 0)).alias("_mavg"),
         F.count(F.lit(1)).over(w_range).alias("n_nearby"),
+    ).select(
+        "user_id",
+        "event_id",
+        "running_sum",
+        hround(F.col("_mavg"), 4).alias("moving_avg"),
+        "n_nearby",
     )
 
 
