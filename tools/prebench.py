@@ -135,6 +135,51 @@ def measure_watch_clause_b(n: int = 6) -> float:
     return float(m.group(1))
 
 
+def measure_scaling_sf1(
+    queries: str = "pricing_summary,win_running,tfidf,text_stats",
+    sf10x: str = "/tmp/sf10x",
+    cores: tuple[int, int] = (8, 32),
+) -> dict | None:
+    """≈sf1 8-vs-32-core scaling rows (r13 verdict item 4): at sf0.1 every
+    headline query is 0.15-0.6 s of fixed per-job overhead, so the
+    driver's 8/32 ratio reads ≈1 and false-flags `suspect_cpus_ignored`.
+    At ≈sf1 (/tmp/sf10x, rebuild with tools/make_10x.py) parallel compute
+    dominates and the ratio actually measures the env contract. Each core
+    count runs in its OWN process (SPARK_GRAFT_CPUS → session.py
+    master=local[cpus]). Returns None if the fixture is absent."""
+    import re
+
+    if not os.path.isdir(sf10x):
+        print(f"scaling probe skipped: {sf10x} missing (tools/make_10x.py)")
+        return None
+    out: dict = {"queries": queries, "sf_dir": sf10x, "per_cores": {}}
+    for n in cores:
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(n))
+        proc = subprocess.run(
+            [
+                sys.executable, str(ROOT / "tools/bench_scale.py"),
+                "--queries", queries, "--a", sf10x, "--b", sf10x, "--n", "2",
+            ],
+            capture_output=True, text=True, cwd=str(ROOT), env=env,
+        )
+        if proc.returncode != 0:
+            print(f"scaling probe at {n} cores failed:\n{proc.stderr[-1000:]}")
+            return None
+        per = {
+            m.group(1): float(m.group(2))
+            for m in re.finditer(r"RESULT (\w+): a=([\d.]+)s", proc.stdout)
+        }
+        out["per_cores"][str(n)] = per
+        print(f"scaling probe {n} cores: {per}", flush=True)
+    lo, hi = (str(c) for c in cores)
+    out["speedup_hi_over_lo"] = {
+        q: round(out["per_cores"][lo][q] / out["per_cores"][hi][q], 2)
+        for q in out["per_cores"][hi]
+        if out["per_cores"][lo].get(q)
+    }
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--round", required=True, help="round number, e.g. 13")
@@ -146,11 +191,35 @@ def main() -> int:
         help="append the calibrated clause-(b) measurement to an existing "
         "PREBENCH_r{N}.json without re-running the suite checklist",
     )
+    ap.add_argument(
+        "--require-gates",
+        action="store_true",
+        help="refuse to write the artifact unless GATES_r{N}.json exists "
+        "and records the CURRENT git HEAD (r14 verdict item 7: the "
+        "round-end artifact must be bound to the HEAD the gates ran at)",
+    )
     args = ap.parse_args()
+
+    head = subprocess.run(
+        ["git", "rev-parse", "HEAD"], capture_output=True, text=True, cwd=ROOT
+    ).stdout.strip()
+    if args.require_gates:
+        gates_path = ROOT / f"GATES_r{args.round}.json"
+        if not gates_path.exists():
+            raise SystemExit(
+                f"--require-gates: {gates_path} missing — run tools/run_gates.sh first"
+            )
+        gates = json.loads(gates_path.read_text())
+        if gates.get("head") != head:
+            raise SystemExit(
+                f"--require-gates: gates ran at {gates.get('head')} but HEAD is "
+                f"{head} — re-run tools/run_gates.sh at this HEAD"
+            )
 
     if args.watch_only:
         out = ROOT / f"PREBENCH_r{args.round}.json"
         artifact = json.loads(out.read_text())
+        artifact["head"] = head
         artifact["load1_before_calibrated"] = settle_for_calibrated()
         warm = measure_watch_clause_b()
         artifact["pricing_bench_scale_warm_best"] = warm
@@ -168,6 +237,7 @@ def main() -> int:
 
     artifact: dict = {
         "protocol": "quiet-box pre-bench checklist (BASELINE.md r12 watch, mechanized r13)",
+        "head": head,
         "started_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "load1_samples_pre": wait_for_quiet(),
     }
@@ -202,6 +272,8 @@ def main() -> int:
         "clause (b) verdict from the calibrated warm bench_scale spelling; "
         "the raw runs' bench.py minima carry post-cache-drop cold state"
     )
+    print("≈sf1 core-scaling probe (8 vs 32) …", flush=True)
+    artifact["scaling_sf1"] = measure_scaling_sf1()
 
     out = ROOT / f"PREBENCH_r{args.round}.json"
     out.write_text(json.dumps(artifact, indent=1) + "\n")
