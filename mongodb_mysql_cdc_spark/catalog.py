@@ -214,16 +214,20 @@ def _attach_split_hint(df: DataFrame, path: str) -> DataFrame:
         if os.path.isdir(path):
             # Spark-written dataset dir: st_size would be the inode size
             # (~4 KB → hint always 1, defeating spread's decision on
-            # large tables — r13 advice). Sum the data files instead.
-            size = sum(
+            # large tables — r13 advice). Sum the data files instead,
+            # and floor the estimate at the file count (each data file
+            # is at least one scan task), matching partitioning's
+            # inputFiles fallback.
+            sizes = [
                 os.path.getsize(os.path.join(root, f))
                 for root, _, files in os.walk(path)
                 for f in files
                 if not f.startswith(("_", "."))
-            )
+            ]
+            n_files, size = max(1, len(sizes)), sum(sizes)
         else:
-            size = os.stat(path).st_size
-        df._sg_scan_splits = max(1, -(-size // (128 << 20)))
+            n_files, size = 1, os.stat(path).st_size
+        df._sg_scan_splits = max(n_files, -(-size // (128 << 20)))
     except OSError:
         pass
     return df
