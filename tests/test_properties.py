@@ -108,6 +108,34 @@ def test_apply_is_idempotent_under_replay(spark, bag):
     assert _collect_state(final) == _collect_state(replayed)
 
 
+def test_reconcile_single_struct_equals_four_aggregate_spelling(spark):
+    """r14 differential pin: reconcile's one-max(struct(ts, seq, op,
+    after)) spelling must pick the exact winner the r13 four-aggregate
+    (max_by/max-of-struct) spelling picked — including on idempotent
+    re-delivery (byte-identical duplicate (ts, seq) rows, the only tie
+    the oplog contract allows) and on ts collisions broken by seq."""
+    rows = [
+        # key 1: ts collision, seq decides; duplicate delivery of winner
+        (1, "c", BASE_TS, 1, ("c1", 1.0, 0)),
+        (1, "u", BASE_TS, 3, ("u1", 2.0, 1)),
+        (1, "u", BASE_TS, 3, ("u1", 2.0, 1)),  # replayed winner
+        (1, "d", BASE_TS, 2, ("d1", 0.0, 2)),
+        # key 2: later ts wins regardless of seq order
+        (2, "u", BASE_TS + datetime.timedelta(seconds=5), 4, ("u2", 9.0, 0)),
+        (2, "c", BASE_TS + datetime.timedelta(seconds=9), 0, ("c2", 7.0, 1)),
+        # key 3: single tombstone
+        (3, "d", BASE_TS, 9, ("d3", 0.0, 0)),
+    ]
+    df = spark.createDataFrame(rows, ENV_FIELDS)
+    old = df.groupBy("key").agg(
+        F.expr("max_by(op,  struct(ts, seq))").alias("op"),
+        F.max(F.struct("ts", "seq")).getField("ts").alias("ts"),
+        F.max(F.struct("ts", "seq")).getField("seq").alias("seq"),
+        F.expr("max_by(after, struct(ts, seq))").alias("after"),
+    )
+    assert _collect_state(reconcile(df)) == _collect_state(old)
+
+
 def test_tombstones_survive_reconcile_but_not_current_state(spark):
     """A delete must win over an older update AND stay in internal state
     (late older events cannot resurrect it), while the queryable view
