@@ -68,13 +68,15 @@ _DRIVER_WINDOW = [
     # -- cheap agg / join / window families (r08-evidence shelf, incl.
     #    every bench-headline name this round's profiling may touch) --
     "agg_hash", "agg_global", "agg_having", "agg_count_if",
-    "agg_moments", "agg_product", "agg_incremental_merge", "agg_rollup",
+    "agg_moments", "agg_incremental_merge", "agg_rollup",
     "topk_per_group", "join_inner_hash", "join_broadcast",
     "join_sort_merge", "join_asof", "win_running", "win_range_frame",
     "pricing_summary",
-    # -- analytics / anomaly (r08 shelf + r13-touched rfm + r07 deferral) --
+    # -- analytics / anomaly / ts (r08 shelf + r13-touched rfm + r07
+    #    deferral + the r14 ts_gapfill window-expr fix, swapped in for
+    #    the untouched agg_product) --
     "analytics_shipping_priority", "analytics_pareto", "analytics_rfm",
-    "anomaly_mad",
+    "anomaly_mad", "ts_gapfill",
     # -- LLM text (r13-touched + r07 deferrals) --
     "text_stats", "quality_winsorize", "tfidf", "tfidf_topk_per_doc",
     # -- dedup family (r13-touched + r07 deferrals) --

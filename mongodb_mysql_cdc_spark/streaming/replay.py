@@ -185,10 +185,13 @@ def drain_to_memory_table(
     # keeps four), so the session's 32 partitions mean ~128 state-store
     # round-trips per batch over kilobytes of data — pure fixed cost at
     # replay scale (measured on stream_stream_join_left: 51 s at 32
-    # partitions → ~36 s at 8 → ~24 s at 4). The partition count is
-    # captured in the fresh checkpoint at .start(), so restoring the conf
-    # afterwards is safe. A production deployment sizes this to the
-    # cluster, not to the replay.
+    # partitions → ~36 s at 8 → ~24 s at 4; r14 re-measured at sf0.01:
+    # stream_session 22.3 s at 4 → 17.7 s at 2 → 16.8 s at 1, hashes
+    # identical at every count — 2 keeps the multi-partition state path
+    # exercised while shedding most of the remaining store overhead).
+    # The partition count is captured in the fresh checkpoint at
+    # .start(), so restoring the conf afterwards is safe. A production
+    # deployment sizes this to the cluster, not to the replay.
     #
     # THREAD-SAFETY: the override is session-global while held — a query
     # planned concurrently on the same session would pick up 4 partitions.
@@ -197,7 +200,7 @@ def drain_to_memory_table(
     # shuffle.partitions short of spark.cloneSession(), which would forfeit
     # the shared temp-view namespace the memory sink needs.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         q, name = memory_sink_table(df, f"{prefix}_{uuid.uuid4().hex[:8]}", output_mode)
         try:
